@@ -1,0 +1,521 @@
+"""Core relational queries: scan/project/filter, joins, aggregates.
+
+The reference pushes all relational computation to MySQL via generated
+SQL (its only join is the PK pagination deferred-join,
+/root/reference/cmd/root.go:368; its only aggregate is count(*)+ceil,
+root.go:359-364). Here the same capability class is provided natively
+by the DataFrame API and optimized by Catalyst.
+
+Scale notes:
+- filters/projections sit directly above the parquet/JDBC scan so
+  Catalyst pushes them down (verify with .explain: PushedFilters /
+  ReadSchema);
+- dimension joins (region/nation/supplier/part at TPC-H shape) are
+  broadcast explicitly — at 100 TB the fact side never shuffles for
+  these joins;
+- aggregations use built-in hash aggregates, which Spark executes as
+  partial (map-side) + final — the shuffle carries one row per group
+  per task, not the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load
+
+
+def _dec(col, scale: int = 2, prec: int = 22):
+    """Exact-decimal view of a (possibly noisy) double column.
+
+    Per-row double→decimal rounding is deterministic and identical in
+    Spark and DuckDB; summing decimals is exact and order-independent,
+    which makes aggregate results hash-comparable across engines.
+    """
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (flagship).
+
+    filter → groupBy(2 keys) → 8 aggregates → orderBy. Exercises scan
+    pushdown, partial aggregation, and the decimal-sum discipline.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(disc_price, 6)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge, 6)).cast("double").alias("sum_charge"),
+            (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec(F.col("l_discount"))).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + top-k (TakeOrderedAndProject)."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  o_orderdate,
+  o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-table join; all dims broadcast, fact never
+    shuffles for the dim joins (verify: BroadcastHashJoin in explain)."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_ORACLE = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain projection + predicate — the shape Catalyst pushes fully
+    into the parquet scan (PushedFilters + pruned ReadSchema)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 45) & (F.col("l_returnflag") == "R"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+PROJECT_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_quantity >= 45 AND l_returnflag = 'R'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join — customers with their order counts, keeping
+    customers that never ordered (NULL-extension semantics)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_LEFT_ORACLE = """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers having at least one urgent order."""
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): parts never shipped in bulk
+    (no lineitem with quantity >= 45).
+
+    Same shape as the reference's catalog exclusion filter
+    (``table_name not in (...)``, /root/reference/cmd/root.go:222-232)
+    but against a distributed relation instead of a literal list.
+    """
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+JOIN_ANTI_ORACLE = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity >= 45)
+ORDER BY p_partkey
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join on two aggregated sides (nations by customer
+    count vs nations by supplier count)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(cust.c_nationkey, supp.s_nationkey).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+JOIN_FULL_OUTER_ORACLE = """
+WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: bucket parts into price bands via
+    BETWEEN predicates against a small in-memory band dimension.
+
+    Scale note: the band table is tiny → broadcast nested-loop join,
+    which is the right physical plan; a large-large range join would
+    instead be bucketized (see similarity.ivf for that pattern).
+    """
+    part = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 940.0), ("mid", 940.0, 975.0), ("premium", 975.0, 10**9 * 1.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(_dec(F.col("p_retailprice"))).cast("double").alias("total_price"),
+        )
+        .orderBy("band")
+    )
+
+
+JOIN_RANGE_NONEQUI_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('budget', 0.0, 940.0), ('mid', 940.0, 975.0), ('premium', 975.0, 1000000000.0)
+)
+SELECT band, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(22,2))) AS DOUBLE) AS total_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: orderstatus → orderpriority with subtotals."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+AGG_ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims (all 4 grouping combinations)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+AGG_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + multi-distinct in one aggregation (expand +
+    partial agg under the hood)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    ).orderBy("l_returnflag")
+
+
+AGG_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). No oracle: HLL sketches
+    are implementation-specific, so engines legitimately differ — the
+    driver records a rows-only check. The exact twin is agg_distinct.
+
+    Scale note: this is THE cardinality operator at 100 TB — fixed
+    memory per group vs the expand+shuffle of exact distinct.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function coverage: string, math, conditional, date parts.
+
+    The reference's only scalar functions are lower/upper/ceil inside
+    generated SQL (/root/reference/cmd/root.go:313-315, 359); this
+    exercises the built-in function surface that replaces them (all
+    JVM-side, inside WholeStageCodegen — no Python in the loop).
+    """
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.lower("p_name").alias("name_lower"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.length("p_name").alias("name_len"),
+            F.ceil(F.col("p_retailprice") / 100).cast("long").alias("price_century"),
+            F.round(F.col("p_retailprice"), 1).alias("price_round1"),
+            F.abs(F.col("p_size") - 25).alias("size_dist_25"),
+            F.when(F.col("p_size") < 10, "small")
+            .when(F.col("p_size") < 30, "medium")
+            .otherwise("large")
+            .alias("size_class"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+SCALAR_FUNCTIONS_ORACLE = """
+SELECT p_partkey,
+       LOWER(p_name) AS name_lower,
+       UPPER(p_brand) AS brand_upper,
+       SUBSTRING(p_type, 1, 5) AS type_prefix,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       LENGTH(p_name) AS name_len,
+       CAST(CEIL(p_retailprice / 100) AS BIGINT) AS price_century,
+       ROUND(p_retailprice, 1) AS price_round1,
+       ABS(p_size - 25) AS size_dist_25,
+       CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END AS size_class
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy + limit. Spark plans TakeOrderedAndProject
+    — each partition keeps a k-row heap, only k rows reach the driver
+    (no global sort). The reference pushes ORDER BY..LIMIT to MySQL
+    (/root/reference/cmd/root.go:368); this is the engine-native twin.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+SORT_LIMIT_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "project_filter": project_filter,
+    "join_left": join_left,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_full_outer": join_full_outer,
+    "join_range_nonequi": join_range_nonequi,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_distinct": agg_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "scalar_functions": scalar_functions,
+    "sort_limit_topk": sort_limit_topk,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_ORACLE,
+    "q3_shipping_priority": Q3_ORACLE,
+    "q5_local_supplier_volume": Q5_ORACLE,
+    "project_filter": PROJECT_FILTER_ORACLE,
+    "join_left": JOIN_LEFT_ORACLE,
+    "join_semi": JOIN_SEMI_ORACLE,
+    "join_anti": JOIN_ANTI_ORACLE,
+    "join_full_outer": JOIN_FULL_OUTER_ORACLE,
+    "join_range_nonequi": JOIN_RANGE_NONEQUI_ORACLE,
+    "agg_rollup": AGG_ROLLUP_ORACLE,
+    "agg_cube": AGG_CUBE_ORACLE,
+    "agg_distinct": AGG_DISTINCT_ORACLE,
+    # agg_approx_distinct: deliberately no oracle (sketch-based)
+    "scalar_functions": SCALAR_FUNCTIONS_ORACLE,
+    "sort_limit_topk": SORT_LIMIT_TOPK_ORACLE,
+}

@@ -1,0 +1,43 @@
+"""Parquet fixture source (the test-time stand-in for JDBC scans).
+
+The reference discovers tables from ``information_schema.tables``
+(/root/reference/cmd/root.go:222-241) and reads them with generated
+SELECTs; here the equivalent scan source is a directory of parquet
+tables. Reads are lazy — Catalyst pushes filters and prunes columns
+into the parquet scan, which is the property the reference's
+hand-built pagination was approximating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver fixtures provide (TESTDATA.md / FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table; also registers each as a temp view so
+    ``spark.sql`` queries can refer to them by name."""
+    out = {}
+    for name in TABLES:
+        df = load(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
