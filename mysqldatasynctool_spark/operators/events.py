@@ -1,4 +1,223 @@
-"""Placeholder — filled in as operators land."""
+"""Time/event operators on the stream-shaped ``events`` table
+(ABSENT in the reference — SURVEY.md §2B "streaming" row).
 
-QUERIES = {}
-ORACLES = {}
+These are the batch twins of the streaming layer
+(``mysqldatasynctool_spark.streaming``): identical window semantics
+run over bounded input so the DuckDB oracle can check them. The
+streaming versions add watermarks on ``ts``.
+
+Scale notes: ``F.window`` is a plain projection (window start/end are
+arithmetic on ts) followed by a hash aggregate — partial agg map-side,
+one shuffle on (window, key). A sliding window with k overlapping
+panes multiplies rows by k before the agg (here k=2); keep slide ≥
+size/4 at 100 TB or pre-bucket by the slide and roll up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.fixtures import load
+
+
+def _dec(col, scale: int = 2, prec: int = 22):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` column (from_json with an explicit
+    schema — never schema-inference in the hot path) and aggregate."""
+    ev = load(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return (
+        ev.withColumn("k", F.from_json("props", schema).getField("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_EXTRACT_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregate per event_type (F.window)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("value"), 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_TUMBLING_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 hour wide, sliding every 30 minutes — each
+    event lands in exactly 2 panes."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("value"), 6)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+# Each event belongs to panes starting at floor30(ts) and floor30(ts)-30m
+# (size 60m / slide 30m); UNNEST generates both panes per event.
+EVENTS_SLIDING_ORACLE = """
+SELECT window_start, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+           AS window_start,
+         value
+  FROM events
+) t
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a new session starts when a
+    user is idle > 30 minutes (lag + cumulative-sum-of-flags — the
+    standard batch twin of streaming ``session_window``)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_sessions = (
+        ev.withColumn("is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    return (
+        with_sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(_dec(F.col("value"), 6)).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+EVENTS_SESSIONIZATION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def events_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar function coverage over the event timeline."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+            F.to_date("ts").alias("dt"),
+            F.dayofweek("ts").alias("dow"),
+            F.unix_timestamp("ts").alias("epoch_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1 → +1 aligns.
+EVENTS_DATE_FUNCTIONS_ORACLE = """
+SELECT event_id,
+       CAST(year(ts) AS INT) AS y,
+       CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d,
+       CAST(hour(ts) AS INT) AS h,
+       date_trunc('hour', ts) AS ts_hour,
+       CAST(ts AS DATE) AS dt,
+       CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+FROM events
+ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "events_json_extract": events_json_extract,
+    "events_tumbling_window": events_tumbling_window,
+    "events_sliding_window": events_sliding_window,
+    "events_sessionization": events_sessionization,
+    "events_date_functions": events_date_functions,
+}
+
+ORACLES = {
+    "events_json_extract": EVENTS_JSON_EXTRACT_ORACLE,
+    "events_tumbling_window": EVENTS_TUMBLING_ORACLE,
+    "events_sliding_window": EVENTS_SLIDING_ORACLE,
+    "events_sessionization": EVENTS_SESSIONIZATION_ORACLE,
+    "events_date_functions": EVENTS_DATE_FUNCTIONS_ORACLE,
+}

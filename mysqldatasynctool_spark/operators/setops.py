@@ -1,4 +1,134 @@
-"""Placeholder — filled in as operators land."""
+"""Set operators (ABSENT in the reference — SURVEY.md §2B).
 
-QUERIES = {}
-ORACLES = {}
+All are thin declarative wrappers over Catalyst's set-op planning:
+UNION is a zero-shuffle concatenation; DISTINCT/INTERSECT/EXCEPT
+shuffle once on the full row hash (partial dedup map-side first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load
+
+
+def _urgent_customers(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def _f_status_customers(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) of two order-derived key sets,
+    re-aggregated so the result is deterministic."""
+    u = _urgent_customers(spark, sf_dir).union(_f_status_customers(spark, sf_dir))
+    return u.groupBy("custkey").agg(F.count("*").alias("n")).orderBy("custkey")
+
+
+SETOP_UNION_ALL_ORACLE = """
+SELECT custkey, COUNT(*) AS n FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+) t
+GROUP BY custkey ORDER BY custkey
+"""
+
+
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics): distinct union of the two key sets."""
+    return (
+        _urgent_customers(spark, sf_dir)
+        .union(_f_status_customers(spark, sf_dir))
+        .distinct()
+        .orderBy("custkey")
+    )
+
+
+SETOP_UNION_DISTINCT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+"""
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both an urgent and a finished order."""
+    return (
+        _urgent_customers(spark, sf_dir)
+        .intersect(_f_status_customers(spark, sf_dir))
+        .orderBy("custkey")
+    )
+
+
+SETOP_INTERSECT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+"""
+
+
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference): urgent-order keys minus finished-
+    order keys, multiplicity preserved, re-aggregated for determinism."""
+    d = _urgent_customers(spark, sf_dir).exceptAll(_f_status_customers(spark, sf_dir))
+    return d.groupBy("custkey").agg(F.count("*").alias("n")).orderBy("custkey")
+
+
+SETOP_EXCEPT_ALL_ORACLE = """
+SELECT custkey, COUNT(*) AS n FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+) t
+GROUP BY custkey ORDER BY custkey
+"""
+
+
+def setop_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a projection — distinct (status, priority)
+    pairs with their first orderkey (deterministic via min)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.min("o_orderkey").alias("first_orderkey"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SETOP_DISTINCT_ROWS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, MIN(o_orderkey) AS first_orderkey
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+QUERIES = {
+    "setop_union_all": setop_union_all,
+    "setop_union_distinct": setop_union_distinct,
+    "setop_intersect": setop_intersect,
+    "setop_except_all": setop_except_all,
+    "setop_distinct_rows": setop_distinct_rows,
+}
+
+ORACLES = {
+    "setop_union_all": SETOP_UNION_ALL_ORACLE,
+    "setop_union_distinct": SETOP_UNION_DISTINCT_ORACLE,
+    "setop_intersect": SETOP_INTERSECT_ORACLE,
+    "setop_except_all": SETOP_EXCEPT_ALL_ORACLE,
+    "setop_distinct_rows": SETOP_DISTINCT_ROWS_ORACLE,
+}

@@ -1,4 +1,207 @@
-"""Placeholder — filled in as operators land."""
+"""Window-function operators (ABSENT in the reference — SURVEY.md §2B).
 
-QUERIES = {}
-ORACLES = {}
+The reference's pagination emulates ``row_number``-style paging by
+pushing ``ORDER BY pk LIMIT off,n`` to MySQL
+(/root/reference/cmd/root.go:368); these operators provide the real
+window surface natively.
+
+Determinism discipline: every ``orderBy`` inside a window spec ends
+with a unique key tiebreaker, so ``row_number``/``lag``/running sums
+are reproducible across engines and across partitionings — the same
+property the reference relied on PK uniqueness for (root.go:368,
+SURVEY.md §2A "page ordering is deterministic").
+
+Scale notes: a window partitioned by a key is a single hash shuffle on
+that key; frames evaluate streaming within each sorted partition (no
+materialization of the whole partition per row for running frames).
+Skewed partition keys (one user with 10^9 events) are the risk at
+100 TB — for those, pre-aggregate or split by time bucket first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load
+
+
+def _dec(col, scale: int = 2, prec: int = 22):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (row_number ≤ k).
+
+    The canonical distributed top-k-per-group: one shuffle on the
+    partition key, per-partition sort, early filter on rn — never a
+    global sort.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+WINDOW_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile within brand by price."""
+    part = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .orderBy("p_brand", "rnk", "p_partkey")
+    )
+
+
+WINDOW_RANK_ORACLE = """
+SELECT p_brand, p_partkey, p_retailprice, rnk, drnk, prnk, quartile
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk,
+         PERCENT_RANK() OVER w AS prnk,
+         NTILE(4) OVER w AS quartile
+  FROM part
+  WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+) t
+WHERE rnk <= 10
+ORDER BY p_brand, rnk, p_partkey
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event gaps: lag/lead over the event timeline."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
+                "gap_seconds"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+WINDOW_LAG_LEAD_ORACLE = """
+SELECT user_id, event_id, event_type,
+       LAG(event_type) OVER w AS prev_type,
+       LEAD(event_type) OVER w AS next_type,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_seconds
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer (rows frame: unbounded preceding →
+    current row), decimal-exact so prefixes hash-match cross-engine."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_total"),
+            F.count("*").over(w).alias("running_n"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+WINDOW_RUNNING_SUM_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) OVER w AS DOUBLE) AS running_total,
+       COUNT(*) OVER w AS running_n
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: for each part, count of same-brand parts priced
+    within 5 currency units below it (value-based frame, not rows)."""
+    part = load(spark, sf_dir, "part")
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rangeBetween(-5, 0)
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.count("*").over(w).alias("n_within_5"),
+            F.sum(_dec(F.col("p_retailprice"))).over(w).cast("double").alias("sum_within_5"),
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+WINDOW_RANGE_FRAME_ORACLE = """
+SELECT p_brand, p_partkey, p_retailprice,
+       COUNT(*) OVER w AS n_within_5,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(22,2))) OVER w AS DOUBLE) AS sum_within_5
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+ORDER BY p_brand, p_partkey
+"""
+
+
+QUERIES = {
+    "window_topk_per_group": window_topk_per_group,
+    "window_rank_functions": window_rank_functions,
+    "window_lag_lead": window_lag_lead,
+    "window_running_sum": window_running_sum,
+    "window_range_frame": window_range_frame,
+}
+
+ORACLES = {
+    "window_topk_per_group": WINDOW_TOPK_ORACLE,
+    "window_rank_functions": WINDOW_RANK_ORACLE,
+    "window_lag_lead": WINDOW_LAG_LEAD_ORACLE,
+    "window_running_sum": WINDOW_RUNNING_SUM_ORACLE,
+    "window_range_frame": WINDOW_RANGE_FRAME_ORACLE,
+}
