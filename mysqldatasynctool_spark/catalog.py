@@ -1,0 +1,77 @@
+"""Catalog discovery + exclusion — reference operators #1-#3
+(SURVEY.md §2A).
+
+The reference enumerates base tables from information_schema with an
+appended NOT IN exclusion (/root/reference/cmd/root.go:222-241) and
+looks up PK columns ordered by ordinal position (root.go:327-340).
+Here discovery is pluggable: a parquet directory (fixtures/lakehouse)
+or an information_schema query over JDBC (production MySQL).
+"""
+
+from __future__ import annotations
+
+import glob
+import os.path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: PKs of the fixture tables (what information_schema.key_column_usage
+#: would report; lineitem is the composite-PK case — FIXTURES.md).
+FIXTURE_PRIMARY_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def catalog_scan_sql(exclude: tuple[str, ...] = ()) -> str:
+    """The discovery SQL for a MySQL source — same statement the
+    reference builds (root.go:222-234), views deliberately excluded."""
+    sql = (
+        "select table_name from information_schema.tables "
+        "where table_schema = database() and table_type = 'BASE TABLE'"
+    )
+    if exclude:
+        quoted = ",".join("'" + t.replace("'", "''") + "'" for t in exclude)
+        sql += f" and table_name not in ({quoted})"
+    return sql
+
+
+def primary_key_sql(table: str) -> str:
+    """PK lookup SQL (composite-PK aware) — root.go:327-340."""
+    escaped = table.replace("'", "''")
+    return (
+        "SELECT lower(COLUMN_NAME) FROM information_schema.key_column_usage "
+        "WHERE constraint_name = 'PRIMARY' AND table_schema = DATABASE() "
+        f"AND table_name = '{escaped}' ORDER BY ORDINAL_POSITION"
+    )
+
+
+def discover_parquet_tables(path: str) -> list[str]:
+    """Directory-based discovery: every *.parquet entry is a table."""
+    names = [
+        os.path.basename(p)[: -len(".parquet")]
+        for p in glob.glob(os.path.join(path, "*.parquet"))
+    ]
+    return sorted(names)
+
+
+def catalog_dataframe(spark: SparkSession, tables: list[str]) -> DataFrame:
+    """The discovered catalog as a (tiny) DataFrame, so exclusion is
+    the same declarative anti-filter the reference's NOT IN was."""
+    return spark.createDataFrame([(t,) for t in tables], "table_name string")
+
+
+def apply_exclusion(catalog: DataFrame, exclude: tuple[str, ...]) -> DataFrame:
+    """NOT IN / anti-semi-join exclusion (root.go:222-232)."""
+    if not exclude:
+        return catalog
+    return catalog.filter(~F.col("table_name").isin(*exclude))

@@ -1,4 +1,197 @@
-"""Placeholder — filled in as operators land."""
+"""Validation compare — reference operator #14, upgraded.
 
-QUERIES = {}
-ORACLES = {}
+The reference validates a migration by row-count compare only
+(/root/reference/cmd/compare.go:102-132: count(*) on src and dest,
+verdict isOk). SURVEY.md §5 calls for upgrading this to a content
+checksum; here each table gets (count, order-insensitive checksum):
+
+    row_digest = first 15 hex chars of md5(normalized row repr),
+                 parsed as a 60-bit integer
+    checksum   = SUM(row_digest)   -- order-insensitive, exact
+
+The normalized repr (NULL → '\\N' sentinel, doubles via DECIMAL(24,4),
+timestamps via floor-epoch seconds) is engine-portable, so the same
+checksum is computable in DuckDB ('0x…'::BIGINT parses the hex) and
+in MySQL (CONV()) — a dest-engine-independent verification.
+
+Scale note: the checksum is a single scan + partial-aggregated SUM —
+one shuffled row per table, no sort, no collect of data rows. At
+100 TB this runs at full scan bandwidth; the reference's count-only
+compare had the same cost but far weaker guarantees.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load
+
+NULL_SENTINEL = "\\N"
+
+
+def _norm_col(name: str, dtype: str):
+    c = F.col(name)
+    if dtype in ("double", "float"):
+        e = c.cast("decimal(24,4)").cast("string")
+    elif dtype.startswith("decimal"):
+        e = c.cast("string")
+    elif dtype.startswith("timestamp"):
+        # TIMESTAMP_NTZ (parquet without UTC flag) can't cast straight
+        # to long; hop through TIMESTAMP (exact under the UTC session)
+        e = c.cast("timestamp").cast("long").cast("string")
+    elif dtype.startswith("array") or dtype.startswith("map") or dtype.startswith("struct"):
+        e = F.to_json(c)
+    else:
+        e = c.cast("string")
+    return F.coalesce(e, F.lit(NULL_SENTINEL))
+
+
+def row_digest(df: DataFrame) -> F.Column:
+    """60-bit per-row digest over all scalar columns."""
+    repr_col = F.concat_ws("|", *[_norm_col(n, t) for n, t in df.dtypes])
+    return F.conv(F.substring(F.md5(repr_col), 18, 15), 16, 10).cast("decimal(38,0)")
+
+
+def table_summary(df: DataFrame, table: str) -> DataFrame:
+    """One row: (table_name, cnt, checksum)."""
+    return df.select(row_digest(df).alias("d")).agg(
+        F.lit(table).alias("table_name"),
+        F.count("*").alias("cnt"),
+        F.coalesce(F.sum("d"), F.lit(0).cast("decimal(38,0)")).alias("checksum"),
+    )
+
+
+def compare_tables(
+    spark: SparkSession,
+    src_tables: dict[str, DataFrame],
+    dest_tables: dict[str, DataFrame],
+) -> DataFrame:
+    """Per-table verdict, reference-compatible columns plus checksum.
+
+    Missing destination tables get DestIsExist='NO' like the
+    reference's failed-dest-query path (compare.go:122-126).
+    """
+    src = reduce(
+        DataFrame.unionByName,
+        [table_summary(df, t) for t, df in src_tables.items()],
+    ).select(
+        "table_name",
+        F.col("cnt").alias("src_cnt"),
+        F.col("checksum").alias("src_checksum"),
+    )
+    if dest_tables:
+        dest = reduce(
+            DataFrame.unionByName,
+            [table_summary(df, t) for t, df in dest_tables.items()],
+        ).select(
+            "table_name",
+            F.col("cnt").alias("dest_cnt"),
+            F.col("checksum").alias("dest_checksum"),
+        )
+        joined = src.join(dest, "table_name", "full_outer")
+    else:
+        joined = src.withColumn("dest_cnt", F.lit(None).cast("long")).withColumn(
+            "dest_checksum", F.lit(None).cast("decimal(38,0)")
+        )
+    return joined.select(
+        "table_name",
+        "src_cnt",
+        "dest_cnt",
+        "src_checksum",
+        "dest_checksum",
+        F.when(F.col("dest_cnt").isNull(), "NO").otherwise("YES").alias("dest_is_exist"),
+        F.when(
+            F.col("src_cnt").eqNullSafe(F.col("dest_cnt"))
+            & F.col("src_checksum").eqNullSafe(F.col("dest_checksum")),
+            "YES",
+        )
+        .otherwise("NO")
+        .alias("is_ok"),
+    ).orderBy("table_name")
+
+
+# --- oracle-backed query -------------------------------------------------
+
+_CHECK_TABLES = {
+    # table -> (col, dtype) list matching FIXTURES.md (scalar cols only)
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+}
+
+
+def migration_compare_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + content checksum per table, src vs dest (here dest =
+    the same fixtures, so is_ok must be YES everywhere — the unit
+    tests exercise the mismatch paths on corrupted copies). The raw
+    checksum values are in the output, so the DuckDB oracle verifies
+    the checksum algebra itself cross-engine."""
+    tables = {
+        t: load(spark, sf_dir, t).select(*[c for c, _ in cols])
+        for t, cols in _CHECK_TABLES.items()
+    }
+    return compare_tables(spark, tables, tables)
+
+
+def _duck_norm(col: str, dtype: str) -> str:
+    if dtype == "double":
+        return f"COALESCE(CAST(CAST({col} AS DECIMAL(24,4)) AS VARCHAR), '\\N')"
+    if dtype == "timestamp":
+        return f"COALESCE(CAST(CAST(floor(epoch({col})) AS BIGINT) AS VARCHAR), '\\N')"
+    return f"COALESCE(CAST({col} AS VARCHAR), '\\N')"
+
+
+def _duck_table_summary(table: str, cols: list[tuple[str, str]]) -> str:
+    rep = "concat_ws('|', " + ", ".join(_duck_norm(c, t) for c, t in cols) + ")"
+    digest = f"CAST(CAST(concat('0x', substr(md5({rep}), 18, 15)) AS BIGINT) AS DECIMAL(38,0))"
+    return (
+        f"SELECT '{table}' AS table_name, COUNT(*) AS cnt, "
+        f"COALESCE(SUM({digest}), 0) AS checksum FROM {table}"
+    )
+
+
+def _compare_oracle() -> str:
+    per_table = " UNION ALL ".join(
+        f"({_duck_table_summary(t, cols)})" for t, cols in _CHECK_TABLES.items()
+    )
+    return f"""
+WITH s AS ({per_table})
+SELECT table_name,
+       cnt AS src_cnt,
+       cnt AS dest_cnt,
+       CAST(checksum AS DECIMAL(38,0)) AS src_checksum,
+       CAST(checksum AS DECIMAL(38,0)) AS dest_checksum,
+       'YES' AS dest_is_exist,
+       'YES' AS is_ok
+FROM s
+ORDER BY table_name
+"""
+
+
+QUERIES = {"migration_compare_checksums": migration_compare_checksums}
+ORACLES = {"migration_compare_checksums": _compare_oracle()}

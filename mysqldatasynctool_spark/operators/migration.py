@@ -1,4 +1,149 @@
-"""Placeholder — filled in as operators land."""
+"""Migration-semantics queries — the reference's own operator surface
+(SURVEY.md §2A) expressed as oracle-checkable DataFrame queries over
+the fixtures.
+"""
 
-QUERIES = {}
-ORACLES = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import apply_exclusion, catalog_dataframe
+from ..sources.fixtures import TABLES, load
+
+PAGE_SIZE = 10_000
+
+
+def migration_catalog_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog scan + NOT IN exclusion (ops #1-#2, root.go:222-241):
+    discovered fixture tables minus an exclude list."""
+    catalog = catalog_dataframe(spark, list(TABLES))
+    return apply_exclusion(catalog, ("events", "documents", "embeddings")).orderBy(
+        "table_name"
+    )
+
+
+MIGRATION_CATALOG_EXCLUDE_ORACLE = """
+SELECT table_name FROM (
+  VALUES ('region'), ('nation'), ('customer'), ('supplier'), ('part'),
+         ('orders'), ('lineitem'), ('events'), ('documents'), ('embeddings')
+) AS t(table_name)
+WHERE table_name NOT IN ('events', 'documents', 'embeddings')
+ORDER BY table_name
+"""
+
+
+def migration_page_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plan-phase scalar aggregate (op #4, root.go:359-364):
+    ``ceil(count(*)/pageSize) as total_page_num`` per table."""
+    out = None
+    for t in ("orders", "lineitem", "customer"):
+        df = (
+            load(spark, sf_dir, t)
+            .agg(
+                F.lit(t).alias("table_name"),
+                F.count("*").alias("row_cnt"),
+                F.ceil(F.count("*") / F.lit(PAGE_SIZE)).alias("total_page_num"),
+            )
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.orderBy("table_name")
+
+
+MIGRATION_PAGE_COUNT_ORACLE = f"""
+SELECT table_name, row_cnt, CAST(CEIL(row_cnt / {PAGE_SIZE}.0) AS BIGINT) AS total_page_num
+FROM (
+  SELECT 'orders' AS table_name, COUNT(*) AS row_cnt FROM orders
+  UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+  UNION ALL SELECT 'customer', COUNT(*) FROM customer
+) t
+ORDER BY table_name
+"""
+
+
+def migration_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal emulation of one page of the reference's deferred-join
+    pagination (op #5, root.go:321-372): rows 20000..20999 of lineitem
+    in composite-PK order, narrow-key page joined back to full rows.
+
+    In production the engine uses range predicates instead
+    (plans/partitioning.py) — this query exists to pin the exact page
+    semantics the reference produces.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    w = W.orderBy("l_orderkey", "l_linenumber")
+    page = (
+        li.select("l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 20000) & (F.col("rn") <= 21000))
+        .drop("rn")
+    )
+    return (
+        page.join(li, ["l_orderkey", "l_linenumber"], "left")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+MIGRATION_PAGINATION_PAGE_ORACLE = """
+WITH page AS (
+  SELECT l_orderkey, l_linenumber
+  FROM (
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t
+  WHERE rn > 20000 AND rn <= 21000
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_returnflag
+FROM page p LEFT JOIN lineitem l
+  ON p.l_orderkey = l.l_orderkey AND p.l_linenumber = l.l_linenumber
+ORDER BY l.l_orderkey, l.l_linenumber
+"""
+
+
+def migration_stringify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's all-values-to-string transport compat op
+    (root.go:418-431: nil→NULL, BLOB→bytes, else→string). Kept as an
+    explicit opt-in operator — the engine itself stays natively typed
+    (SURVEY.md §1.3). Doubles stringify via exact DECIMAL, timestamps
+    via epoch seconds, so the repr is engine-portable."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderkey").cast("string").alias("o_orderkey"),
+            F.col("o_custkey").cast("string").alias("o_custkey"),
+            F.col("o_orderstatus").alias("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(24,4)").cast("string").alias("o_totalprice"),
+            F.col("o_orderdate").cast("timestamp").cast("long").cast("string").alias("o_orderdate"),
+            F.col("o_orderpriority").alias("o_orderpriority"),
+        )
+        .orderBy(F.col("o_orderkey").cast("long"))
+    )
+
+
+MIGRATION_STRINGIFY_ORACLE = """
+SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+       CAST(o_custkey AS VARCHAR) AS o_custkey,
+       o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(24,4)) AS VARCHAR) AS o_totalprice,
+       CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) AS VARCHAR) AS o_orderdate,
+       o_orderpriority
+FROM orders
+ORDER BY CAST(o_orderkey AS BIGINT)
+"""
+
+
+QUERIES = {
+    "migration_catalog_exclude": migration_catalog_exclude,
+    "migration_page_count": migration_page_count,
+    "migration_pagination_page": migration_pagination_page,
+    "migration_stringify": migration_stringify,
+}
+
+ORACLES = {
+    "migration_catalog_exclude": MIGRATION_CATALOG_EXCLUDE_ORACLE,
+    "migration_page_count": MIGRATION_PAGE_COUNT_ORACLE,
+    "migration_pagination_page": MIGRATION_PAGINATION_PAGE_ORACLE,
+    "migration_stringify": MIGRATION_STRINGIFY_ORACLE,
+}

@@ -1,0 +1,59 @@
+"""Sinks: parquet (test-backed) and JDBC (production wiring).
+
+Reference parity:
+- batch INSERT with placeholder batching + 65,535-placeholder cap
+  (/root/reference/cmd/root.go:394-459) → JDBC writer ``batchsize``
+  (Spark's JdbcUtils does the identical prepared-statement batching);
+- TRUNCATE before reload (root.go:283-288) → mode("overwrite") +
+  option("truncate", true);
+- per-batch transactions (root.go:408-469) → per-partition commits +
+  ``isolationLevel``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..config import Endpoint
+
+# MySQL wire-protocol cap the reference guards against (root.go:405-406):
+# batches larger than 65535 placeholders in one statement fail.
+MYSQL_MAX_PLACEHOLDERS = 65_535
+
+
+def effective_batch_size(batch_row_size: int, n_cols: int) -> int:
+    """The reference's cap: min(65535/ncols - 10, batchRowSize)
+    (root.go:406). Applied to the JDBC writer's batchsize so a
+    wide table can't exceed the placeholder limit."""
+    cap = MYSQL_MAX_PLACEHOLDERS // max(1, n_cols) - 10
+    return max(1, min(cap, batch_row_size))
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar sink used by tests and as a staging target."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    endpoint: Endpoint,
+    table: str,
+    batch_row_size: int = 1000,
+    truncate: bool = True,
+    max_parallel: int | None = None,
+) -> None:
+    """Batched JDBC append/overwrite mirroring the reference's sink.
+
+    ``max_parallel`` bounds writer concurrency (the reference's dest
+    pool limit of 30, app.go:74-76) via coalesce — fewer, larger
+    partitions rather than connection pooling.
+    """
+    if max_parallel is not None and df.rdd.getNumPartitions() > max_parallel:
+        df = df.coalesce(max_parallel)
+    (
+        df.write.mode("overwrite" if truncate else "append")
+        .option("truncate", str(truncate).lower())
+        .option("batchsize", str(effective_batch_size(batch_row_size, len(df.columns))))
+        .option("isolationLevel", "READ_COMMITTED")
+        .jdbc(endpoint.jdbc_url, table, properties=endpoint.jdbc_properties)
+    )

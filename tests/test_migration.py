@@ -1,0 +1,259 @@
+"""Unit + oracle tests for the migration pipeline (SURVEY.md §5:
+type map, partition predicates tiling the keyspace, exclusion filter,
+compare verdicts incl. missing-table and corruption paths, empty-table
+edge)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mysqldatasynctool_spark.catalog import (
+    apply_exclusion,
+    catalog_dataframe,
+    catalog_scan_sql,
+    primary_key_sql,
+)
+from mysqldatasynctool_spark.config import load_config
+from mysqldatasynctool_spark.ddl import create_table_sql, replicate_ddl, replication_statements
+from mysqldatasynctool_spark.migrate import migrate_directory
+from mysqldatasynctool_spark.operators import compare as cmp_op
+from mysqldatasynctool_spark.operators import migration as mig_op
+from mysqldatasynctool_spark.plans.partitioning import (
+    composite_pk_predicates,
+    page_queries,
+    plan_table,
+    sample_boundaries,
+)
+from mysqldatasynctool_spark.sources.fixtures import load
+from mysqldatasynctool_spark.sources.sinks import effective_batch_size
+from mysqldatasynctool_spark.typemap import mysql_to_catalyst, schema_from_mysql
+from tests.conftest import assert_matches_oracle
+
+SF = "/root/testdata/sf0.01"
+
+
+# --- config ---------------------------------------------------------------
+
+
+def test_config_load(tmp_path):
+    p = tmp_path / "cfg.yml"
+    p.write_text(
+        """
+src:
+  host: h1
+  port: 3306
+  database: d
+  username: u
+  password: pw
+dest:
+  host: h2
+pageSize: 5000
+maxParallel: 8
+batchRowSize: 500
+tables:
+  t1:
+    - select * from t1 where x > 0
+exclude:
+  log1
+  log2
+"""
+    )
+    cfg = load_config(str(p))
+    assert cfg.src.host == "h1" and cfg.dest.host == "h2"
+    assert cfg.page_size == 5000 and cfg.batch_row_size == 500
+    assert cfg.tables == {"t1": "select * from t1 where x > 0"}
+    # the reference's unindented exclude block parses as one string
+    assert cfg.exclude == ("log1", "log2")
+    assert "jdbc:mysql://h1:3306/d" in cfg.src.jdbc_url
+
+
+# --- typemap --------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "mysql,expected",
+    [
+        ("INT", T.IntegerType()),
+        ("INT(11)", T.IntegerType()),
+        ("BIGINT(20)", T.LongType()),
+        ("BIGINT UNSIGNED", T.DecimalType(20, 0)),
+        ("INT UNSIGNED", T.LongType()),
+        ("DECIMAL(10,2)", T.DecimalType(10, 2)),
+        ("DATETIME(6)", T.TimestampType()),
+        ("TIMESTAMP", T.TimestampType()),
+        ("VARCHAR(255)", T.StringType()),
+        # every binary variant → BinaryType (the reference's exact-match
+        # 'BLOB' bug, root.go:423-427, deliberately fixed)
+        ("BLOB", T.BinaryType()),
+        ("TINYBLOB", T.BinaryType()),
+        ("MEDIUMBLOB", T.BinaryType()),
+        ("LONGBLOB", T.BinaryType()),
+        ("VARBINARY(16)", T.BinaryType()),
+        ("JSON", T.StringType()),
+        ("UNKNOWNTYPE", T.StringType()),
+    ],
+)
+def test_typemap(mysql, expected):
+    assert mysql_to_catalyst(mysql) == expected
+
+
+def test_schema_from_mysql_lowercases_names():
+    s = schema_from_mysql([("ID", "BIGINT"), ("Payload", "BLOB")])
+    assert [f.name for f in s.fields] == ["id", "payload"]
+    assert s.fields[1].dataType == T.BinaryType()
+
+
+# --- catalog --------------------------------------------------------------
+
+
+def test_catalog_scan_sql_matches_reference_shape():
+    sql = catalog_scan_sql(("log1", "log2"))
+    assert "information_schema.tables" in sql
+    assert "table_type = 'BASE TABLE'" in sql  # views excluded
+    assert "not in ('log1','log2')" in sql
+    assert "ORDER BY ORDINAL_POSITION" in primary_key_sql("t")
+
+
+def test_exclusion_filter(spark):
+    cat = catalog_dataframe(spark, ["a", "b", "c"])
+    kept = {r.table_name for r in apply_exclusion(cat, ("b",)).collect()}
+    assert kept == {"a", "c"}
+
+
+# --- partition planning ---------------------------------------------------
+
+
+def test_composite_predicates_tile_keyspace(spark):
+    """Every lineitem row must satisfy exactly ONE generated predicate
+    (the correctness property SURVEY.md §7 flags as riskiest)."""
+    li = load(spark, SF, "lineitem")
+    pk = ["l_orderkey", "l_linenumber"]
+    boundaries = sample_boundaries(li, pk, 10_000)
+    preds = composite_pk_predicates(pk, boundaries)
+    assert len(preds) == len(boundaries) + 1
+    total = li.count()
+    match_counts = li.select(
+        sum(F.expr(p).cast("int") for p in preds).alias("m")
+    )
+    per_row = match_counts.groupBy("m").count().collect()
+    assert {r.m for r in per_row} == {1}, f"rows matched != 1 predicate: {per_row}"
+    covered = sum(li.filter(F.expr(p)).count() for p in preds)
+    assert covered == total
+
+
+def test_plan_table_modes():
+    # no PK → single full scan (root.go:341-345)
+    assert plan_table("t", [], 1000, 8).mode == "single"
+    # numeric PK → range partitioning, page count honors pageSize
+    p = plan_table("t", ["id"], 1000, 8, row_count=3500, pk_min=1, pk_max=9999)
+    assert p.mode == "range" and p.num_partitions == 4
+    assert p.jdbc_read_options()["upperBound"] == 10000
+    # maxParallel caps partitions (the semaphore analogue)
+    p2 = plan_table("t", ["id"], 10, 8, row_count=10_000, pk_min=0, pk_max=99)
+    assert p2.num_partitions == 8
+    # empty table still yields one partition (root.go:367 empty page)
+    p3 = plan_table("t", ["a", "b"], 1000, 8, boundaries=[])
+    assert p3.mode == "predicates" and p3.predicates == ("1 = 1",)
+
+
+def test_page_queries_reference_parity():
+    qs = page_queries("t1", ["id"], total_rows=2500, page_size=1000)
+    # 3 real pages + the deliberate trailing empty page (root.go:366-371)
+    assert len(qs) == 4
+    assert "LIMIT 0,1000" in qs[0] and "LIMIT 3000,1000" in qs[3]
+    assert "LEFT JOIN `t1` t ON temp.id = t.id" in qs[0]
+    # no-PK fallback (root.go:341-345)
+    assert page_queries("t2", [], 10, 5) == ["select * from `t2`"]
+    # composite key AND-chain (root.go:347-357)
+    q = page_queries("t3", ["a", "b"], 10, 5)[0]
+    assert "temp.a = t.a and temp.b = t.b" in q
+
+
+def test_effective_batch_size_cap():
+    assert effective_batch_size(1000, 10) == 1000
+    # wide table: 65535/200 - 10 = 317 (root.go:405-406)
+    assert effective_batch_size(1000, 200) == 317
+    assert effective_batch_size(5, 200) == 5
+
+
+# --- DDL ------------------------------------------------------------------
+
+
+def test_create_table_sql():
+    s = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("vec", T.ArrayType(T.FloatType())),
+        ]
+    )
+    sql = create_table_sql("t", s, primary_key=["id"])
+    assert "`id` BIGINT NOT NULL" in sql
+    assert "`v` DOUBLE" in sql and "`blob` LONGBLOB" in sql
+    assert "`vec` JSON" in sql and "PRIMARY KEY (`id`)" in sql
+    stmts = replication_statements("t", sql)
+    assert stmts[0].startswith("SET FOREIGN_KEY_CHECKS")
+    assert stmts[1].startswith("drop table if exists")
+
+
+def test_replicate_ddl_without_connection_raises():
+    s = T.StructType([T.StructField("id", T.LongType())])
+    with pytest.raises(NotImplementedError):
+        replicate_ddl("t", None, schema=s)
+
+
+# --- pipeline + compare ---------------------------------------------------
+
+
+def test_migrate_directory_roundtrip(spark, tmp_path):
+    dest = str(tmp_path / "dest")
+    reports, verdict = migrate_directory(
+        spark,
+        "/root/testdata/sf0.001",
+        dest,
+        tables=["region", "nation", "orders", "lineitem", "events"],
+    )
+    assert all(r.ok for r in reports)
+    rows = {r.table_name: r for r in verdict.collect()}
+    assert set(rows) == {"region", "nation", "orders", "lineitem", "events"}
+    assert all(r.is_ok == "YES" for r in rows.values())
+    assert all(r.src_cnt == r.dest_cnt for r in rows.values())
+
+
+def test_compare_detects_corruption_and_missing(spark, tmp_path):
+    from mysqldatasynctool_spark.operators.compare import compare_tables
+
+    nation = load(spark, SF, "nation")
+    corrupted = nation.withColumn(
+        "n_name", F.when(F.col("n_nationkey") == 3, F.lit("XX")).otherwise(F.col("n_name"))
+    )
+    verdict = compare_tables(
+        spark,
+        {"nation": nation, "region": load(spark, SF, "region")},
+        {"nation": corrupted},  # region missing on dest
+    ).collect()
+    by_name = {r.table_name: r for r in verdict}
+    # same count but different content → count compare (the reference's
+    # only check, compare.go:112-126) would say OK; checksum catches it
+    assert by_name["nation"].src_cnt == by_name["nation"].dest_cnt
+    assert by_name["nation"].is_ok == "NO"
+    assert by_name["region"].dest_is_exist == "NO"
+    assert by_name["region"].is_ok == "NO"
+
+
+def test_migration_queries_match_oracle(spark, duck):
+    for name in sorted(mig_op.ORACLES):
+        df = mig_op.QUERIES[name](spark, SF)
+        assert df.count() > 0
+        assert_matches_oracle(df, mig_op.ORACLES[name], duck)
+
+
+def test_compare_checksums_match_oracle(spark, duck):
+    df = cmp_op.QUERIES["migration_compare_checksums"](spark, SF)
+    assert df.count() == 5
+    assert_matches_oracle(df, cmp_op.ORACLES["migration_compare_checksums"], duck)
