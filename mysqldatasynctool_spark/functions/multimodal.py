@@ -1,0 +1,91 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design (north star): media travels as an opaque ``binary`` column with
+typed metadata columns beside it; decode / feature-extraction /
+resize / frame-sampling run as Arrow-batched Pandas functions over
+``mapInPandas`` — per-batch Python cost is amortized over thousands of
+rows, and partitioning/shuffle semantics are identical to any other
+column. At 100 TB the binary payloads dominate storage: keep them in
+their own parquet column-chunks (they compress independently), prune
+them out of any query that only needs metadata (column pruning does
+this for free), and repartition by size before decode so one task
+doesn't get all the large blobs.
+
+The container has no image/audio codecs, so the real decoder is
+stubbed (``decode_image_real`` raises); ``fake_decode_meta`` is the
+deterministic stand-in that keeps every piece of Spark-side plumbing
+(schema, batching, UDF signature) real and testable — swap the one
+function when codecs exist.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+#: output schema of the decode step — what a real image decoder would
+#: emit alongside the source id.
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, channels int, format string"
+)
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real decode — requires PIL/opencv, not present in this
+    container. Swap point for production."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "use fake_decode_meta (deterministic stand-in) instead"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> dict:
+    """Deterministic fake decoder: derives plausible image metadata
+    purely from the payload bytes, so tests (and the SQL oracle) can
+    verify the distributed plumbing end-to-end."""
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "width": 64 + (n % 512),
+        "height": 64 + ((n * 7) % 512),
+        "channels": 1 + (n % 3),
+        "format": "png" if n % 2 == 0 else "jpeg",
+    }
+
+
+def make_decode_batches(payload_col: str = "payload"):
+    """Factory for the mapInPandas body: Arrow batch in → decoded-
+    metadata batch out.
+
+    Returned as a self-contained CLOSURE on purpose: cloudpickle
+    serializes nested functions by value, so executor Python workers
+    do not need this package on their import path (a module-level
+    function would be pickled by reference and fail with
+    ModuleNotFoundError when the engine is driven from outside the
+    repo, e.g. by the driver harness). Every Python-worker entry point
+    in this engine must follow this pattern.
+    """
+
+    def _fake_meta(payload: bytes) -> dict:
+        # keep in sync with fake_decode_meta above (inlined so the
+        # closure captures no module globals)
+        n = len(payload)
+        return {
+            "n_bytes": n,
+            "width": 64 + (n % 512),
+            "height": 64 + ((n * 7) % 512),
+            "channels": 1 + (n % 3),
+            "format": "png" if n % 2 == 0 else "jpeg",
+        }
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            metas = [_fake_meta(p) for p in pdf[payload_col]]
+            out = _pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[["doc_id", "n_bytes", "width", "height", "channels", "format"]]
+
+    return _batches

@@ -1,0 +1,64 @@
+"""Column-expression helpers for the text/dedup operator family.
+
+Everything here is built from JVM-side built-ins (split / transform /
+md5 / aggregate) — no Python UDFs in any hot path, so the whole
+pipeline stays inside WholeStageCodegen and scales with executor
+count. Hashes are md5-based, which makes every derived signature
+engine-portable (DuckDB/MySQL compute identical values) — that is what
+lets the MinHash/SimHash pipelines be checked by the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: number of minhash permutations (seeds) and rows per LSH band
+MINHASH_SEEDS = 8
+BAND_ROWS = 2
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Dedup normalization: lowercase + collapse whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def shingles_col(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; empty array for short docs."""
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_cols(shingle: Column, seeds: int = MINHASH_SEEDS) -> list[Column]:
+    """Per-seed hash of one (exploded) shingle. The minhash signature
+    is min() of each over a document's shingles.
+
+    md5 hex strings have fixed length, so their lexicographic MIN is
+    the numeric min of the 128-bit values — no integer conversion
+    needed, and identical in any engine with md5().
+    """
+    return [
+        F.md5(F.concat(F.lit(f"{s}:"), shingle)).alias(f"m{s}") for s in range(seeds)
+    ]
+
+
+def band_cols(seeds: int = MINHASH_SEEDS, rows: int = BAND_ROWS) -> list[Column]:
+    """LSH banding: concatenate each group of `rows` signature values
+    into a band key. Two docs collide on a band iff that slice of
+    their signatures matches exactly."""
+    return [
+        F.concat_ws("_", *[F.col(f"m{b * rows + r}") for r in range(rows)]).alias(
+            f"band{b}"
+        )
+        for b in range(seeds // rows)
+    ]

@@ -1,4 +1,111 @@
-"""Placeholder — filled in as operators land."""
+"""Multimodal-column operators (north star — SURVEY.md §2B).
 
-QUERIES = {}
-ORACLES = {}
+The fixtures carry no real media, so binary payloads are synthesized
+from ``documents.text`` (utf-8 encode) — every Spark-side mechanism
+(binary columns, octet arithmetic, Arrow-batched mapInPandas decode)
+is real; only the codec is the deterministic fake
+(functions/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.multimodal import DECODE_SCHEMA, make_decode_batches
+from ..sources.fixtures import load
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.encode("text", "utf-8").alias("payload")
+    )
+
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: byte length, head-bytes hex,
+    content digest — pure built-ins over BinaryType (the typed
+    replacement for the reference's raw-bytes BLOB branch,
+    /root/reference/cmd/root.go:423-427)."""
+    return (
+        _with_payload(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.octet_length("payload").alias("n_bytes"),
+            F.hex(F.substring("payload", 1, 8)).alias("head_hex"),
+            F.md5("payload").alias("digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_BINARY_META_ORACLE = """
+-- fixture text is pure ASCII (verified: octet_length == length), so
+-- VARCHAR substring == byte substring and md5(text) == md5(utf8 bytes)
+SELECT doc_id, lang,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       hex(CAST(substring(text, 1, 8) AS BLOB)) AS head_hex,
+       md5(text) AS digest
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode step: Arrow-batched mapInPandas over the binary
+    payload producing typed metadata (width/height/channels/format).
+    Deterministic fake codec → the SQL oracle can replicate it, which
+    verifies schema, batching, and row alignment end-to-end."""
+    payloads = _with_payload(spark, sf_dir).select("doc_id", "payload")
+    decoded = payloads.mapInPandas(make_decode_batches(), schema=DECODE_SCHEMA)
+    return decoded.orderBy("doc_id")
+
+
+MULTIMODAL_DECODE_ORACLE = """
+WITH p AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents)
+SELECT doc_id,
+       CAST(n AS INT) AS n_bytes,
+       CAST(64 + (n % 512) AS INT) AS width,
+       CAST(64 + ((n * 7) % 512) AS INT) AS height,
+       CAST(1 + (n % 3) AS INT) AS channels,
+       CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+FROM p
+ORDER BY doc_id
+"""
+
+
+def multimodal_size_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-histogram / skew-audit for a binary column: the check run
+    before decode at scale (decide repartitioning by payload size so
+    large blobs spread evenly)."""
+    return (
+        _with_payload(spark, sf_dir)
+        .select(F.floor(F.octet_length("payload") / 100).alias("size_bucket_100b"))
+        .groupBy("size_bucket_100b")
+        .agg(F.count("*").alias("n_payloads"))
+        .orderBy("size_bucket_100b")
+    )
+
+
+MULTIMODAL_SIZE_ORACLE = """
+SELECT CAST(floor(octet_length(CAST(text AS BLOB)) / 100) AS BIGINT) AS size_bucket_100b,
+       COUNT(*) AS n_payloads
+FROM documents
+GROUP BY 1
+ORDER BY size_bucket_100b
+"""
+
+
+QUERIES = {
+    "multimodal_binary_meta": multimodal_binary_meta,
+    "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_size_partitioned": multimodal_size_partitioned,
+}
+
+ORACLES = {
+    "multimodal_binary_meta": MULTIMODAL_BINARY_META_ORACLE,
+    "multimodal_decode_features": MULTIMODAL_DECODE_ORACLE,
+    "multimodal_size_partitioned": MULTIMODAL_SIZE_ORACLE,
+}

@@ -1,4 +1,248 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis operators over ``documents`` (north star —
+SURVEY.md §2B "Text analysis"; ABSENT in the reference).
 
-QUERIES = {}
-ORACLES = {}
+All pure built-in expressions (split/regexp/md5) — JVM-side,
+WholeStageCodegen, no UDFs. At 100 TB these run at scan bandwidth:
+per-document work is embarrassingly parallel, the only shuffles are
+the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text_col, tokens_col
+from ..sources.fixtures import load
+
+# language → marker stopwords for the n-gram/stopword language-ID
+# heuristic. (The fixture corpus is synthetic shared-vocabulary text,
+# so predictions won't match the synthetic `lang` labels — the oracle
+# checks the computation, not labeling accuracy.)
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token / char / punctuation counts per document, plus corpus
+    aggregates per language."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]")).alias("n_punct"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]")).alias("n_digits"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars_computed").alias("total_chars"),
+            F.sum("n_punct").alias("total_punct"),
+            (F.sum("n_tokens") / F.count("*")).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_TOKEN_STATS_ORACLE = r"""
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         length(text) AS n_chars_computed,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digits
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       SUM(n_chars_computed) AS total_chars,
+       SUM(n_punct) AS total_punct,
+       SUM(n_tokens) * 1.0 / COUNT(*) AS avg_tokens
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length band + stopword ratio + mean
+    token length, the standard cheap pre-filter in LLM data pipelines.
+    Integer-ratio arithmetic → deterministic doubles cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|and|is)\b"))
+    mean_tok_len = (F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")) / n_tokens)
+    score = (
+        F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((n_stop / n_tokens) > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(score, 2).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS n_stopwords,
+         length(regexp_replace(trim(text), '\s+', '', 'g')) AS alpha_chars
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, n_stopwords,
+       ROUND(alpha_chars * 1.0 / n_tokens, 6) AS mean_token_len,
+       ROUND(
+         (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         + (CASE WHEN n_stopwords * 1.0 / n_tokens > 0.05 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         + (CASE WHEN alpha_chars * 1.0 / n_tokens BETWEEN 3 AND 10 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END),
+       2) AS quality_score
+FROM d ORDER BY doc_id
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: per-language marker hit counts,
+    argmax with deterministic tie-break (highest count, then language
+    code order; 'und' = undetermined when nothing matches)."""
+    docs = load(spark, sf_dir, "documents")
+    scores = {
+        lang: F.regexp_count(
+            F.lower(F.col("text")),
+            F.lit(r"\b(" + "|".join(markers) + r")\b"),
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = None
+    for lang in sorted(scores):  # deterministic precedence
+        cond = (scores[lang] > 0) & F.lit(True)
+        for other in sorted(scores):
+            if other == lang:
+                continue
+            op = scores[other] <= scores[lang] if other > lang else scores[other] < scores[lang]
+            cond = cond & op
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    pred = best.otherwise(F.lit("und"))
+    out = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        pred.alias("pred_lang"),
+    )
+    return out.orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    score_sql = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(m)})\\b'))"
+        for lang, m in _LANG_MARKERS.items()
+    }
+    langs = sorted(score_sql)
+    cases = []
+    for lang in langs:
+        conds = [f"score_{lang} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = "<=" if other > lang else "<"
+            conds.append(f"score_{other} {op} score_{lang}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    score_cols = ",\n         ".join(f"{sql} AS score_{lang}" for lang, sql in sorted(score_sql.items()))
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {score_cols}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, {', '.join('score_' + l for l in langs)},
+       {case_sql} AS pred_lang
+FROM scored ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (the exact-
+    dup key) + a 4-token prefix locality fingerprint."""
+    docs = load(spark, sf_dir, "documents")
+    norm = normalized_text_col(F.col("text"))
+    toks = tokens_col(norm)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.md5(F.concat_ws(" ", *[F.element_at(toks, i + 1) for i in range(4)])).alias(
+            "prefix_fingerprint"
+        ),
+        F.length(norm).alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n
+)
+SELECT doc_id,
+       md5(norm) AS fingerprint,
+       md5(concat_ws(' ', toks[1], toks[2], toks[3], toks[4])) AS prefix_fingerprint,
+       length(norm) AS norm_len
+FROM t ORDER BY doc_id
+"""
+
+
+def text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-20 (explode → count → top-k with
+    deterministic tie-break). The 100 TB shape: partial counts
+    map-side, one shuffle keyed by token, TakeOrdered for the top-k."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
+
+
+TEXT_TOKEN_FREQUENCY_ORACLE = r"""
+SELECT token, COUNT(*) AS freq
+FROM (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
+) t
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_language_id": text_language_id,
+    "text_fingerprint": text_fingerprint,
+    "text_token_frequency": text_token_frequency,
+}
+
+ORACLES = {
+    "text_token_stats": TEXT_TOKEN_STATS_ORACLE,
+    "text_quality_score": TEXT_QUALITY_ORACLE,
+    "text_language_id": _langid_oracle(),
+    "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
+    "text_token_frequency": TEXT_TOKEN_FREQUENCY_ORACLE,
+}

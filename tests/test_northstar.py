@@ -1,0 +1,53 @@
+"""Oracle-gate tests for the north-star operator families
+(text analysis, dedup, similarity, multimodal)."""
+
+from __future__ import annotations
+
+import pytest
+
+import pytest as _pytest
+
+from mysqldatasynctool_spark.functions.multimodal import decode_image_real
+from mysqldatasynctool_spark.operators import dedup, multimodal, similarity, textops
+from tests.conftest import assert_matches_oracle
+
+MODS = (textops, dedup, similarity, multimodal)
+CASES = [(mod, name) for mod in MODS for name in sorted(mod.ORACLES)]
+
+
+@pytest.mark.parametrize("mod,name", CASES, ids=[n for _, n in CASES])
+def test_matches_oracle(spark, duck, mod, name):
+    df = mod.QUERIES[name](spark, "/root/testdata/sf0.01")
+    assert df.count() > 0, f"{name} degenerate: 0 rows"
+    assert_matches_oracle(df, mod.ORACLES[name], duck)
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    """The corpus has planted near-duplicate pairs (3-gram Jaccard up
+    to ~0.99); LSH must surface a healthy share of them."""
+    lsh = dedup.QUERIES["dedup_minhash_lsh"](spark, "/root/testdata/sf0.01")
+    truth = dedup.QUERIES["dedup_ngram_jaccard"](spark, "/root/testdata/sf0.01")
+    lsh_pairs = {(r.ida, r.idb) for r in lsh.collect()}
+    truth_pairs = {(r.ida, r.idb) for r in truth.collect()}
+    assert truth_pairs, "expected planted near-dup pairs in fixtures"
+    assert lsh_pairs <= truth_pairs, "LSH verification must not invent pairs"
+    recall = len(lsh_pairs) / len(truth_pairs)
+    assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+
+
+def test_real_decoder_is_stubbed():
+    with _pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
+
+
+def test_lsh_bucket_recall_vs_bruteforce(spark):
+    """Single-probe sign-bit LSH trades recall for cost; sanity-check
+    it still returns a reasonable share of the true top-k pairs."""
+    exact = similarity.QUERIES["similarity_topk_bruteforce"](spark, "/root/testdata/sf0.01")
+    ann = similarity.QUERIES["similarity_lsh_bucketed"](spark, "/root/testdata/sf0.01")
+    exact_pairs = {(r.qid, r.neighbor_id) for r in exact.collect()}
+    ann_pairs = {(r.qid, r.neighbor_id) for r in ann.collect()}
+    assert ann_pairs, "ANN returned nothing — buckets degenerate"
+    # single-probe 8-bit LSH on near-random vectors: modest recall is
+    # expected; it must at least find *some* true neighbors
+    assert len(ann_pairs & exact_pairs) >= 1
