@@ -1,0 +1,196 @@
+"""Structured Streaming layer (SURVEY.md §2B "Streaming" — ABSENT in
+the batch-only reference; §7 step 5).
+
+Each streaming query here has a batch twin in ``operators/events.py``
+with a DuckDB oracle; the streaming versions add watermarks and run
+under availableNow/processAllAvailable in tests (file source → memory
+sink), which is also how the parity tests bound them.
+
+Scale/state notes (the part that matters at production volume):
+- every stateful op below carries a watermark on ``ts`` — without it
+  window/dedup state grows forever;
+- state lives in the state store keyed by (window/key); tumbling
+  windows hold one row per (window,key), sliding multiplies by
+  size/slide overlapping panes, session windows merge on the fly;
+- ``foreachBatch`` is the exactly-once-ish sink adapter: each micro-
+  batch arrives as a normal DataFrame, so the engine's JDBC/parquet
+  sinks (sources/sinks.py) are reused verbatim — the streaming
+  equivalent of the reference's batched-INSERT loop
+  (/root/reference/cmd/root.go:435-469).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: explicit source schema — streaming reads never infer schemas.
+#: ts arrives as nanos-since-epoch long (the fixture parquet is
+#: TIMESTAMP(NANOS), unreadable as timestamp by Spark — see
+#: sources/fixtures.py) and is converted with exact integer division.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events fixture (stand-in for a
+    Kafka topic; the transformations are source-agnostic).
+
+    The file source wants a *directory* it can watch for new files;
+    the fixture is a single parquet file, so it is staged into a temp
+    directory via symlink (new files dropped there later would be
+    picked up as fresh micro-batches — the real ingestion pattern).
+    """
+    import os
+    import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        staged = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(src, os.path.join(staged, "events-000.parquet"))
+        src = staged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(src)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-day window per event_type with late-data watermark —
+    streaming twin of operators/events.events_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding 1h/30m window — twin of events_sliding_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def streaming_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (30-minute gap) per user — the
+    streaming counterpart of the batch lag/cumsum sessionization
+    (events_sessionization), with state merged incrementally."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type) bounded by the
+    watermark — state is dropped once the watermark passes, so memory
+    is O(keys within horizon), not O(stream)."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def streaming_stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + last-seen timestamp (the shape of any
+    bespoke accumulating state the built-ins can't express).
+
+    The update function is a locally-defined closure (pickled by
+    value — executors don't need this package importable; same rule
+    as functions/multimodal.make_decode_batches).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, last_epoch long"
+    state_schema = "n long, last_epoch long"
+
+    def _update(key, pdf_iter, state):
+        import pandas as _pd
+
+        n, last = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                batch_max = int(_pd.to_datetime(pdf["ts"]).astype("int64").max() // 1_000_000_000)
+                last = max(last, batch_max)
+        state.update((n, last))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "last_epoch": [last]}
+        )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming frame to completion over the available input
+    (test harness path): memory sink + processAllAvailable."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def foreach_batch_parquet_sink(df: DataFrame, path: str) -> None:
+    """foreachBatch sink: every micro-batch reuses the engine's batch
+    parquet sink (swap write_parquet for sinks.write_jdbc to stream
+    into MySQL exactly like the reference's insert loop)."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = df.writeStream.foreachBatch(_write).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,101 @@
+"""Streaming-layer tests: each streaming query runs over the bounded
+events fixture (file source → memory sink, processAllAvailable) and is
+compared against its batch twin — the parity SURVEY.md §7 step 5
+requires so streaming semantics stay oracle-anchored."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysqldatasynctool_spark.operators import events as ev_ops
+from mysqldatasynctool_spark.streaming import (
+    foreach_batch_parquet_sink,
+    read_events_stream,
+    run_to_memory_sink,
+    streaming_dedup_within_watermark,
+    streaming_session_windows,
+    streaming_sliding_counts,
+    streaming_stateful_user_counts,
+    streaming_tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_matches_batch_twin(spark):
+    stream = read_events_stream(spark, SF)
+    out = run_to_memory_sink(
+        streaming_tumbling_counts(stream), "t_tumbling", output_mode="complete"
+    )
+    batch = ev_ops.events_tumbling_window(spark, SF)
+    # batch twin uses decimal-sum for the oracle; compare counts and
+    # window keys here (sum_value compared approximately)
+    s = _rows(out, ["window_start", "event_type", "n"])
+    b = _rows(batch, ["window_start", "event_type", "n"])
+    assert s == b
+    assert abs(
+        out.agg(F.sum("sum_value")).collect()[0][0]
+        - batch.agg(F.sum("sum_value")).collect()[0][0]
+    ) < 1e-6
+
+
+def test_streaming_sliding_matches_batch_twin(spark):
+    stream = read_events_stream(spark, SF)
+    out = run_to_memory_sink(
+        streaming_sliding_counts(stream), "t_sliding", output_mode="complete"
+    )
+    batch = ev_ops.events_sliding_window(spark, SF)
+    assert _rows(out, ["window_start", "n"]) == _rows(batch, ["window_start", "n"])
+
+
+def test_streaming_session_windows(spark):
+    stream = read_events_stream(spark, SF)
+    out = run_to_memory_sink(
+        streaming_session_windows(stream), "t_session", output_mode="complete"
+    )
+    batch = ev_ops.events_sessionization(spark, SF)
+    # session counts must agree: same total events, same number of
+    # sessions per user (native session_window vs batch lag/cumsum)
+    s = _rows(out.groupBy("user_id").agg(F.count("*").alias("ns"), F.sum("n_events").alias("ne")), ["user_id", "ns", "ne"])
+    b = _rows(batch.groupBy("user_id").agg(F.count("*").alias("ns"), F.sum("n_events").alias("ne")), ["user_id", "ns", "ne"])
+    assert s == b
+
+
+def test_streaming_dedup_within_watermark(spark):
+    stream = read_events_stream(spark, SF)
+    out = run_to_memory_sink(streaming_dedup_within_watermark(stream), "t_dedup")
+    # bounded input, everything within horizon → exact dedup semantics
+    n_keys = out.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_keys
+    batch_keys = (
+        ev_ops.load(spark, SF, "events").select("user_id", "event_type").distinct().count()
+    )
+    assert n_keys == batch_keys
+
+
+def test_streaming_stateful_user_counts(spark):
+    stream = read_events_stream(spark, SF)
+    out = run_to_memory_sink(
+        streaming_stateful_user_counts(stream), "t_stateful", output_mode="update"
+    )
+    # final state per user (last update wins) must equal batch counts
+    final = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        ev_ops.load(spark, SF, "events").groupBy("user_id").agg(F.count("*").alias("n_events"))
+    )
+    assert _rows(final, ["user_id", "n_events"]) == _rows(batch, ["user_id", "n_events"])
+
+
+def test_foreach_batch_sink_roundtrip(spark, tmp_path):
+    dest = str(tmp_path / "sink")
+    stream = read_events_stream(spark, SF).select("event_id", "user_id", "event_type")
+    foreach_batch_parquet_sink(stream, dest)
+    written = spark.read.parquet(dest)
+    assert written.count() == ev_ops.load(spark, SF, "events").count()
