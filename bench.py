@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query executes its FULL plan into the noop sink (no driver
+collect, no result materialization cost) — wall time measures the
+distributed pipeline, which is what scales.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysqldatasynctool_spark.operators import collect_registry
+from mysqldatasynctool_spark.session import get_spark
+
+#: headline set: the flagship + one representative per operator family
+#: (the quadratic ground-truth ops are excluded by design — their
+#: scalable twins are in).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_distinct",
+    "window_topk_per_group",
+    "events_sessionization",
+    "events_sliding_window",
+    "migration_compare_checksums",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "text_token_stats",
+    "text_quality_score",
+    "multimodal_decode_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace("sf", "")
+    spark = get_spark(app_name="bench")
+    queries, _ = collect_registry()
+
+    # JVM/codegen warmup outside the timed region
+    queries["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

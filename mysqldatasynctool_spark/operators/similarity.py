@@ -56,20 +56,35 @@ def _cosine(va: Column, vb: Column) -> Column:
     return _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
 
 
+def _with_norm(df: DataFrame, vcol: str = "v", out: str = "vnorm") -> DataFrame:
+    """Precompute each vector's norm BEFORE any pairing join: the
+    higher-order dot runs interpreted (outside codegen), so evaluating
+    norms once per vector instead of once per pair is a 3x cut in the
+    dominant cost. Sequential aggregation keeps the value bit-equal to
+    DuckDB's list_dot_product."""
+    return df.withColumn(out, F.sqrt(_dot(F.col(vcol), F.col(vcol))))
+
+
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: every 50th vector queries the full corpus.
 
     Physical shape: broadcast the (small) query set against the corpus
-    scan, per-corpus-row score, then a per-query top-k window — at
-    scale, TakeOrdered per query key, never a global sort.
+    scan, per-corpus-row score (ONE dot per pair — norms precomputed
+    per side), then a per-query top-k window — at scale, TakeOrdered
+    per query key, never a global sort.
     """
-    emb = _vecs(spark, sf_dir)
+    emb = _with_norm(_vecs(spark, sf_dir))
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
     )
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
-        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm")), 6),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -81,12 +96,15 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMILARITY_TOPK_ORACLE = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, vnorm AS qnorm FROM e WHERE vec_id % 50 = 0),
 scored AS (
   SELECT q.qid, e.vec_id AS neighbor_id,
-         ROUND(list_dot_product(q.qv, e.v)
-               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+         ROUND(list_dot_product(q.qv, e.v) / (q.qnorm * e.vnorm), 6) AS cosine
   FROM q JOIN e ON e.vec_id <> q.qid
 ),
 ranked AS (
@@ -112,14 +130,20 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via sign-bit LSH buckets: per-query top-k restricted to the
     query's bucket (single probe). Recall < 1 by design; the oracle
     replicates the same bucketed semantics, so results match exactly."""
-    emb = _vecs(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("v")))
+    emb = _with_norm(_vecs(spark, sf_dir)).withColumn("bucket", _bucket_expr(F.col("v")))
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+        "bucket",
     )
     scored = (
         emb.join(queries, "bucket")
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm")), 6),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -136,14 +160,15 @@ def _lsh_oracle() -> str:
     )
     return f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
 ),
-b AS (SELECT vec_id, v, {bits} AS bucket FROM e),
-q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id % 50 = 0),
+b AS (SELECT vec_id, v, vnorm, {bits} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, vnorm AS qnorm, bucket FROM b WHERE vec_id % 50 = 0),
 scored AS (
   SELECT q.qid, b.bucket, b.vec_id AS neighbor_id,
-         ROUND(list_dot_product(q.qv, b.v)
-               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+         ROUND(list_dot_product(q.qv, b.v) / (q.qnorm * b.vnorm), 6) AS cosine
   FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.qid
 ),
 ranked AS (
