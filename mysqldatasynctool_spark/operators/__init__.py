@@ -28,6 +28,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Merge QUERIES/ORACLES from every operator module."""
     from . import (
+        advanced,
         compare,
         dedup,
         events,
@@ -44,6 +45,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     oracles: dict[str, str] = {}
     for mod in (
         relational,
+        advanced,
         windows,
         setops,
         events,

@@ -1,0 +1,439 @@
+"""Advanced SQL-surface operators: pivot/unpivot, grouping sets,
+max_by/min_by, as-of join, exact percentiles, manual moments, array/
+string/conditional functions, CTE + subquery SQL (SURVEY.md §2B —
+all ABSENT in the reference, whose only SQL surface is generated
+SELECTs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _dec(col, scale: int = 2, prec: int = 22):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by status × priority, priorities widened to
+    columns (explicit value list — never value-discovery at scale)."""
+    orders = load(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderstatus").pivot("o_orderpriority", PRIORITIES).count()
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(PRIORITIES)}
+    out = pivoted.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in PRIORITIES],
+    )
+    return out.orderBy("o_orderstatus")
+
+
+PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): wide part metrics → (metric, value) rows."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.selectExpr(
+            "p_partkey",
+            "stack(2, 'size', CAST(p_size AS DOUBLE), 'price', p_retailprice) AS (metric, value)",
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+UNPIVOT_ORACLE = """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'price', p_retailprice FROM part
+ORDER BY p_partkey, metric
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API: per-status, per-priority
+    and grand-total aggregates in one pass (NULL marks the rolled-up
+    dimension)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+AGG_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates): the single-pass alternative
+    to a top-1-per-group window. Tie-broken deterministically by
+    folding the unique key into the ordering scalar."""
+    orders = load(spark, sf_dir, "orders")
+    ordkey = F.col("o_totalprice") * 10_000_000 + F.col("o_orderkey")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", ordkey).alias("max_price_orderkey"),
+            F.min_by("o_orderkey", ordkey).alias("min_price_orderkey"),
+            F.max(F.col("o_totalprice")).alias("max_price"),
+            F.min(F.col("o_totalprice")).alias("min_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_MAX_BY_ORACLE = """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice * 10000000 + o_orderkey) AS max_price_orderkey,
+       arg_min(o_orderkey, o_totalprice * 10000000 + o_orderkey) AS min_price_orderkey,
+       MAX(o_totalprice) AS max_price,
+       MIN(o_totalprice) AS min_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def agg_moments_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/stddev from exact decimal power sums — the
+    order-independent formulation (built-in stddev aggregates sum
+    doubles in partition order, which is not reproducible across
+    engines; these are, bit for bit)."""
+    orders = load(spark, sf_dir, "orders")
+    s1 = F.sum(_dec(F.col("o_totalprice"))).cast("double")
+    s2 = F.sum(_dec(F.col("o_totalprice") * F.col("o_totalprice"), 4, 38)).cast("double")
+    n = F.count("*")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            n.alias("n"),
+            F.round(mean, 4).alias("mean_price"),
+            F.round(var, 4).alias("var_price"),
+            F.round(F.sqrt(var), 4).alias("stddev_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_MOMENTS_ORACLE = """
+SELECT o_orderstatus,
+       n,
+       ROUND(s1 / n, 4) AS mean_price,
+       ROUND((s2 - s1 * s1 / n) / (n - 1), 4) AS var_price,
+       ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS stddev_price
+FROM (
+  SELECT o_orderstatus,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS s2
+  FROM orders GROUP BY o_orderstatus
+)
+GROUP BY o_orderstatus, n, s1, s2
+ORDER BY o_orderstatus
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group. The 100 TB
+    twin is percentile_approx (t-digest-style sketch, fixed memory) —
+    sketch outputs are engine-specific, so the exact form carries the
+    oracle."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile_approx(o_totalprice, 0.5)"), 4).alias("p50_approx"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-only twin of agg_percentiles: sketch-free, so it carries
+    the DuckDB oracle (approx sketches legitimately differ by engine
+    and keep agg_percentiles on the rows-only check)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_PERCENTILES_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md §2B "Joins"):
+    for every purchase event, the user's most recent view event at or
+    before it.
+
+    Implementation: union both streams, tag them, and take the running
+    ``last`` view over (user, time) — one shuffle on user_id, linear
+    within partition. The same pattern covers trades-vs-quotes and any
+    point-in-time lookup; DuckDB's native ASOF JOIN is the oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    combined = views.select(
+        "user_id", "ts", F.lit(0).alias("kind"), "view_id", F.lit(None).cast("long").alias("purchase_id")
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts", F.lit(1).alias("kind"), F.lit(None).cast("long").alias("view_id"), "purchase_id"
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("view_id", "purchase_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = combined.withColumn(
+        "asof",
+        F.last(
+            F.when(F.col("kind") == 0, F.struct(F.col("ts").alias("vts"), F.col("view_id").alias("vid"))),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        matched.filter(F.col("kind") == 1)
+        .filter(F.col("asof").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("asof.vid").alias("view_id"),
+            F.col("asof.vts").alias("view_ts"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+JOIN_ASOF_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       v.event_id AS view_id,
+       v.ts AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY purchase_id
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over the embedding vectors: size, slice,
+    indexed access, sort/reverse of (rounded) prefixes."""
+    emb = load(spark, sf_dir, "embeddings")
+    first3 = F.transform(
+        F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("x1"),
+            first3.alias("first3"),
+            F.sort_array(first3).alias("first3_sorted"),
+            F.reverse(first3).alias("first3_rev"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ARRAY_FUNCTIONS_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS x1,
+       list_transform(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 4)) AS first3,
+       list_sort(list_transform(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 4))) AS first3_sorted,
+       list_reverse(list_transform(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 4))) AS first3_rev
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+def string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function batch: regexp_extract, pad, translate,
+    repeat, reverse, split_part, strpos."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+            F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+            F.rpad(F.col("p_type"), 20, ".").alias("type_rpad"),
+            F.translate("p_type", "aeiou", "AEIOU").alias("type_vowels"),
+            F.repeat(F.lit("-"), F.col("p_size") % 5 + 1).alias("dashes"),
+            F.reverse(F.col("p_brand")).alias("brand_rev"),
+            F.element_at(F.split("p_type", " "), 1).alias("type_word1"),
+            F.instr(F.col("p_name"), "a").alias("first_a"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+STRING_FUNCTIONS2_ORACLE = """
+SELECT p_partkey,
+       COALESCE(regexp_extract(p_brand, '(\\d+)', 1), '') AS brand_num,
+       lpad(p_brand, 12, '*') AS brand_lpad,
+       rpad(p_type, 20, '.') AS type_rpad,
+       translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+       repeat('-', p_size % 5 + 1) AS dashes,
+       reverse(p_brand) AS brand_rev,
+       split_part(p_type, ' ', 1) AS type_word1,
+       strpos(p_name, 'a') AS first_a
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling and conditional surface: nullif/coalesce/
+    greatest/least/if, with NULL-generating inputs."""
+    cust = load(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return (
+        cust.select(
+            "c_custkey",
+            seg_or_null.alias("seg_non_building"),
+            F.coalesce(seg_or_null, F.lit("(filtered)")).alias("seg_filled"),
+            F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+            F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1000"),
+            F.expr("IF(c_acctbal < 0, 'debt', 'credit')").alias("bal_class"),
+            F.isnull(seg_or_null).alias("is_building"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+NULL_CONDITIONAL_ORACLE = """
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_non_building,
+       COALESCE(nullif(c_mktsegment, 'BUILDING'), '(filtered)') AS seg_filled,
+       greatest(c_acctbal, 0.0) AS bal_floor0,
+       least(c_acctbal, 1000.0) AS bal_cap1000,
+       CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS bal_class,
+       nullif(c_mktsegment, 'BUILDING') IS NULL AS is_building
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+def sql_cte_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface: CTE + scalar subquery + EXISTS in one
+    statement — customers spending above the overall average, with
+    their order counts (Catalyst rewrites EXISTS to a semi join and
+    the scalar subquery to a broadcast)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total_spend,
+                 COUNT(*) AS n_orders
+          FROM orders_sq GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, total_spend, n_orders
+        FROM customer_sq JOIN spend ON c_custkey = o_custkey
+        WHERE total_spend > (SELECT AVG(total_spend) FROM spend)
+          AND EXISTS (SELECT 1 FROM orders_sq
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+        """
+    )
+
+
+SQL_CTE_SUBQUERIES_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total_spend,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, total_spend, n_orders
+FROM customer JOIN spend ON c_custkey = o_custkey
+WHERE total_spend > (SELECT AVG(total_spend) FROM spend)
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+QUERIES = {
+    "pivot_status_priority": pivot_status_priority,
+    "unpivot_part_metrics": unpivot_part_metrics,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_max_by": agg_max_by,
+    "agg_moments_manual": agg_moments_manual,
+    "agg_percentiles_exact": agg_percentiles_exact,
+    "agg_percentiles": agg_percentiles,
+    "join_asof": join_asof,
+    "array_functions": array_functions,
+    "string_functions2": string_functions2,
+    "null_conditional": null_conditional,
+    "sql_cte_subqueries": sql_cte_subqueries,
+}
+
+ORACLES = {
+    "pivot_status_priority": PIVOT_ORACLE,
+    "unpivot_part_metrics": UNPIVOT_ORACLE,
+    "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
+    "agg_max_by": AGG_MAX_BY_ORACLE,
+    "agg_moments_manual": AGG_MOMENTS_ORACLE,
+    "agg_percentiles_exact": AGG_PERCENTILES_ORACLE,
+    # agg_percentiles includes percentile_approx → rows-only check
+    "join_asof": JOIN_ASOF_ORACLE,
+    "array_functions": ARRAY_FUNCTIONS_ORACLE,
+    "string_functions2": STRING_FUNCTIONS2_ORACLE,
+    "null_conditional": NULL_CONDITIONAL_ORACLE,
+    "sql_cte_subqueries": SQL_CTE_SUBQUERIES_ORACLE,
+}

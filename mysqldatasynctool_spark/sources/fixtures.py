@@ -37,6 +37,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division would lose precision at 1e18 ns). This matches DuckDB's
     behavior of truncating nanos to micros.
     """
+    # timestamp→epoch casts and F.window arithmetic assume UTC; the
+    # harness may hand us a session with a different default, so pin
+    # it here (runtime-settable, affects only this session)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
