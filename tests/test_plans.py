@@ -1,0 +1,69 @@
+"""Physical-plan audits: the scale properties ARCHITECTURE.md claims,
+asserted against .explain output so they cannot silently regress.
+
+At sf0.01 everything is fast regardless; these tests pin the *plan
+shape* that matters at 100 TB: pushdown reaching the scan, broadcast
+joins for dims, partial aggregation, codegen in hot paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysqldatasynctool_spark.operators import dedup, relational, textops
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = _plan(spark, relational.project_filter(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, relational.project_filter(spark, SF))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # 2-column projection + filter/computed columns; the 16-col table
+    # must NOT be read wholesale
+    assert "l_orderkey" in read_schema and "l_shipdate" not in read_schema
+    assert read_schema.count(":") <= 8
+
+
+def test_q5_all_dim_joins_broadcast(spark):
+    plan = _plan(spark, relational.q5_local_supplier_volume(spark, SF), "simple")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(spark, relational.q1_pricing_summary(spark, SF), "simple")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, relational.sort_limit_topk(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_no_python_udfs_in_text_pipeline(spark):
+    for name in ("text_token_stats", "text_quality_score", "text_fingerprint"):
+        plan = _plan(spark, textops.QUERIES[name](spark, SF), "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_minhash_band_join_shuffles_slim_rows(spark):
+    plan = _plan(spark, dedup.QUERIES["dedup_minhash_lsh"](spark, SF), "formatted")
+    # the band self-join must not carry shingle arrays through its
+    # exchanges: no array column in any Exchange hashpartitioning on
+    # the band key
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "band_idx" in line:
+            assert "sh#" not in line, f"band shuffle carries arrays: {line[:200]}"
