@@ -23,16 +23,22 @@ except ImportError:  # pragma: no cover - PyYAML is in the base image
 
 @dataclass(frozen=True)
 class Endpoint:
-    """One MySQL(-compatible) side (src or dest)."""
+    """One JDBC side (src or dest). Defaults build a MySQL URL (the
+    reference's only dialect); ``url_override``/``driver`` point the
+    same machinery at any JDBC database (tests use embedded Derby)."""
 
     host: str = "localhost"
     port: int = 3306
     database: str = ""
     username: str = ""
     password: str = ""
+    url_override: str | None = None
+    driver: str = "com.mysql.cj.jdbc.Driver"
 
     @property
     def jdbc_url(self) -> str:
+        if self.url_override:
+            return self.url_override
         # The reference forces charset=utf8 & unlimited packet
         # (/root/reference/cmd/app.go:41, 64); JDBC equivalents below.
         return (
@@ -42,11 +48,12 @@ class Endpoint:
 
     @property
     def jdbc_properties(self) -> dict[str, str]:
-        return {
-            "user": self.username,
-            "password": self.password,
-            "driver": "com.mysql.cj.jdbc.Driver",
-        }
+        props = {"driver": self.driver}
+        if self.username:
+            props["user"] = self.username
+        if self.password:
+            props["password"] = self.password
+        return props
 
 
 @dataclass(frozen=True)

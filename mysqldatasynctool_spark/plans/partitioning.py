@@ -88,7 +88,7 @@ def _sql_lit(v) -> str:
 
 
 def composite_pk_predicates(
-    pk_cols: list[str], boundaries: list[tuple]
+    pk_cols: list[str], boundaries: list[tuple], quote: str = ""
 ) -> list[str]:
     """Tile the keyspace into len(boundaries)+1 predicates from sorted
     PK boundary tuples. Every row satisfies exactly ONE predicate
@@ -96,13 +96,18 @@ def composite_pk_predicates(
 
     boundaries = [] → single always-true predicate (empty/small/no-
     stats table: one partition, the root.go:367 empty-page analogue).
+
+    ``quote`` wraps identifiers for the target dialect: '`' for MySQL,
+    '"' for ANSI databases whose writer quoted the column names (e.g.
+    Derby/Postgres — unquoted identifiers would upcase and miss).
     """
+    cols = [f"{quote}{c}{quote}" for c in pk_cols]
     if not boundaries:
         return ["1 = 1"]
-    preds = [_lex_le(pk_cols, boundaries[0])]
+    preds = [_lex_le(cols, boundaries[0])]
     for lo, hi in zip(boundaries, boundaries[1:]):
-        preds.append(f"({_lex_gt(pk_cols, lo)} AND {_lex_le(pk_cols, hi)})")
-    preds.append(_lex_gt(pk_cols, boundaries[-1]))
+        preds.append(f"({_lex_gt(cols, lo)} AND {_lex_le(cols, hi)})")
+    preds.append(_lex_gt(cols, boundaries[-1]))
     return preds
 
 
@@ -131,6 +136,7 @@ def plan_table(
     pk_min: int | None = None,
     pk_max: int | None = None,
     boundaries: list[tuple] | None = None,
+    quote: str = "",
 ) -> PartitionPlan:
     """Choose a partitioning strategy for one table.
 
@@ -154,7 +160,7 @@ def plan_table(
             upper_bound=pk_max + 1,
             num_partitions=min(max(1, n_pages), max_parallel),
         )
-    preds = composite_pk_predicates(pk_cols, boundaries or [])
+    preds = composite_pk_predicates(pk_cols, boundaries or [], quote=quote)
     return PartitionPlan(table=table, mode="predicates", predicates=tuple(preds))
 
 
