@@ -171,6 +171,47 @@ ORDER BY user_id, session_id
 """
 
 
+def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: props parsed as map<string,long> (schema-free
+    key set, unlike the struct parse in events_json_extract), then
+    map_keys / size / element access / map→rows explode."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    parsed = ev.select("event_id", m.alias("m"))
+    return (
+        parsed.select(
+            "event_id",
+            F.sort_array(F.map_keys("m")).alias("keys"),
+            F.size("m").alias("n_entries"),
+            F.element_at("m", "k").alias("k_value"),
+        )
+        .join(
+            parsed.select("event_id", F.explode("m").alias("mk", "mv")).groupBy(
+                "event_id"
+            ).agg(F.sum("mv").alias("sum_values")),
+            "event_id",
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_MAP_FUNCTIONS_ORACLE = """
+WITH parsed AS (
+  SELECT event_id,
+         json_keys(props) AS ks,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+  FROM events
+)
+SELECT event_id,
+       list_sort(ks) AS keys,
+       len(ks) AS n_entries,
+       k_value,
+       k_value AS sum_values
+FROM parsed
+ORDER BY event_id
+"""
+
+
 def events_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time scalar function coverage over the event timeline."""
     ev = load(spark, sf_dir, "events")
@@ -211,10 +252,12 @@ QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "events_sliding_window": events_sliding_window,
     "events_sessionization": events_sessionization,
+    "events_map_functions": events_map_functions,
     "events_date_functions": events_date_functions,
 }
 
 ORACLES = {
+    "events_map_functions": EVENTS_MAP_FUNCTIONS_ORACLE,
     "events_json_extract": EVENTS_JSON_EXTRACT_ORACLE,
     "events_tumbling_window": EVENTS_TUMBLING_ORACLE,
     "events_sliding_window": EVENTS_SLIDING_ORACLE,
