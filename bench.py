@@ -38,8 +38,10 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
+    "similarity_ivf_pandas",
     "text_token_stats",
     "text_quality_score",
+    "text_token_count_bpe",
     "multimodal_decode_features",
 ]
 
@@ -60,6 +62,24 @@ def main() -> None:
         t0 = time.monotonic()
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.monotonic() - t0, 3)
+
+    # the reference's core job: full-DB copy + checksum verification
+    # (BASELINE.md "TableData" + "compareDb" phases in one number)
+    import shutil
+    import tempfile
+
+    from mysqldatasynctool_spark.migrate import migrate_directory
+
+    dest = tempfile.mkdtemp(prefix="bench_migrate_")
+    t0 = time.monotonic()
+    reports, verdict = migrate_directory(spark, sf_dir, dest)
+    n_bad = sum(1 for r in verdict.collect() if r.is_ok != "YES") + sum(
+        1 for r in reports if not r.ok
+    )
+    timings["migrate_full_db_with_verify"] = round(time.monotonic() - t0, 3)
+    shutil.rmtree(dest, ignore_errors=True)
+    if n_bad:
+        timings["migrate_failed_objects"] = n_bad
 
     out = {
         "metric": "headline_queries_total_wall",

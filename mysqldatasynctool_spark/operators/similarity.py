@@ -213,10 +213,86 @@ ORDER BY label, dim
 """
 
 
+def similarity_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN via a vectorized Pandas UDF (the numpy scale
+    path the brief calls for): coarse cells are seeded by every 100th
+    vector; each partition assigns its vectors to the nearest cell
+    with ONE numpy matmul per Arrow batch; queries then search only
+    their own cell.
+
+    100 TB shape: the broadcast centroid matrix is tiny; assignment is
+    a linear scan at matmul speed; the shuffle key is the cell id, so
+    search cost is corpus/k per query (multi-probe = also scan the
+    runner-up cell, same plumbing). Rows-only driver check (numpy's
+    reduction order differs from SQL engines'); the pytest gate
+    verifies assignments against an in-Spark argmin and recall > 0 vs
+    brute force.
+    """
+    import numpy as np
+
+    emb = _vecs(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select("vec_id", "v").collect()
+    cent_ids = [r.vec_id for r in cents]
+    cent_mat = np.array([r.v for r in cents], dtype=np.float64)
+    cent_norms = np.linalg.norm(cent_mat, axis=1)
+    b_ids = spark.sparkContext.broadcast(cent_ids)
+    b_mat = spark.sparkContext.broadcast(cent_mat)
+    b_norms = spark.sparkContext.broadcast(cent_norms)
+
+    def make_assign():
+        def _assign(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            mat, norms, ids = b_mat.value, b_norms.value, b_ids.value
+            for pdf in batches:
+                vecs = _np.stack(pdf["v"].to_numpy())
+                sims = (vecs @ mat.T) / (
+                    _np.linalg.norm(vecs, axis=1)[:, None] * norms[None, :]
+                )
+                best = sims.argmax(axis=1)
+                yield _pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].values,
+                        "v": pdf["v"].values,
+                        "cell": [ids[i] for i in best],
+                    }
+                )
+
+        return _assign
+
+    assigned = emb.select("vec_id", "v").mapInPandas(
+        make_assign(), schema="vec_id long, v array<double>, cell long"
+    )
+    queries = assigned.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell"
+    )
+    scored = (
+        assigned.join(queries, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "cell", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_lsh_bucketed": similarity_lsh_bucketed,
     "similarity_label_centroids": similarity_label_centroids,
+    "similarity_ivf_pandas": similarity_ivf_pandas,
 }
 
 ORACLES = {

@@ -175,6 +175,38 @@ FROM scored ORDER BY doc_id
 """
 
 
+#: BPE-ish pre-tokenizer: letter runs, single digits, punctuation
+#: runs — the GPT-2-style split approximated in one regex (the real
+#: merge table is a lookup the engine would broadcast; counting the
+#: pre-tokens is the pipeline-relevant cost signal).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace vs BPE-ish regex (north-star brief):
+    per-doc counts + a chars-per-token compression proxy."""
+    docs = load(spark, sf_dir, "documents")
+    ws_tokens = F.size(tokens_col(F.col("text")))
+    bpe_tokens = F.regexp_count(F.col("text"), F.lit(BPE_PATTERN))
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
+        F.round(F.length("text") / bpe_tokens, 4).alias("chars_per_bpe_token"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_COUNT_BPE_ORACLE = rf"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens,
+       ROUND(length(text) * 1.0 / len(regexp_extract_all(text, '{BPE_PATTERN}')), 4)
+         AS chars_per_bpe_token
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over normalized text (the exact-
     dup key) + a 4-token prefix locality fingerprint."""
@@ -235,11 +267,13 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_language_id": text_language_id,
+    "text_token_count_bpe": text_token_count_bpe,
     "text_fingerprint": text_fingerprint,
     "text_token_frequency": text_token_frequency,
 }
 
 ORACLES = {
+    "text_token_count_bpe": TEXT_TOKEN_COUNT_BPE_ORACLE,
     "text_token_stats": TEXT_TOKEN_STATS_ORACLE,
     "text_quality_score": TEXT_QUALITY_ORACLE,
     "text_language_id": _langid_oracle(),

