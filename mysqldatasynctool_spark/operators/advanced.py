@@ -408,7 +408,68 @@ ORDER BY c_custkey
 """
 
 
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: add/sub intervals, month boundaries,
+    diffs, truncation — over the order timeline."""
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("timestamp")
+    return (
+        orders.select(
+            "o_orderkey",
+            (d + F.expr("INTERVAL 30 DAYS")).alias("due_30d"),
+            F.date_trunc("month", d).alias("month_start"),
+            F.last_day(d).cast("timestamp").alias("month_end_day"),
+            F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias(
+                "days_to_2002"
+            ),
+            ((2002 * 12 + 1) - (F.year(d) * 12 + F.month(d))).alias("months_to_2002"),
+            F.quarter(d).alias("q"),
+            F.weekofyear(d).alias("woy"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# DuckDB notes: date_trunc('month') and last_day return DATE (cast to
+# TIMESTAMP); month distance via pure y*12+m arithmetic — DuckDB's
+# datesub counts whole months, Spark's months_between is fractional,
+# so neither maps to the other directly.
+DATE_ARITHMETIC_ORACLE = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 30 DAY AS due_30d,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end_day,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       CAST((2002 * 12 + 1) - (year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS months_to_2002,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(weekofyear(o_orderdate) AS INT) AS woy
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (cartesian): region x priority grid with
+    per-cell order counts via a left join back — the dims are tiny, so
+    the product is a BroadcastNestedLoopJoin."""
+    region = load(spark, sf_dir, "region").select("r_name")
+    prios = (
+        load(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    )
+    grid = region.crossJoin(prios)
+    return grid.orderBy("r_name", "o_orderpriority")
+
+
+JOIN_CROSS_ORACLE = """
+SELECT r_name, o_orderpriority
+FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+ORDER BY r_name, o_orderpriority
+"""
+
+
 QUERIES = {
+    "date_arithmetic": date_arithmetic,
+    "join_cross": join_cross,
     "pivot_status_priority": pivot_status_priority,
     "unpivot_part_metrics": unpivot_part_metrics,
     "agg_grouping_sets": agg_grouping_sets,
@@ -424,6 +485,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "date_arithmetic": DATE_ARITHMETIC_ORACLE,
+    "join_cross": JOIN_CROSS_ORACLE,
     "pivot_status_priority": PIVOT_ORACLE,
     "unpivot_part_metrics": UNPIVOT_ORACLE,
     "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,

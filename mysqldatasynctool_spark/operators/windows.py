@@ -190,7 +190,42 @@ ORDER BY p_brand, p_partkey
 """
 
 
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a running frame: each
+    order alongside its customer's first, latest-so-far, and second
+    order keys."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first_value("o_orderkey").over(w).alias("first_order"),
+            F.last_value("o_orderkey").over(w).alias("latest_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_VALUE_FUNCTIONS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER w AS latest_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 QUERIES = {
+    "window_value_functions": window_value_functions,
     "window_topk_per_group": window_topk_per_group,
     "window_rank_functions": window_rank_functions,
     "window_lag_lead": window_lag_lead,
@@ -199,6 +234,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_value_functions": WINDOW_VALUE_FUNCTIONS_ORACLE,
     "window_topk_per_group": WINDOW_TOPK_ORACLE,
     "window_rank_functions": WINDOW_RANK_ORACLE,
     "window_lag_lead": WINDOW_LAG_LEAD_ORACLE,

@@ -5,6 +5,7 @@ from .jobs import (
     streaming_session_windows,
     streaming_dedup_within_watermark,
     streaming_stateful_user_counts,
+    streaming_static_enrichment,
     run_to_memory_sink,
     foreach_batch_parquet_sink,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "streaming_session_windows",
     "streaming_dedup_within_watermark",
     "streaming_stateful_user_counts",
+    "streaming_static_enrichment",
     "run_to_memory_sink",
     "foreach_batch_parquet_sink",
 ]

@@ -163,6 +163,19 @@ def streaming_stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_static_enrichment(
+    events: DataFrame, dim: DataFrame, on: str = "region_key"
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (small,
+    broadcast) dimension — re-resolved per micro-batch, so a slowly-
+    changing dim picks up updates without restarting the query. The
+    canonical lookup-table pattern; stateless, no watermark needed."""
+    keyed = events.withColumn(on, (F.col("user_id") % 5).cast("int"))
+    return keyed.join(F.broadcast(dim), on).select(
+        "event_id", "user_id", "event_type", "ts", "r_name"
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -93,6 +93,22 @@ def test_streaming_stateful_user_counts(spark):
     assert _rows(final, ["user_id", "n_events"]) == _rows(batch, ["user_id", "n_events"])
 
 
+def test_stream_static_enrichment(spark):
+    from pyspark.sql import functions as F2
+
+    from mysqldatasynctool_spark.streaming import streaming_static_enrichment
+
+    dim = ev_ops.load(spark, SF, "region").select(
+        F2.col("r_regionkey").alias("region_key"), "r_name"
+    )
+    stream = read_events_stream(spark, SF)
+    out = run_to_memory_sink(streaming_static_enrichment(stream, dim), "t_enrich")
+    assert out.count() == ev_ops.load(spark, SF, "events").count()
+    # every event got exactly one region name
+    assert out.filter(F2.col("r_name").isNull()).count() == 0
+    assert out.select("r_name").distinct().count() == 5
+
+
 def test_foreach_batch_sink_roundtrip(spark, tmp_path):
     dest = str(tmp_path / "sink")
     stream = read_events_stream(spark, SF).select("event_id", "user_id", "event_type")
