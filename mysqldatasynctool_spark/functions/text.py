@@ -29,7 +29,14 @@ def normalized_text_col(text: Column) -> Column:
 
 
 def shingles_col(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles; empty array for short docs."""
+    """Distinct word n-gram shingles; empty array for short docs.
+
+    WARNING (measured): higher-order ``transform`` runs interpreted and
+    re-evaluates ``toks`` per element access — on a split() input this
+    is ~O(tokens²) per row. Fine for small arrays / one-off use; hot
+    paths should use the posexplode + window-lead formulation
+    (operators/dedup._shingle_table).
+    """
     joined = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),

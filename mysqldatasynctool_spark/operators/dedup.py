@@ -36,7 +36,6 @@ from ..functions.text import (
     BAND_ROWS,
     MINHASH_SEEDS,
     normalized_text_col,
-    shingles_col,
     tokens_col,
 )
 from ..sources.fixtures import load

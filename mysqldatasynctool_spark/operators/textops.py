@@ -238,6 +238,61 @@ FROM t ORDER BY doc_id
 """
 
 
+CHUNK_SIZE = 50  # tokens per training chunk
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (training-data prep): split each
+    document into fixed-size token chunks, reconstructing chunk text
+    with deterministic token order.
+
+    Shape at 100 TB: posexplode (map-side) → one shuffle keyed by
+    (doc, chunk) → per-chunk agg; collect_list is made deterministic
+    by sorting the (pos, token) structs before joining.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
+    ).withColumn("chunk_id", (F.col("pos") / CHUNK_SIZE).cast("int"))
+    return (
+        tok.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                    lambda s: s.getField("t"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+TEXT_CHUNKING_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, u.t, u.pos - 1 AS pos
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  ), LATERAL (SELECT unnest(toks) AS t, generate_subscripts(toks, 1) AS pos) u
+)
+SELECT doc_id,
+       CAST(floor(pos / {CHUNK_SIZE}) AS INT) AS chunk_id,
+       COUNT(*) AS n_tokens,
+       MIN(pos) AS start_pos,
+       MAX(pos) AS end_pos,
+       string_agg(t, ' ' ORDER BY pos) AS chunk_text
+FROM tok
+GROUP BY doc_id, CAST(floor(pos / {CHUNK_SIZE}) AS INT)
+ORDER BY doc_id, chunk_id
+"""
+
+
 def text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequency top-20 (explode → count → top-k with
     deterministic tie-break). The 100 TB shape: partial counts
@@ -268,12 +323,14 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_language_id": text_language_id,
     "text_token_count_bpe": text_token_count_bpe,
+    "text_chunking": text_chunking,
     "text_fingerprint": text_fingerprint,
     "text_token_frequency": text_token_frequency,
 }
 
 ORACLES = {
     "text_token_count_bpe": TEXT_TOKEN_COUNT_BPE_ORACLE,
+    "text_chunking": TEXT_CHUNKING_ORACLE,
     "text_token_stats": TEXT_TOKEN_STATS_ORACLE,
     "text_quality_score": TEXT_QUALITY_ORACLE,
     "text_language_id": _langid_oracle(),
