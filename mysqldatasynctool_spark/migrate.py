@@ -16,10 +16,9 @@ from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 
-from .catalog import FIXTURE_PRIMARY_KEYS, discover_parquet_tables
+from .catalog import discover_parquet_tables
 from .config import SyncConfig
 from .operators.compare import compare_tables
-from .plans.partitioning import plan_table, sample_boundaries
 from .sources.fixtures import load
 from .sources.sinks import write_parquet
 
@@ -64,13 +63,12 @@ def migrate_directory(
         t0 = time.monotonic()
         try:
             df = load(spark, src_dir, t)
-            pk = FIXTURE_PRIMARY_KEYS.get(t, [])
-            # Planning: for parquet the scan is already partitioned by
-            # the files; the plan still drives JDBC reads and documents
-            # the pages. Composite PKs sample real boundaries.
-            if len(pk) > 1:
-                boundaries = sample_boundaries(df, pk, cfg.page_size)
-                plan_table(t, pk, cfg.page_size, cfg.max_parallel, boundaries=boundaries)
+            # No partition planning here: parquet scans are already
+            # split by file/rowgroup. The JDBC path is where plans
+            # matter — jdbc.read_table(plan=plan_table(..., pk,
+            # boundaries=sample_boundaries(...))) as exercised by
+            # tests/test_jdbc_roundtrip.py; sampling boundaries for a
+            # parquet copy would be a pure-waste shuffle.
             n = df.count()
             write_parquet(df, f"{dest_dir}/{t}.parquet")
             reports.append(TableReport(t, n, time.monotonic() - t0, True))
