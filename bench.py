@@ -27,6 +27,7 @@ from mysqldatasynctool_spark.session import get_spark
 #: scalable twins are in).
 HEADLINE = [
     "q1_pricing_summary",
+    "q1_pricing_summary_fast",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "agg_distinct",

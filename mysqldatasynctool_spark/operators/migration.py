@@ -63,7 +63,7 @@ ORDER BY table_name
 
 def migration_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Literal emulation of one page of the reference's deferred-join
-    pagination (op #5, root.go:321-372): rows 20000..20999 of lineitem
+    pagination (op #5, root.go:321-372): rows 2000..2999 of lineitem
     in composite-PK order, narrow-key page joined back to full rows.
 
     In production the engine uses range predicates instead
@@ -75,7 +75,7 @@ def migration_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     page = (
         li.select("l_orderkey", "l_linenumber")
         .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 20000) & (F.col("rn") <= 21000))
+        .filter((F.col("rn") > 2000) & (F.col("rn") <= 3000))
         .drop("rn")
     )
     return (
@@ -93,7 +93,7 @@ WITH page AS (
            ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
     FROM lineitem
   ) t
-  WHERE rn > 20000 AND rn <= 21000
+  WHERE rn > 2000 AND rn <= 3000
 )
 SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_returnflag
 FROM page p LEFT JOIN lineitem l

@@ -81,6 +81,36 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q1_pricing_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of q1: plain double aggregation.
+
+    The DECIMAL casts in q1_pricing_summary buy bit-exact cross-engine
+    reproducibility for the oracle gate at a measured ~14x aggregation
+    cost (0.7s vs 10s on 9.6M rows). At 100 TB you run THIS form —
+    float-sum nondeterminism is confined to the last bits — and keep
+    the decimal form for audit paths. Rows-only driver check (float
+    sums can't hash-match across engines, by definition).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: 3-way join + agg + top-k (TakeOrderedAndProject)."""
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -486,6 +516,7 @@ LIMIT 25
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q1_pricing_summary_fast": q1_pricing_summary_fast,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "project_filter": project_filter,

@@ -23,6 +23,21 @@ def test_approx_distinct_runs(spark):
     assert all(r.approx_parts > 0 for r in rows)
 
 
+def test_q1_fast_twin_approximates_exact(spark):
+    exact = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in relational.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.01").collect()
+    }
+    fast = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in relational.QUERIES["q1_pricing_summary_fast"](spark, "/root/testdata/sf0.01").collect()
+    }
+    assert exact.keys() == fast.keys()
+    for k in exact:
+        assert exact[k].count_order == fast[k].count_order
+        assert abs(exact[k].sum_charge - fast[k].sum_charge) / exact[k].sum_charge < 1e-9
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
