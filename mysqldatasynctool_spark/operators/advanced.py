@@ -163,6 +163,46 @@ ORDER BY o_orderstatus
 """
 
 
+def agg_correlation_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (quantity vs extended price per returnflag)
+    from exact decimal power sums — order-independent, unlike the
+    built-in corr() which sums doubles in partition order."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count("*")
+    sx = F.sum(_dec(x)).cast("double")
+    sy = F.sum(_dec(y)).cast("double")
+    sxx = F.sum(_dec(x * x, 4, 38)).cast("double")
+    syy = F.sum(_dec(y * y, 4, 38)).cast("double")
+    sxy = F.sum(_dec(x * y, 4, 38)).cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(n.alias("n"), F.round(corr, 6).alias("corr_qty_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_CORRELATION_ORACLE = """
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+FROM (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+GROUP BY l_returnflag, n, sx, sy, sxx, syy, sxy
+ORDER BY l_returnflag
+"""
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) per group. The 100 TB
     twin is percentile_approx (t-digest-style sketch, fixed memory) —
@@ -475,6 +515,7 @@ QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
     "agg_max_by": agg_max_by,
     "agg_moments_manual": agg_moments_manual,
+    "agg_correlation_manual": agg_correlation_manual,
     "agg_percentiles_exact": agg_percentiles_exact,
     "agg_percentiles": agg_percentiles,
     "join_asof": join_asof,
@@ -492,6 +533,7 @@ ORACLES = {
     "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
     "agg_max_by": AGG_MAX_BY_ORACLE,
     "agg_moments_manual": AGG_MOMENTS_ORACLE,
+    "agg_correlation_manual": AGG_CORRELATION_ORACLE,
     "agg_percentiles_exact": AGG_PERCENTILES_ORACLE,
     # agg_percentiles includes percentile_approx → rows-only check
     "join_asof": JOIN_ASOF_ORACLE,

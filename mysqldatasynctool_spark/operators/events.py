@@ -212,6 +212,50 @@ ORDER BY event_id
 """
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: generate the full day series spanning the
+    event timeline (F.sequence + explode), left-join daily counts, and
+    zero-fill missing days — the canonical time-series densification
+    (a day with no 'error' events must appear with n=0)."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("n_raw"))
+    )
+    return (
+        days.join(errors, "day", "left")
+        .select("day", F.coalesce("n_raw", F.lit(0)).alias("n_errors"))
+        .orderBy("day")
+    )
+
+
+EVENTS_GAP_FILL_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS hi
+  FROM events
+),
+days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+),
+errors AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n_raw
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT d.day, COALESCE(e.n_raw, 0) AS n_errors
+FROM days d LEFT JOIN errors e ON d.day = e.day
+ORDER BY d.day
+"""
+
+
 def events_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time scalar function coverage over the event timeline."""
     ev = load(spark, sf_dir, "events")
@@ -253,11 +297,13 @@ QUERIES = {
     "events_sliding_window": events_sliding_window,
     "events_sessionization": events_sessionization,
     "events_map_functions": events_map_functions,
+    "events_gap_fill": events_gap_fill,
     "events_date_functions": events_date_functions,
 }
 
 ORACLES = {
     "events_map_functions": EVENTS_MAP_FUNCTIONS_ORACLE,
+    "events_gap_fill": EVENTS_GAP_FILL_ORACLE,
     "events_json_extract": EVENTS_JSON_EXTRACT_ORACLE,
     "events_tumbling_window": EVENTS_TUMBLING_ORACLE,
     "events_sliding_window": EVENTS_SLIDING_ORACLE,
