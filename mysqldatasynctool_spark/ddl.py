@@ -50,12 +50,19 @@ def create_table_sql(
     table: str, schema: T.StructType, primary_key: list[str] | None = None
 ) -> str:
     """Schema-derived CREATE TABLE (utf8mb4, like the reference's
-    forced utf8 connections, app.go:41)."""
-    cols = [
-        f"  `{f.name}` {mysql_column_type(f.dataType)}"
-        + ("" if f.nullable else " NOT NULL")
-        for f in schema.fields
-    ]
+    forced utf8 connections, app.go:41).
+
+    String columns that participate in the PRIMARY KEY become
+    VARCHAR(255) — MySQL rejects keys over TEXT/BLOB without a length
+    (error 1170), so LONGTEXT is only used for non-key strings.
+    """
+    pk_set = set(primary_key or [])
+    cols = []
+    for f in schema.fields:
+        ty = mysql_column_type(f.dataType)
+        if f.name in pk_set and ty in ("LONGTEXT", "LONGBLOB"):
+            ty = "VARCHAR(255)" if ty == "LONGTEXT" else "VARBINARY(255)"
+        cols.append(f"  `{f.name}` {ty}" + ("" if f.nullable else " NOT NULL"))
     if primary_key:
         cols.append("  PRIMARY KEY (" + ", ".join(f"`{c}`" for c in primary_key) + ")")
     body = ",\n".join(cols)

@@ -69,8 +69,10 @@ def migrate_directory(
             # boundaries=sample_boundaries(...))) as exercised by
             # tests/test_jdbc_roundtrip.py; sampling boundaries for a
             # parquet copy would be a pure-waste shuffle.
-            n = df.count()
             write_parquet(df, f"{dest_dir}/{t}.parquet")
+            # row count from the just-written dest: parquet counts are
+            # footer metadata — no second scan of the source
+            n = spark.read.parquet(f"{dest_dir}/{t}.parquet").count()
             reports.append(TableReport(t, n, time.monotonic() - t0, True))
             copied.append(t)
         except Exception as exc:  # noqa: BLE001 — per-object failure accounting

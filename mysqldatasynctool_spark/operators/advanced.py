@@ -94,10 +94,13 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 
 def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by (argmax aggregates): the single-pass alternative
-    to a top-1-per-group window. Tie-broken deterministically by
-    folding the unique key into the ordering scalar."""
+    to a top-1-per-group window. The ordering value is a STRUCT
+    (price, orderkey) — lexicographic, so ties break on the unique key
+    without any scale-factor arithmetic (folding the key into a
+    weighted scalar breaks either when prices differ by less than the
+    weight covers or when the product exceeds exact-double range)."""
     orders = load(spark, sf_dir, "orders")
-    ordkey = F.col("o_totalprice") * 10_000_000 + F.col("o_orderkey")
+    ordkey = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
     return (
         orders.groupBy("o_orderstatus")
         .agg(
@@ -110,15 +113,27 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB arg_max can't order by a struct; the equivalent explicit
+# tiebreak: among max-price rows take MAX(orderkey), among min-price
+# rows take MIN(orderkey) — identical to lexicographic struct order.
 AGG_MAX_BY_ORACLE = """
-SELECT o_orderstatus,
-       arg_max(o_orderkey, o_totalprice * 10000000 + o_orderkey) AS max_price_orderkey,
-       arg_min(o_orderkey, o_totalprice * 10000000 + o_orderkey) AS min_price_orderkey,
-       MAX(o_totalprice) AS max_price,
-       MIN(o_totalprice) AS min_price
-FROM orders
-GROUP BY o_orderstatus
-ORDER BY o_orderstatus
+WITH ext AS (
+  SELECT o_orderstatus,
+         MAX(o_totalprice) AS max_price,
+         MIN(o_totalprice) AS min_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT e.o_orderstatus,
+       (SELECT MAX(o_orderkey) FROM orders o
+        WHERE o.o_orderstatus = e.o_orderstatus AND o.o_totalprice = e.max_price)
+         AS max_price_orderkey,
+       (SELECT MIN(o_orderkey) FROM orders o
+        WHERE o.o_orderstatus = e.o_orderstatus AND o.o_totalprice = e.min_price)
+         AS min_price_orderkey,
+       e.max_price,
+       e.min_price
+FROM ext e
+ORDER BY e.o_orderstatus
 """
 
 

@@ -74,6 +74,15 @@ def compare_tables(
     Missing destination tables get DestIsExist='NO' like the
     reference's failed-dest-query path (compare.go:122-126).
     """
+    if not src_tables:
+        # zero tables copied (empty source / all failed): report an
+        # empty verdict rather than crashing the run summary
+        return spark.createDataFrame(
+            [],
+            "table_name string, src_cnt long, dest_cnt long, "
+            "src_checksum decimal(38,0), dest_checksum decimal(38,0), "
+            "dest_is_exist string, is_ok string",
+        )
     src = reduce(
         DataFrame.unionByName,
         [table_summary(df, t) for t, df in src_tables.items()],

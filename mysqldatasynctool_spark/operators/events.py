@@ -190,6 +190,7 @@ def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id"
             ).agg(F.sum("mv").alias("sum_values")),
             "event_id",
+            "left",  # NULL/corrupt props explode to zero rows; keep the event
         )
         .orderBy("event_id")
     )

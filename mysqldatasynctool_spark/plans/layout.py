@@ -55,7 +55,14 @@ def salted_join(
 
     Cost model: right side inflates x salt (use only when right is the
     small-but-not-broadcastable side and a single left key dominates).
+    Only left-side-preserving joins are valid: an outer-preserved
+    replicated right row would appear once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        raise ValueError(
+            f"salted_join cannot preserve unmatched rows of the replicated "
+            f"side; how={how!r} is unsupported (use inner/left/semi/anti)"
+        )
     salted_left = left.withColumn(
         "_salt", (F.abs(F.xxhash64(*left.columns)) % salt).cast("int")
     )

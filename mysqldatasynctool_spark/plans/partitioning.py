@@ -81,9 +81,21 @@ def _lex_le(pk_cols: list[str], values: tuple) -> str:
 
 
 def _sql_lit(v) -> str:
+    import datetime
+
     if isinstance(v, str):
         escaped = v.replace("'", "''")
         return f"'{escaped}'"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, (bytes, bytearray)):
+        return f"X'{bytes(v).hex()}'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if v is None:
+        raise ValueError("NULL cannot appear in a primary-key boundary")
     return str(v)
 
 
@@ -111,20 +123,38 @@ def composite_pk_predicates(
     return preds
 
 
+#: boundary sampling never collects more than this many PK tuples
+MAX_BOUNDARY_SAMPLE = 100_000
+
+
 def sample_boundaries(
     df: DataFrame, pk_cols: list[str], page_size: int
 ) -> list[tuple]:
-    """Every page_size-th PK tuple, computed over the PK projection
-    only (narrow columnar scan + sort — never the wide rows)."""
-    w = Window.orderBy(*[F.col(c) for c in pk_cols])
-    rows = (
-        df.select(*pk_cols)
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") % page_size == 0))
-        .drop("rn")
-        .collect()
+    """PK boundary tuples at roughly page_size spacing, from a bounded
+    SAMPLE of the narrow PK projection.
+
+    Distributed-safe by construction: the sample (≤ MAX_BOUNDARY_SAMPLE
+    tuples, seed-fixed) is collected and sorted driver-side — never a
+    global single-task window sort over the full table. Boundaries are
+    approximate page edges, which is fine: tiling correctness comes
+    from composite_pk_predicates (every row matches exactly one
+    predicate regardless of where the boundaries sit); spacing only
+    balances partition sizes.
+    """
+    narrow = df.select(*pk_cols)
+    total = narrow.count()
+    if total == 0:
+        return []
+    fraction = min(1.0, MAX_BOUNDARY_SAMPLE / total)
+    sampled = (
+        narrow.sample(fraction=fraction, seed=42).collect()
+        if fraction < 1.0
+        else narrow.collect()
     )
-    return [tuple(r) for r in rows]
+    tuples = sorted(tuple(r) for r in sampled)
+    n_pages = max(1, total // page_size)
+    stride = max(1, len(tuples) // n_pages)
+    return [tuples[i] for i in range(stride - 1, len(tuples) - 1, stride)][: n_pages - 1]
 
 
 def plan_table(

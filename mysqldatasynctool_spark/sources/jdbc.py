@@ -37,8 +37,13 @@ def read_table(
     """
     src = f"({custom_sql}) q" if custom_sql else table
     if plan is None or plan.mode == "single":
+        # the single-connection full scan is exactly where streaming
+        # fetch matters most — without it Connector/J materializes the
+        # whole result set in executor memory
         return spark.read.jdbc(
-            endpoint.jdbc_url, src, properties=endpoint.jdbc_properties
+            endpoint.jdbc_url,
+            src,
+            properties={**endpoint.jdbc_properties, "fetchsize": str(fetch_size)},
         )
     if plan.mode == "range":
         return spark.read.jdbc(

@@ -173,6 +173,45 @@ def test_page_queries_reference_parity():
     assert "temp.a = t.a and temp.b = t.b" in q
 
 
+def test_sql_lit_typed_boundaries():
+    import datetime
+
+    from mysqldatasynctool_spark.plans.partitioning import _sql_lit
+
+    assert _sql_lit(datetime.date(2024, 1, 1)) == "DATE '2024-01-01'"
+    assert _sql_lit(datetime.datetime(2024, 1, 1, 12, 0)).startswith("TIMESTAMP '2024-01-01 12:00")
+    assert _sql_lit(b"\x01\xff") == "X'01ff'"
+    assert _sql_lit(True) == "TRUE"
+    with pytest.raises(ValueError):
+        _sql_lit(None)
+
+
+def test_compare_tables_empty_input(spark):
+    from mysqldatasynctool_spark.operators.compare import compare_tables
+
+    verdict = compare_tables(spark, {}, {})
+    assert verdict.count() == 0
+    assert "is_ok" in verdict.columns
+
+
+def test_ddl_string_pk_gets_keyable_type():
+    s = T.StructType(
+        [T.StructField("code", T.StringType(), False), T.StructField("v", T.StringType())]
+    )
+    sql = create_table_sql("t", s, primary_key=["code"])
+    assert "`code` VARCHAR(255) NOT NULL" in sql  # not LONGTEXT (MySQL err 1170)
+    assert "`v` LONGTEXT" in sql
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    from mysqldatasynctool_spark.plans.layout import salted_join
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    orders = load(spark, "/root/testdata/sf0.001", "orders")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(li, orders, "l_orderkey", "o_orderkey", how="full")
+
+
 def test_effective_batch_size_cap():
     assert effective_batch_size(1000, 10) == 1000
     # wide table: 65535/200 - 10 = 317 (root.go:405-406)
