@@ -79,8 +79,6 @@ def main() -> None:
     )
     timings["migrate_full_db_with_verify"] = round(time.monotonic() - t0, 3)
     shutil.rmtree(dest, ignore_errors=True)
-    if n_bad:
-        timings["migrate_failed_objects"] = n_bad
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -89,6 +87,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    if n_bad:
+        # failure count lives OUTSIDE the summed timings dict so it
+        # can't corrupt the wall-clock headline metric
+        out["failed_objects"] = n_bad
     print(json.dumps(out))
     spark.stop()
 

@@ -327,30 +327,50 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface over the embedding vectors: size, slice,
     indexed access, sort/reverse of (rounded) prefixes."""
     emb = load(spark, sf_dir, "embeddings")
+    # element values rendered via the double→DECIMAL(24,4)→string hop
+    # (the pattern the cross-engine checksum in operators/compare.py
+    # proves bit-identical between Spark and DuckDB), and arrays
+    # CSV-serialized so every output cell is a scalar — the driver's
+    # canonicalizer cannot sort/hash array cells.
     first3 = F.transform(
-        F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+        F.slice("embedding", 1, 3), lambda x: x.cast("double").cast("decimal(24,4)")
     )
+
+    def _csv(arr):
+        return F.array_join(F.transform(arr, lambda d: d.cast("string")), ",")
+
     return (
         emb.select(
             "vec_id",
             F.size("embedding").alias("dim"),
-            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("x1"),
-            first3.alias("first3"),
-            F.sort_array(first3).alias("first3_sorted"),
-            F.reverse(first3).alias("first3_rev"),
+            F.element_at("embedding", 1)
+            .cast("double")
+            .cast("decimal(24,4)")
+            .cast("string")
+            .alias("x1"),
+            _csv(first3).alias("first3_csv"),
+            _csv(F.array_sort(first3)).alias("first3_sorted_csv"),
+            _csv(F.reverse(first3)).alias("first3_rev_csv"),
         )
         .orderBy("vec_id")
     )
 
 
 ARRAY_FUNCTIONS_ORACLE = """
+WITH t AS (
+  SELECT vec_id, len(embedding) AS dim,
+         CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(24,4)) AS x1d,
+         list_transform(embedding[1:3],
+                        x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(24,4))) AS d3
+  FROM embeddings
+)
 SELECT vec_id,
-       len(embedding) AS dim,
-       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS x1,
-       list_transform(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 4)) AS first3,
-       list_sort(list_transform(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 4))) AS first3_sorted,
-       list_reverse(list_transform(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 4))) AS first3_rev
-FROM embeddings
+       CAST(dim AS INT) AS dim,
+       CAST(x1d AS VARCHAR) AS x1,
+       array_to_string(list_transform(d3, x -> CAST(x AS VARCHAR)), ',') AS first3_csv,
+       array_to_string(list_transform(list_sort(d3), x -> CAST(x AS VARCHAR)), ',') AS first3_sorted_csv,
+       array_to_string(list_transform(list_reverse(d3), x -> CAST(x AS VARCHAR)), ',') AS first3_rev_csv
+FROM t
 ORDER BY vec_id
 """
 

@@ -5,8 +5,8 @@ The reference validates a migration by row-count compare only
 verdict isOk). SURVEY.md §5 calls for upgrading this to a content
 checksum; here each table gets (count, order-insensitive checksum):
 
-    row_digest = first 15 hex chars of md5(normalized row repr),
-                 parsed as a 60-bit integer
+    row_digest = hex chars 18-32 of md5(normalized row repr) — the
+                 LAST 15 hex digits (low 60 bits), parsed as an integer
     checksum   = SUM(row_digest)   -- order-insensitive, exact
 
 The normalized repr (NULL → '\\N' sentinel, doubles via DECIMAL(24,4),
@@ -164,7 +164,13 @@ def migration_compare_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         t: load(spark, sf_dir, t).select(*[c for c, _ in cols])
         for t, cols in _CHECK_TABLES.items()
     }
-    return compare_tables(spark, tables, tables)
+    out = compare_tables(spark, tables, tables)
+    # checksums rendered as strings: a DECIMAL(38,0) survives Spark's
+    # toPandas as exact Decimal but DuckDB's pandas conversion turns it
+    # into a lossy float64 — strings compare exactly in the driver
+    return out.withColumn(
+        "src_checksum", F.col("src_checksum").cast("string")
+    ).withColumn("dest_checksum", F.col("dest_checksum").cast("string"))
 
 
 def _duck_norm(col: str, dtype: str) -> str:
@@ -193,8 +199,8 @@ WITH s AS ({per_table})
 SELECT table_name,
        cnt AS src_cnt,
        cnt AS dest_cnt,
-       CAST(checksum AS DECIMAL(38,0)) AS src_checksum,
-       CAST(checksum AS DECIMAL(38,0)) AS dest_checksum,
+       CAST(CAST(checksum AS DECIMAL(38,0)) AS VARCHAR) AS src_checksum,
+       CAST(CAST(checksum AS DECIMAL(38,0)) AS VARCHAR) AS dest_checksum,
        'YES' AS dest_is_exist,
        'YES' AS is_ok
 FROM s

@@ -48,7 +48,7 @@ EVENTS_JSON_EXTRACT_ORACLE = """
 SELECT event_type, COUNT(*) AS n,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -156,8 +156,9 @@ WITH flagged AS (
   FROM events
 ), sessions AS (
   SELECT user_id, ts, value,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -181,7 +182,9 @@ def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         parsed.select(
             "event_id",
-            F.sort_array(F.map_keys("m")).alias("keys"),
+            # CSV-serialized so the result is scalar-only (the driver's
+            # canonicalizer cannot sort/hash array cells)
+            F.array_join(F.sort_array(F.map_keys("m")), ",").alias("keys_csv"),
             F.size("m").alias("n_entries"),
             F.element_at("m", "k").alias("k_value"),
         )
@@ -204,8 +207,8 @@ WITH parsed AS (
   FROM events
 )
 SELECT event_id,
-       list_sort(ks) AS keys,
-       len(ks) AS n_entries,
+       array_to_string(list_sort(ks), ',') AS keys_csv,
+       CAST(len(ks) AS INT) AS n_entries,
        k_value,
        k_value AS sum_values
 FROM parsed

@@ -64,9 +64,9 @@ WITH per_doc AS (
   FROM documents
 )
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(n_chars_computed) AS total_chars,
-       SUM(n_punct) AS total_punct,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars_computed) AS BIGINT) AS total_chars,
+       CAST(SUM(n_punct) AS BIGINT) AS total_punct,
        SUM(n_tokens) * 1.0 / COUNT(*) AS avg_tokens
 FROM per_doc GROUP BY lang ORDER BY lang
 """
