@@ -37,6 +37,7 @@ HEADLINE = [
     "migration_compare_checksums",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
     "similarity_ivf_pandas",

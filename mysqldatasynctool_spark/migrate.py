@@ -4,14 +4,19 @@ orchestration: discover → plan → copy → verify.
 
 Where the reference runs a goroutine per page and a channel-semaphore
 pool (root.go:104-147), each table here is ONE Spark job whose
-partitions are the pages; Spark's scheduler is the pool. Per-table
-failures are caught driver-side (the reference's errDataCount
-analogue, root.go:48-56, counts failed objects).
+partitions are the pages; Spark's scheduler is the pool. Tables
+themselves are submitted from a thread pool bounded by maxParallel
+(the reference's semaphore semantics at table granularity — with
+thousands of small tables, per-table job overlap is the throughput
+lever; Spark's scheduler interleaves the concurrent jobs' tasks).
+Per-table failures are caught per-thread (the reference's
+errDataCount analogue, root.go:48-56, counts failed objects).
 """
 
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -57,9 +62,7 @@ def migrate_directory(
     discovered = tables or discover_parquet_tables(src_dir)
     todo = [t for t in discovered if t not in set(cfg.exclude)]
 
-    reports: list[TableReport] = []
-    copied: list[str] = []
-    for t in todo:
+    def copy_one(t: str) -> TableReport:
         t0 = time.monotonic()
         try:
             df = load(spark, src_dir, t)
@@ -73,10 +76,16 @@ def migrate_directory(
             # row count from the just-written dest: parquet counts are
             # footer metadata — no second scan of the source
             n = spark.read.parquet(f"{dest_dir}/{t}.parquet").count()
-            reports.append(TableReport(t, n, time.monotonic() - t0, True))
-            copied.append(t)
+            return TableReport(t, n, time.monotonic() - t0, True)
         except Exception as exc:  # noqa: BLE001 — per-object failure accounting
-            reports.append(TableReport(t, 0, time.monotonic() - t0, False, str(exc)))
+            return TableReport(t, 0, time.monotonic() - t0, False, str(exc))
+
+    # maxParallel bounds how many table copy JOBS are in flight at
+    # once (reference root.go:104-147); submission order is preserved
+    # in the report list regardless of completion order
+    with ThreadPoolExecutor(max_workers=min(cfg.max_parallel, max(1, len(todo)))) as pool:
+        reports = list(pool.map(copy_one, todo))
+    copied = [r.table for r in reports if r.ok]
 
     src_dfs = {t: load(spark, src_dir, t) for t in copied}
     dest_dfs = {t: load(spark, dest_dir, t) for t in copied}

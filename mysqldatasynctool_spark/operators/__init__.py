@@ -24,6 +24,76 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: Registration order doubles as VERIFICATION PRIORITY: the driver
+#: walks ``queries()`` in order under a finite budget (round 1 recorded
+#: exactly the first 50 entries), so the entries that most need a
+#: fresh correctness record go first — flagship TPC-H heads, the
+#: reference's own migration operators, then the LLM-data-pipeline
+#: north stars (dedup / similarity / text / multimodal), events, and
+#: one representative per relational family. The remainder (redundant
+#: twins of already-listed families, all driver-green in round 1) come
+#: last in stable module order.
+VERIFY_PRIORITY: tuple[str, ...] = (
+    # flagship
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    # reference migration surface (§2A)
+    "migration_catalog_exclude",
+    "migration_pk_catalog",
+    "migration_full_scan_fallback",
+    "migration_page_count",
+    "migration_pagination_page",
+    "migration_stringify",
+    "migration_compare_checksums",
+    # dedup north star
+    "dedup_exact_subset",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    # similarity north star
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "similarity_label_centroids",
+    "similarity_ivf_pandas",
+    # text-analysis north star
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_token_count_bpe",
+    "text_chunking",
+    "text_fingerprint",
+    "text_token_frequency",
+    # multimodal north star
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "multimodal_size_partitioned",
+    # events / streaming batch twins
+    "events_json_extract",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_sessionization",
+    "events_map_functions",
+    "events_gap_fill",
+    "events_date_functions",
+    # one representative per relational family
+    "array_functions",
+    "join_asof",
+    "join_range_nonequi",
+    "join_full_outer",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "window_range_frame",
+    "window_topk_per_group",
+    "pivot_status_priority",
+    "setop_except_all",
+    "sql_cte_subqueries",
+    "null_conditional",
+)
+
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Merge QUERIES/ORACLES from every operator module."""
@@ -63,4 +133,10 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
             raise ValueError(f"duplicate query names: {dup}")
         queries.update(q)
         oracles.update(o)
-    return queries, oracles
+
+    missing = [n for n in VERIFY_PRIORITY if n not in queries]
+    if missing:
+        raise ValueError(f"VERIFY_PRIORITY names unknown queries: {missing}")
+    ordered = {n: queries[n] for n in VERIFY_PRIORITY}
+    ordered.update({n: f for n, f in queries.items() if n not in ordered})
+    return ordered, oracles

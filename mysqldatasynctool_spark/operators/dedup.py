@@ -393,10 +393,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["block_idx", "block_val"])
         .filter(F.col("ida") < F.col("idb"))
-        .select("ida", "idb", "ha", "hb")
-        .distinct()
+        # hamming filter BEFORE the dedup: bit_count is a cheap
+        # map-side expression, so discarding far pairs first keeps the
+        # distinct() shuffle to qualifying pairs only (the candidate
+        # set is the near-quadratic part — don't shuffle what a scalar
+        # filter can drop)
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= 3)
+        .select("ida", "idb", "ha", "hb", "hamming")
+        .distinct()
         .orderBy("ida", "idb")
     )
 
@@ -433,8 +438,13 @@ ORDER BY ida, idb
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine ≥ 0.4 (double-precision
-    sequential dot product — identical in IEEE engines)."""
+    """Embedding near-dup, all-pairs: cosine ≥ 0.4 (double-precision
+    sequential dot product — identical in IEEE engines).
+
+    GROUND TRUTH, TEST SCALE ONLY (like dedup_ngram_jaccard): the
+    crossJoin is O(N²) and exists to validate the bucketed production
+    twin, ``dedup_embedding_lsh`` below — use that at corpus scale.
+    """
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q),
@@ -480,6 +490,73 @@ ORDER BY ida, idb
 """
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed production twin of ``dedup_embedding_cosine``:
+    candidate pairs are restricted to the same sign-bit LSH bucket
+    (the random-hyperplane family similarity_lsh_bucketed uses), so
+    the bucket key — not a cross join — is the shuffle key.
+
+    100 TB shape: O(sum of bucket²) instead of O(N²); add bucket bits
+    as N grows (lsh_bucket_bits in similarity.py scales them), and
+    multi-probe neighboring buckets to buy recall. Single-probe here;
+    the oracle replicates the exact bucketed semantics, so the result
+    is hash-checkable even though recall < 1 vs the all-pairs truth.
+    """
+    from .similarity import _bucket_expr
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    emb = emb.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v")))).withColumn(
+        "bucket", _bucket_expr(F.col("v"))
+    )
+    a = emb.select(
+        "bucket", F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = emb.select(
+        "bucket", F.col("vec_id").alias("idb"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .select("ida", "idb", "cosine")
+        .orderBy("ida", "idb")
+    )
+
+
+def _embedding_lsh_oracle() -> str:
+    from .similarity import _lsh_bits_sql
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, n, {_lsh_bits_sql()} AS bucket FROM e),
+p AS (
+  SELECT a.vec_id AS ida, b2.vec_id AS idb,
+         ROUND(list_dot_product(a.v, b2.v) / (a.n * b2.n), 6) AS cosine
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT ida, idb, cosine FROM p
+WHERE cosine >= 0.4
+ORDER BY ida, idb
+"""
+
+
 QUERIES = {
     "dedup_exact_subset": dedup_exact_subset,
     "dedup_exact_text": dedup_exact_text,
@@ -487,6 +564,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
 ORACLES = {
@@ -496,4 +574,5 @@ ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_ORACLE,
+    "dedup_embedding_lsh": _embedding_lsh_oracle(),
 }

@@ -8,7 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import apply_exclusion, catalog_dataframe
+from ..catalog import FIXTURE_PRIMARY_KEYS, apply_exclusion, catalog_dataframe
+from ..plans.partitioning import composite_pk_predicates, plan_table
 from ..sources.fixtures import TABLES, load
 
 PAGE_SIZE = 10_000
@@ -134,8 +135,69 @@ ORDER BY CAST(o_orderkey AS BIGINT)
 """
 
 
+def migration_pk_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK lookup, composite-aware, ordered by ordinal position (op #3,
+    root.go:327-340): the fixture PK catalog as
+    (table_name, ordinal_position, pk_column) — lineitem is the
+    two-column composite case."""
+    cat = spark.createDataFrame(
+        [(t, cols) for t, cols in FIXTURE_PRIMARY_KEYS.items()],
+        "table_name string, pk_cols array<string>",
+    )
+    return (
+        cat.select(
+            "table_name", F.posexplode("pk_cols").alias("pos", "pk_column")
+        )
+        .select(
+            "table_name",
+            (F.col("pos") + 1).alias("ordinal_position"),
+            "pk_column",
+        )
+        .orderBy("table_name", "ordinal_position")
+    )
+
+
+MIGRATION_PK_CATALOG_ORACLE = (
+    "SELECT table_name, CAST(ordinal_position AS INT) AS ordinal_position, pk_column\n"
+    "FROM (VALUES "
+    + ", ".join(
+        f"('{t}', {i + 1}, '{c}')"
+        for t, cols in FIXTURE_PRIMARY_KEYS.items()
+        for i, c in enumerate(cols)
+    )
+    + ") AS t(table_name, ordinal_position, pk_column)\n"
+    "ORDER BY table_name, ordinal_position"
+)
+
+
+def migration_full_scan_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-PK fallback (op #6, root.go:341-345): a table without a PK
+    gets ONE full-scan partition — plan_table returns mode='single'
+    and the keyspace tiling degenerates to the single always-true
+    predicate, which this query actually applies."""
+    plan = plan_table("documents", [], page_size=10_000, max_parallel=8)
+    assert plan.mode == "single"
+    (pred,) = composite_pk_predicates([], [])
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.expr(pred))
+        .select("doc_id", "lang", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+MIGRATION_FULL_SCAN_FALLBACK_ORACLE = """
+SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars
+FROM documents
+WHERE 1 = 1
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "migration_catalog_exclude": migration_catalog_exclude,
+    "migration_pk_catalog": migration_pk_catalog,
+    "migration_full_scan_fallback": migration_full_scan_fallback,
     "migration_page_count": migration_page_count,
     "migration_pagination_page": migration_pagination_page,
     "migration_stringify": migration_stringify,
@@ -143,6 +205,8 @@ QUERIES = {
 
 ORACLES = {
     "migration_catalog_exclude": MIGRATION_CATALOG_EXCLUDE_ORACLE,
+    "migration_pk_catalog": MIGRATION_PK_CATALOG_ORACLE,
+    "migration_full_scan_fallback": MIGRATION_FULL_SCAN_FALLBACK_ORACLE,
     "migration_page_count": MIGRATION_PAGE_COUNT_ORACLE,
     "migration_pagination_page": MIGRATION_PAGINATION_PAGE_ORACLE,
     "migration_stringify": MIGRATION_STRINGIFY_ORACLE,

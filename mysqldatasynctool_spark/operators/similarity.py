@@ -30,12 +30,38 @@ from pyspark.sql import functions as F
 from ..sources.fixtures import load
 
 TOP_K = 5
-#: dimensions whose sign bit forms the LSH bucket key (1-based here;
-#: element_at/list indexing is 1-based in both Spark and DuckDB).
-#: 4 bits → 16 buckets: sized so buckets hold ~N/16 vectors — enough
-#: candidates for useful single-probe recall at fixture scale; at
-#: production N, add bits (buckets should hold 10^3-10^5 vectors).
+#: default dimensions whose sign bit forms the LSH bucket key
+#: (1-based; element_at/list indexing is 1-based in both Spark and
+#: DuckDB). 4 bits → 16 buckets, sized for fixture-scale corpora —
+#: ``lsh_dims_for`` scales the bit count at production N.
 LSH_DIMS = (1, 9, 17, 25)
+#: target vectors per bucket when sizing the bit count for a corpus
+LSH_TARGET_BUCKET = 10_000
+#: the fixture embeddings are 64-dimensional
+EMBED_DIM = 64
+
+
+def lsh_dims_for(n_vectors: int, target_bucket: int = LSH_TARGET_BUCKET) -> tuple[int, ...]:
+    """Sign-bit dimensions sized to the corpus: enough bits that the
+    expected bucket holds ~``target_bucket`` vectors (the 'add bits at
+    production N' rule as code, not comment). Bits are spread evenly
+    across the embedding dimensions; floor 4 bits (the fixture-scale
+    default, reproducing the committed oracle output), cap at one bit
+    per dimension.
+
+    >>> lsh_dims_for(2_000)            # fixture scale -> the default
+    (1, 9, 17, 25)
+    >>> len(lsh_dims_for(10_000_000))  # 10M vectors -> 1024 buckets
+    10
+    """
+    import math
+
+    bits = max(4, math.ceil(math.log2(max(1, n_vectors) / target_bucket)) if n_vectors > target_bucket else 4)
+    bits = min(bits, EMBED_DIM)
+    if bits == 4:
+        return LSH_DIMS
+    stride = EMBED_DIM // bits
+    return tuple(1 + i * stride for i in range(bits))
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,19 +144,36 @@ ORDER BY qid, rank
 """
 
 
-def _bucket_expr(v: Column) -> Column:
+def _bucket_expr(v: Column, dims: tuple[int, ...] = LSH_DIMS) -> Column:
     bits = [
         F.when(F.element_at(v, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for d in LSH_DIMS
+        for d in dims
     ]
     return F.concat(*bits)
 
 
-def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_bits_sql(dims: tuple[int, ...] = LSH_DIMS) -> str:
+    """The DuckDB twin of ``_bucket_expr`` — a concat of sign-bit CASE
+    arms over the same dimensions."""
+    return " || ".join(
+        f"(CASE WHEN v[{d}] >= 0 THEN '1' ELSE '0' END)" for d in dims
+    )
+
+
+def similarity_lsh_bucketed(
+    spark: SparkSession, sf_dir: str, dims: tuple[int, ...] = LSH_DIMS
+) -> DataFrame:
     """ANN via sign-bit LSH buckets: per-query top-k restricted to the
     query's bucket (single probe). Recall < 1 by design; the oracle
-    replicates the same bucketed semantics, so results match exactly."""
-    emb = _with_norm(_vecs(spark, sf_dir)).withColumn("bucket", _bucket_expr(F.col("v")))
+    replicates the same bucketed semantics, so results match exactly.
+
+    ``dims`` defaults to the fixture-scale 4-bit key (16 buckets —
+    this is what the committed oracle mirrors); production callers
+    pass ``lsh_dims_for(corpus_size)`` so bucket count tracks N and
+    join parallelism / skew stay bounded."""
+    emb = _with_norm(_vecs(spark, sf_dir)).withColumn(
+        "bucket", _bucket_expr(F.col("v"), dims)
+    )
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -155,9 +198,7 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle() -> str:
-    bits = " || ".join(
-        f"(CASE WHEN v[{d}] >= 0 THEN '1' ELSE '0' END)" for d in LSH_DIMS
-    )
+    bits = _lsh_bits_sql()
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -221,12 +262,15 @@ def similarity_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own cell.
 
     100 TB shape: the broadcast centroid matrix is tiny; assignment is
-    a linear scan at matmul speed; the shuffle key is the cell id, so
-    search cost is corpus/k per query (multi-probe = also scan the
-    runner-up cell, same plumbing). Rows-only driver check (numpy's
-    reduction order differs from SQL engines'); the pytest gate
-    verifies assignments against an in-Spark argmin and recall > 0 vs
-    brute force.
+    a linear scan at matmul speed that also emits each vector's norm
+    (ONE numpy linalg.norm per Arrow batch — never recomputed later);
+    the shuffle key is the cell id, and search is a cogrouped
+    applyInPandas doing one queries x corpus matmul per cell — no
+    interpreted per-pair dot anywhere on this path (multi-probe = also
+    scan the runner-up cell, same plumbing). Rows-only driver check
+    (numpy's reduction order differs from SQL engines'); the pytest
+    gate verifies assignments against an in-Spark argmin and recall
+    > 0 vs brute force.
     """
     import numpy as np
 
@@ -247,14 +291,14 @@ def similarity_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             mat, norms, ids = b_mat.value, b_norms.value, b_ids.value
             for pdf in batches:
                 vecs = _np.stack(pdf["v"].to_numpy())
-                sims = (vecs @ mat.T) / (
-                    _np.linalg.norm(vecs, axis=1)[:, None] * norms[None, :]
-                )
+                vnorms = _np.linalg.norm(vecs, axis=1)
+                sims = (vecs @ mat.T) / (vnorms[:, None] * norms[None, :])
                 best = sims.argmax(axis=1)
                 yield _pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"].values,
                         "v": pdf["v"].values,
+                        "vnorm": vnorms,
                         "cell": [ids[i] for i in best],
                     }
                 )
@@ -262,28 +306,46 @@ def similarity_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _assign
 
     assigned = emb.select("vec_id", "v").mapInPandas(
-        make_assign(), schema="vec_id long, v array<double>, cell long"
+        make_assign(), schema="vec_id long, v array<double>, vnorm double, cell long"
     )
-    queries = assigned.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell"
-    )
-    scored = (
-        assigned.join(queries, "cell")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("qv"), F.col("v"))
-                / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
-                6,
-            ),
-        )
-    )
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    queries = assigned.filter(F.col("vec_id") % 50 == 0)
+    top_k = TOP_K
+
+    def make_score():
+        def _score(corpus_pdf, q_pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            cols = ["qid", "cell", "neighbor_id", "cosine", "rank"]
+            if not len(corpus_pdf) or not len(q_pdf):
+                return _pd.DataFrame(columns=cols)
+            cmat = _np.stack(corpus_pdf["v"].to_numpy())
+            cn = corpus_pdf["vnorm"].to_numpy()
+            qmat = _np.stack(q_pdf["v"].to_numpy())
+            qn = q_pdf["vnorm"].to_numpy()
+            sims = _np.round((qmat @ cmat.T) / (qn[:, None] * cn[None, :]), 6)
+            cids = corpus_pdf["vec_id"].to_numpy()
+            cell = int(corpus_pdf["cell"].iloc[0])
+            out = []
+            for qi, qid in enumerate(q_pdf["vec_id"].to_numpy()):
+                mask = cids != qid
+                ids_m, sims_m = cids[mask], sims[qi][mask]
+                # ties broken by ascending neighbor id, matching the
+                # window-rank ordering of the bruteforce/LSH variants
+                order = _np.lexsort((ids_m, -sims_m))[:top_k]
+                for rank, j in enumerate(order, start=1):
+                    out.append((int(qid), cell, int(ids_m[j]), float(sims_m[j]), rank))
+            return _pd.DataFrame(out, columns=cols)
+
+        return _score
+
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("qid", "cell", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        assigned.groupBy("cell")
+        .cogroup(queries.groupBy("cell"))
+        .applyInPandas(
+            make_score(),
+            schema="qid long, cell long, neighbor_id long, cosine double, rank int",
+        )
         .orderBy("qid", "rank")
     )
 
