@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pytest
 
-from mysqldatasynctool_spark.operators import dedup, relational, textops
+from mysqldatasynctool_spark.operators import dedup, relational, similarity, textops
 
 SF = "/root/testdata/sf0.01"
 
@@ -57,6 +57,43 @@ def test_no_python_udfs_in_text_pipeline(spark):
     for name in ("text_token_stats", "text_quality_score", "text_fingerprint"):
         plan = _plan(spark, textops.QUERIES[name](spark, SF), "simple")
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_simhash_hamming_filter_precedes_distinct(spark):
+    """The cheap hamming filter must run BEFORE the distinct()
+    shuffle (BENCH_PLANS.md): with the right order, `hamming` is one
+    of the distinct keys and therefore appears in the distinct
+    exchange's partitioning — the reverted order can't produce that."""
+    import re
+
+    plan = _plan(spark, dedup.QUERIES["dedup_simhash"](spark, SF), "formatted")
+    # with the filter first, Catalyst folds hamming<=3 into the join
+    # condition and the pair-distinct piggybacks on the probe side's
+    # hashpartitioning(doc_id) — the ONLY hash shuffles left are the
+    # two per-side signature aggregations
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # the distinct aggregate keys include hamming — only possible when
+    # hamming is computed before the distinct
+    agg_keys = re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert any("hamming" in k for k in agg_keys), agg_keys
+
+
+def test_embedding_lsh_join_is_bucketed_not_cross(spark):
+    """The production embedding-dedup twin must join on the LSH bucket
+    key — never a cartesian/nested-loop pairing."""
+    plan = _plan(spark, dedup.QUERIES["dedup_embedding_lsh"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_scores_in_cogrouped_pandas(spark):
+    """IVF search must score per cell inside a cogrouped pandas op
+    (one numpy matmul per cell) — not via interpreted per-pair dots,
+    whose signature would be `aggregate(zip_with...)` in a Project
+    above the join."""
+    plan = _plan(spark, similarity.QUERIES["similarity_ivf_pandas"](spark, SF), "simple")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "zip_with" not in plan
 
 
 def test_minhash_band_join_shuffles_slim_rows(spark):
