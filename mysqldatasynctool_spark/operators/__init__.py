@@ -71,6 +71,11 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "multimodal_binary_meta",
     "multimodal_decode_features",
     "multimodal_size_partitioned",
+    # training-data pipeline ops
+    "pipeline_decontaminate",
+    "pipeline_pack_sequences",
+    "pipeline_sample_stratified",
+    "pipeline_repetition_score",
     # events / streaming batch twins
     "events_json_extract",
     "events_tumbling_window",
@@ -83,15 +88,11 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "array_functions",
     "join_asof",
     "join_range_nonequi",
-    "join_full_outer",
-    "agg_rollup",
     "agg_grouping_sets",
     "window_range_frame",
     "window_topk_per_group",
-    "pivot_status_priority",
     "setop_except_all",
     "sql_cte_subqueries",
-    "null_conditional",
 )
 
 
@@ -104,6 +105,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         events,
         migration,
         multimodal,
+        pipeline,
         relational,
         setops,
         similarity,
@@ -125,6 +127,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         similarity,
         textops,
         multimodal,
+        pipeline,
     ):
         q = getattr(mod, "QUERIES", {})
         o = getattr(mod, "ORACLES", {})

@@ -1,0 +1,297 @@
+"""Training-data pipeline operators (north star — beyond SURVEY.md
+§2B's named families): the remaining ops a large-scale LLM data
+pipeline runs daily — benchmark decontamination, sequence packing,
+deterministic stratified sampling, and repetition filtering.
+
+All oracle-backed: sampling/sharding decisions hash on md5 (the only
+engine-portable hash — see operators/compare.py), ratios divide
+exact integers as doubles, and integer SUM oracles are CAST to BIGINT
+(DuckDB returns HUGEINT otherwise, which the driver's pandas
+conversion turns into float64).
+
+Scale notes per operator in the docstrings; none of these shuffles
+document text except packing's per-shard window (and that carries
+only (doc_id, n_tokens) — text never leaves the scan stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col
+from ..sources.fixtures import load
+
+#: every 97th doc plays the held-out benchmark set in decontamination
+BENCH_MOD = 97
+#: token budget per packed training sequence
+SEQ_BUDGET = 2048
+#: shard count for the packing windows (production: thousands — one
+#: shard per output file/writer; 8 keeps fixture plans readable)
+PACK_SHARDS = 8
+#: deterministic sample: keep docs whose 60-bit md5 lands in 3/10 bins
+SAMPLE_BINS, SAMPLE_KEEP = 10, 3
+#: real pipelines use 8-13-gram overlap; the synthetic fixture corpus
+#: shares a small vocabulary, so 4 grams give a non-degenerate yet
+#: selective match set at test scale
+NGRAM_N = 4
+
+
+def _md5_mod(col, m: int):
+    """60-bit integer from the low 15 md5 hex chars, mod m — the
+    engine-portable deterministic hash (same value in DuckDB/MySQL)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 18, 15), 16, 10).cast("long") % m
+    )
+
+
+def _duck_md5_mod(expr: str, m: int) -> str:
+    return (
+        f"(CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 18, 15)) AS BIGINT) % {m})"
+    )
+
+
+def _ngram_table(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """Distinct (doc_id, gram) word n-grams via posexplode + window
+    lead — the codegen-safe formulation (higher-order transform would
+    re-evaluate the token split per element; see dedup._shingle_table,
+    measured ~O(tokens²))."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("t", k).over(w) for k in range(1, n)]
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("t"), *leads).alias("gram"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "gram")
+        .distinct()
+    )
+
+
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training docs sharing any word
+    5-gram with the held-out benchmark set (docs with doc_id % 97 == 0
+    stand in for the eval suite), reporting how many distinct grams
+    leak. The standard pre-training hygiene pass (e.g. GPT-3 §C /
+    PaLM-style n-gram overlap).
+
+    100 TB shape: benchmark grams are tiny (eval suites are MBs) →
+    broadcast to the corpus gram scan; corpus text is never shuffled,
+    only (doc_id, gram) pairs that actually match reach the count
+    aggregation. Gram width is a constant; recall is exact, not
+    probabilistic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    grams = _ngram_table(docs)
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("gram").alias("bgram"))
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), F.col("gram") == F.col("bgram"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+_GRAM_IDX = ", ".join(f"t[i+{k}]" for k in range(NGRAM_N))
+PIPELINE_DECONTAMINATE_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {NGRAM_N - 1}),
+                i -> concat_ws(' ', {_GRAM_IDX}))) AS gram
+  FROM toks WHERE len(t) >= {NGRAM_N}
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0)
+SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared_grams
+FROM grams g JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id % {BENCH_MOD} != 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-split): documents are concatenated
+    in deterministic order within a shard and split every SEQ_BUDGET
+    tokens; each doc is attributed to the sequence its first token
+    lands in. Output: per (shard, seq_id) document count + token mass
+    — the exact bookkeeping a training-data writer needs.
+
+    100 TB shape: the only shuffle carries (doc_id, n_tokens) — 16
+    bytes/doc, never text. The running-sum window is per-shard; shard
+    count (here 8, production thousands) bounds the window partition
+    size, and the md5 shard key spreads mass evenly regardless of
+    doc_id distribution.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        _md5_mod(F.col("doc_id"), PACK_SHARDS).alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = per_doc.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(SEQ_BUDGET))).cast("long"),
+    )
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+PIPELINE_PACK_ORACLE = rf"""
+WITH per_doc AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         {_duck_md5_mod('doc_id', PACK_SHARDS)} AS shard
+  FROM documents
+),
+packed AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM per_doc
+)
+SELECT shard, CAST(FLOOR((cum - n_tokens) / {float(SEQ_BUDGET)}) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+FROM packed
+GROUP BY 1, 2
+ORDER BY shard, seq_id
+"""
+
+
+def pipeline_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling audit: hash-select 3/10 of
+    docs (md5 bins — reproducible across runs, engines, and
+    re-partitioning, unlike rand()), report kept/total per
+    (lang, source) stratum. At 100 TB this is one scan + one tiny
+    aggregation; the selection predicate runs map-side and composes
+    with any downstream operator as a plain filter.
+    """
+    docs = load(spark, sf_dir, "documents")
+    keep = (_md5_mod(F.col("doc_id"), SAMPLE_BINS) < SAMPLE_KEEP).cast("int")
+    return (
+        docs.select("lang", "source", keep.alias("keep"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").alias("n_sampled"),
+            (F.sum("keep").cast("double") / F.count("*")).alias("sample_rate"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+PIPELINE_SAMPLE_ORACLE = f"""
+WITH d AS (
+  SELECT lang, source,
+         CASE WHEN {_duck_md5_mod('doc_id', SAMPLE_BINS)} < {SAMPLE_KEEP}
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT lang, source,
+       COUNT(*) AS n_total,
+       CAST(SUM(keep) AS BIGINT) AS n_sampled,
+       CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS sample_rate
+FROM d
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+def pipeline_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter (Gopher/C4-style): per-doc duplicate-token
+    and duplicate-bigram ratios, plus the keep/drop verdict. Bigrams
+    come from zip_with over two slices — the arrays are materialized
+    once per row (zip_with evaluates its operands once; only
+    element_at-style indexed lambdas re-evaluate their source), so the
+    whole operator is a single codegen'd scan: no explode, no shuffle
+    except the final orderBy.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    nd_tok = F.size(F.array_distinct(toks))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nd_bi = F.size(F.array_distinct(bigrams))
+    dup_tok = (n_tok - nd_tok).cast("double") / n_tok
+    dup_bi = F.when(
+        n_tok >= 2, ((n_tok - 1) - nd_bi).cast("double") / (n_tok - 1)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(dup_tok, 6).alias("dup_token_ratio"),
+        F.round(dup_bi, 6).alias("dup_bigram_ratio"),
+        F.when((dup_tok > 0.3) | (dup_bi > 0.2), F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    ).orderBy("doc_id")
+
+
+PIPELINE_REPETITION_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         len(list_distinct(t)) AS nd_tok,
+         len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                          i -> concat(t[i], ' ', t[i+1])))) AS nd_bi
+  FROM d
+)
+SELECT doc_id,
+       CAST(n_tok AS INT) AS n_tokens,
+       ROUND(CAST(n_tok - nd_tok AS DOUBLE) / n_tok, 6) AS dup_token_ratio,
+       CASE WHEN n_tok >= 2
+            THEN ROUND(CAST((n_tok - 1) - nd_bi AS DOUBLE) / (n_tok - 1), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_ratio,
+       CASE WHEN CAST(n_tok - nd_tok AS DOUBLE) / n_tok > 0.3
+              OR (n_tok >= 2 AND CAST((n_tok - 1) - nd_bi AS DOUBLE) / (n_tok - 1) > 0.2)
+            THEN 'drop' ELSE 'keep' END AS verdict
+FROM m
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "pipeline_decontaminate": pipeline_decontaminate,
+    "pipeline_pack_sequences": pipeline_pack_sequences,
+    "pipeline_sample_stratified": pipeline_sample_stratified,
+    "pipeline_repetition_score": pipeline_repetition_score,
+}
+
+ORACLES = {
+    "pipeline_decontaminate": PIPELINE_DECONTAMINATE_ORACLE,
+    "pipeline_pack_sequences": PIPELINE_PACK_ORACLE,
+    "pipeline_sample_stratified": PIPELINE_SAMPLE_ORACLE,
+    "pipeline_repetition_score": PIPELINE_REPETITION_ORACLE,
+}

@@ -8,10 +8,16 @@ import pytest
 import pytest as _pytest
 
 from mysqldatasynctool_spark.functions.multimodal import decode_image_real
-from mysqldatasynctool_spark.operators import dedup, multimodal, similarity, textops
+from mysqldatasynctool_spark.operators import (
+    dedup,
+    multimodal,
+    pipeline,
+    similarity,
+    textops,
+)
 from tests.conftest import assert_matches_oracle
 
-MODS = (textops, dedup, similarity, multimodal)
+MODS = (textops, dedup, similarity, multimodal, pipeline)
 CASES = [(mod, name) for mod in MODS for name in sorted(mod.ORACLES)]
 
 
