@@ -46,6 +46,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_pagination_page",
     "migration_stringify",
     "migration_compare_checksums",
+    "migration_row_diff",
     # dedup north star
     "dedup_exact_subset",
     "dedup_exact_text",
@@ -54,6 +55,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
+    "dedup_clusters",
     # similarity north star
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
@@ -76,6 +78,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_pack_sequences",
     "pipeline_sample_stratified",
     "pipeline_repetition_score",
+    "pipeline_mix_weights",
     # events / streaming batch twins
     "events_json_extract",
     "events_tumbling_window",
@@ -87,12 +90,9 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     # one representative per relational family
     "array_functions",
     "join_asof",
-    "join_range_nonequi",
     "agg_grouping_sets",
     "window_range_frame",
-    "window_topk_per_group",
     "setop_except_all",
-    "sql_cte_subqueries",
 )
 
 

@@ -208,5 +208,98 @@ ORDER BY table_name
 """
 
 
-QUERIES = {"migration_compare_checksums": migration_compare_checksums}
-ORACLES = {"migration_compare_checksums": _compare_oracle()}
+# --- row-level diff ------------------------------------------------------
+
+#: deterministic "drift" applied to the simulated destination copy
+DRIFT_DELETE_MOD = 1000   # rows missing from dest        -> "removed"
+DRIFT_UPDATE_MOD = 97     # rows with o_totalprice bumped -> "changed"
+DRIFT_INSERT_MOD = 777    # re-keyed extra rows in dest   -> "added"
+DRIFT_INSERT_OFFSET = 10_000_000
+
+_DIFF_COLS = [c for c, _ in _CHECK_TABLES["orders"]]
+
+
+def migration_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level drift detection — the incremental-sync upgrade of the
+    reference's table-level compare (compare.go:102-132): instead of a
+    per-table YES/NO verdict, emit WHICH primary keys differ and how
+    (added / removed / changed), which is exactly the worklist a
+    resync job needs.
+
+    The "destination" is a deterministically drifted view of the same
+    fixture (derived in both engines identically): pk%{delete} rows
+    missing, pk%{update} rows with o_totalprice bumped, pk%{insert}
+    rows re-keyed as inserts.
+
+    100 TB shape: each side collapses map-side to (pk, 60-bit digest)
+    BEFORE the full-outer join, so the shuffle carries ~24 bytes/row
+    regardless of row width, and the join co-partitions on pk. Two
+    scans + one slim join — the same cost envelope as the checksum
+    compare, but with an actionable row-level answer.
+    """
+    src = load(spark, sf_dir, "orders").select(*_DIFF_COLS)
+    bumped = F.when(
+        F.col("o_orderkey") % DRIFT_UPDATE_MOD == 0, F.col("o_totalprice") + 1.0
+    ).otherwise(F.col("o_totalprice"))
+    dest = (
+        src.filter(F.col("o_orderkey") % DRIFT_DELETE_MOD != 0)
+        .withColumn("o_totalprice", bumped)
+        .unionByName(
+            src.filter(F.col("o_orderkey") % DRIFT_INSERT_MOD == 3).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(DRIFT_INSERT_OFFSET)
+            )
+        )
+    )
+    s = src.select(F.col("o_orderkey").alias("pk"), row_digest(src).alias("sd"))
+    d = dest.select(F.col("o_orderkey").alias("pk"), row_digest(dest).alias("dd"))
+    status = (
+        F.when(F.col("sd").isNull(), "added")
+        .when(F.col("dd").isNull(), "removed")
+        .when(F.col("sd") != F.col("dd"), "changed")
+    )
+    return (
+        s.join(d, "pk", "full_outer")
+        .select(F.col("pk").alias("o_orderkey"), status.alias("diff_status"))
+        .filter(F.col("diff_status").isNotNull())
+        .orderBy("o_orderkey")
+    )
+
+
+def _row_diff_oracle() -> str:
+    cols = _CHECK_TABLES["orders"]
+    rep = "concat_ws('|', " + ", ".join(_duck_norm(c, t) for c, t in cols) + ")"
+    digest = f"CAST(concat('0x', substr(md5({rep}), 18, 15)) AS BIGINT)"
+    col_list = ", ".join(c for c, _ in cols)
+    return f"""
+WITH src AS (SELECT {col_list} FROM orders),
+dest AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % {DRIFT_UPDATE_MOD} = 0
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM src WHERE o_orderkey % {DRIFT_DELETE_MOD} <> 0
+  UNION ALL
+  SELECT o_orderkey + {DRIFT_INSERT_OFFSET}, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM src WHERE o_orderkey % {DRIFT_INSERT_MOD} = 3
+),
+s AS (SELECT o_orderkey AS pk, {digest} AS sd FROM src),
+d AS (SELECT o_orderkey AS pk, {digest} AS dd FROM dest)
+SELECT COALESCE(s.pk, d.pk) AS o_orderkey,
+       CASE WHEN sd IS NULL THEN 'added'
+            WHEN dd IS NULL THEN 'removed'
+            WHEN sd <> dd THEN 'changed' END AS diff_status
+FROM s FULL OUTER JOIN d ON s.pk = d.pk
+WHERE sd IS NULL OR dd IS NULL OR sd <> dd
+ORDER BY o_orderkey
+"""
+
+
+QUERIES = {
+    "migration_compare_checksums": migration_compare_checksums,
+    "migration_row_diff": migration_row_diff,
+}
+ORACLES = {
+    "migration_compare_checksums": _compare_oracle(),
+    "migration_row_diff": _row_diff_oracle(),
+}

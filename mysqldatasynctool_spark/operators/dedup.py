@@ -557,6 +557,110 @@ ORDER BY ida, idb
 """
 
 
+# --- duplicate-cluster resolution ---------------------------------------
+
+#: safety bound on label-propagation rounds; chain diameter in a
+#: near-dup graph is tiny (clusters are cliques-ish), and propagation
+#: halves remaining diameter per round — the loop exits on fixpoint
+CC_MAX_ROUNDS = 10
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    verified MinHash near-dup pairs, canonical doc = min doc_id per
+    component. Pair lists (dedup_minhash_lsh) answer "which docs are
+    similar"; a training-data pipeline needs "which ONE do I keep" —
+    that requires transitively closing the pairs (A~B, B~C => one
+    cluster {A,B,C}, keep A, drop B and C).
+
+    Algorithm: min-label propagation — comp(v) starts at v, each round
+    takes the min comp over v's neighbors, loop stops at fixpoint
+    (checked with a count per round; each round is ONE shuffle on id).
+    The edge set is localCheckpoint-pinned so the expensive LSH
+    lineage runs exactly once, and each round's frame is checkpointed
+    to keep lineage flat.
+
+    100 TB shape: this is the standard alternating-propagation CC on
+    DataFrames (same plan family GraphFrames uses); rounds ~
+    O(diameter) <= O(log n) for near-dup graphs, shuffle volume = 2
+    longs per edge per round — document text never enters the loop.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("ida", "idb")
+    edges = (
+        pairs.union(pairs.select(F.col("idb"), F.col("ida")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        msgs = edges.join(comp, F.col("src") == F.col("id")).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new = (
+            msgs.union(comp)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(comp.alias("o"), "id")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+            F.when(F.col("id") == F.col("comp"), "keep")
+            .otherwise("drop")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _clusters_oracle() -> str:
+    """Transitive closure via recursive CTE (test-scale: the closure
+    is quadratic in cluster size, fine for planted near-dup clusters),
+    then min-reachable-id as the cluster label."""
+    pair_query = _minhash_oracle().replace("ORDER BY ida, idb", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pair_query}),
+edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION
+  SELECT idb, ida FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (
+  SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id
+),
+sized AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+       CASE WHEN c.id = c.cluster_id THEN 'keep' ELSE 'drop' END AS verdict
+FROM comp c JOIN sized s USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_subset": dedup_exact_subset,
     "dedup_exact_text": dedup_exact_text,
@@ -565,6 +669,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
@@ -575,4 +680,5 @@ ORACLES = {
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_ORACLE,
     "dedup_embedding_lsh": _embedding_lsh_oracle(),
+    "dedup_clusters": _clusters_oracle(),
 }

@@ -282,11 +282,82 @@ ORDER BY doc_id
 """
 
 
+#: token budget one "epoch" of the mixture draws (production: the run
+#: config's target token count)
+MIX_TOKEN_BUDGET = 1_000_000_000
+
+
+def pipeline_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture weighting: per-source token mass and the
+    temperature-scaled sampling weight (T=2, i.e. share^(1/2)
+    renormalized — the standard multilingual/domain rebalancing that
+    upweights small sources), plus the per-epoch token allocation for
+    a fixed budget.
+
+    Engine-bit-exactness: sqrt outputs are quantized to DECIMAL(18,6)
+    before the normalizing SUM, so the denominator is an exact decimal
+    sum (order-insensitive) and every downstream double is derived
+    from identical inputs in both engines — the float-sum-order trap
+    the repo's oracle rules exist for.
+
+    100 TB shape: one scan with a map-side token count, an aggregation
+    to #sources rows, and a whole-frame window over those few rows.
+    The output is the config a sampler consumes; the heavy data never
+    shuffles.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(tokens_col(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    w_raw = F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(18,6)")
+    whole = W.partitionBy()
+    scaled = per.withColumn("w_raw", w_raw).withColumn(
+        "denom", F.sum("w_raw").over(whole)
+    ).withColumn("tot", F.sum("n_tokens").over(whole))
+    weight = F.col("w_raw").cast("double") / F.col("denom").cast("double")
+    return scaled.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot").cast("double")).alias(
+            "token_share"
+        ),
+        weight.alias("mix_weight"),
+        F.floor(weight * F.lit(MIX_TOKEN_BUDGET)).cast("long").alias(
+            "tokens_per_epoch"
+        ),
+    ).orderBy("source")
+
+
+PIPELINE_MIX_ORACLE = rf"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS w_raw FROM per
+),
+t AS (
+  SELECT *, SUM(w_raw) OVER () AS denom, SUM(n_tokens) OVER () AS tot FROM w
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS token_share,
+       CAST(w_raw AS DOUBLE) / CAST(denom AS DOUBLE) AS mix_weight,
+       CAST(FLOOR(CAST(w_raw AS DOUBLE) / CAST(denom AS DOUBLE)
+                  * {MIX_TOKEN_BUDGET}) AS BIGINT) AS tokens_per_epoch
+FROM t ORDER BY source
+"""
+
+
 QUERIES = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_sample_stratified": pipeline_sample_stratified,
     "pipeline_repetition_score": pipeline_repetition_score,
+    "pipeline_mix_weights": pipeline_mix_weights,
 }
 
 ORACLES = {
@@ -294,4 +365,5 @@ ORACLES = {
     "pipeline_pack_sequences": PIPELINE_PACK_ORACLE,
     "pipeline_sample_stratified": PIPELINE_SAMPLE_ORACLE,
     "pipeline_repetition_score": PIPELINE_REPETITION_ORACLE,
+    "pipeline_mix_weights": PIPELINE_MIX_ORACLE,
 }
