@@ -23,7 +23,6 @@ from pyspark.sql import SparkSession
 
 from .catalog import discover_parquet_tables
 from .config import SyncConfig
-from .operators.compare import compare_tables
 from .sources.fixtures import load
 from .sources.sinks import write_parquet
 
@@ -58,11 +57,15 @@ def migrate_directory(
 
     Returns (per-table reports, verdict DataFrame).
     """
+    from pyspark.sql import functions as F
+
     cfg = cfg or SyncConfig()
     discovered = tables or discover_parquet_tables(src_dir)
     todo = [t for t in discovered if t not in set(cfg.exclude)]
 
-    def copy_one(t: str) -> TableReport:
+    from .operators.compare import table_summary
+
+    def copy_one(t: str) -> tuple[TableReport, tuple | None]:
         t0 = time.monotonic()
         try:
             df = load(spark, src_dir, t)
@@ -73,21 +76,49 @@ def migrate_directory(
             # tests/test_jdbc_roundtrip.py; sampling boundaries for a
             # parquet copy would be a pure-waste shuffle.
             write_parquet(df, f"{dest_dir}/{t}.parquet")
-            # row count from the just-written dest: parquet counts are
-            # footer metadata — no second scan of the source
-            n = spark.read.parquet(f"{dest_dir}/{t}.parquet").count()
-            return TableReport(t, n, time.monotonic() - t0, True)
+            # verify INSIDE the copy thread, one job per table (src
+            # summary ∪ dest summary): each table's checksum scan
+            # overlaps the remaining tables' copies instead of running
+            # as a second serial phase after the last copy — at
+            # thousands-of-tables scale (the reference's regime) the
+            # verification phase disappears into the copy wall-clock.
+            # The dest-side count doubles as the report row count (no
+            # separate count() job).
+            dest_df = load(spark, dest_dir, t)
+            s, d = (
+                table_summary(df, t)
+                .withColumn("side", F.lit("src"))
+                .unionByName(table_summary(dest_df, t).withColumn("side", F.lit("dest")))
+                .collect()
+            )
+            if s.side != "src":
+                s, d = d, s
+            ok = s.cnt == d.cnt and s.checksum == d.checksum
+            vrow = (
+                t,
+                s.cnt,
+                d.cnt,
+                s.checksum,
+                d.checksum,
+                "YES",
+                "YES" if ok else "NO",
+            )
+            return TableReport(t, d.cnt, time.monotonic() - t0, True), vrow
         except Exception as exc:  # noqa: BLE001 — per-object failure accounting
-            return TableReport(t, 0, time.monotonic() - t0, False, str(exc))
+            return TableReport(t, 0, time.monotonic() - t0, False, str(exc)), None
 
-    # maxParallel bounds how many table copy JOBS are in flight at
-    # once (reference root.go:104-147); submission order is preserved
-    # in the report list regardless of completion order
+    # maxParallel bounds how many table copy+verify JOBS are in flight
+    # at once (reference root.go:104-147); submission order is
+    # preserved in the report list regardless of completion order
     with ThreadPoolExecutor(max_workers=min(cfg.max_parallel, max(1, len(todo)))) as pool:
-        reports = list(pool.map(copy_one, todo))
-    copied = [r.table for r in reports if r.ok]
+        results = list(pool.map(copy_one, todo))
+    reports = [r for r, _ in results]
+    vrows = [v for _, v in results if v is not None]
 
-    src_dfs = {t: load(spark, src_dir, t) for t in copied}
-    dest_dfs = {t: load(spark, dest_dir, t) for t in copied}
-    verdict = compare_tables(spark, src_dfs, dest_dfs)
+    schema = (
+        "table_name string, src_cnt long, dest_cnt long, "
+        "src_checksum decimal(38,0), dest_checksum decimal(38,0), "
+        "dest_is_exist string, is_ok string"
+    )
+    verdict = spark.createDataFrame(vrows, schema).orderBy("table_name")
     return reports, verdict
