@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    "dedup_paragraph_exact",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
     "similarity_ivf_pandas",
@@ -45,6 +46,8 @@ HEADLINE = [
     "text_quality_score",
     "text_token_count_bpe",
     "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "pipeline_global_shuffle",
 ]
 
 

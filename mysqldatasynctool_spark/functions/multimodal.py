@@ -89,3 +89,52 @@ def make_decode_batches(payload_col: str = "payload"):
             yield out[["doc_id", "n_bytes", "width", "height", "channels", "format"]]
 
     return _batches
+
+
+#: frame-sampling geometry: fixed-size "frames" of the binary payload,
+#: keeping every FRAME_STRIDE-th frame (a real video sampler keeps
+#: every k-th decoded frame; the byte-slice fake keeps the plumbing —
+#: per-frame fan-out rows, offsets, digests — oracle-checkable)
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, offset int, n_bytes int, digest string"
+
+
+def make_frame_sample_batches(
+    payload_col: str = "payload",
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+):
+    """Factory for the frame-sampling mapInPandas body: each payload
+    row fans out to one row per sampled frame (idx 0, stride,
+    2*stride, ... over the floor(n/frame_bytes) full frames), with the
+    frame's byte offset and content digest. Closure-factory pattern —
+    see make_decode_batches."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        cols = ["doc_id", "frame_idx", "offset", "n_bytes", "digest"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                n_frames = len(data) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    off = i * frame_bytes
+                    frame = data[off : off + frame_bytes]
+                    out.append(
+                        (
+                            int(doc_id),
+                            i,
+                            off,
+                            len(frame),
+                            hashlib.md5(frame).hexdigest(),
+                        )
+                    )
+            yield _pd.DataFrame(out, columns=cols)
+
+    return _batches

@@ -56,6 +56,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_clusters",
+    "dedup_paragraph_exact",
     # similarity north star
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
@@ -73,26 +74,27 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "multimodal_binary_meta",
     "multimodal_decode_features",
     "multimodal_size_partitioned",
+    "multimodal_frame_sample",
     # training-data pipeline ops
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "pipeline_sample_stratified",
     "pipeline_repetition_score",
     "pipeline_mix_weights",
-    # events / streaming batch twins
+    "pipeline_train_val_split",
+    "pipeline_global_shuffle",
+    # events / streaming batch twins (json_extract/sessionization/
+    # map_functions were red in round 1 — keep them in the window)
     "events_json_extract",
     "events_tumbling_window",
     "events_sliding_window",
     "events_sessionization",
     "events_map_functions",
-    "events_gap_fill",
-    "events_date_functions",
-    # one representative per relational family
+    # one representative per relational family (array_functions was a
+    # round-1 harness crash — keep it in the window)
     "array_functions",
     "join_asof",
     "agg_grouping_sets",
-    "window_range_frame",
-    "setop_except_all",
 )
 
 

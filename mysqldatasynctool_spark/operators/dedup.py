@@ -29,7 +29,7 @@ Scale story (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -652,6 +652,83 @@ ORDER BY doc_id
 """
 
 
+#: tokens per segment for paragraph-level dedup (the fixture text has
+#: no newlines, so fixed token windows stand in for paragraphs)
+SEGMENT_TOKENS = 20
+
+
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/segment-level exact dedup (the CCNet/RefinedWeb move:
+    drop repeated boilerplate *within* documents that survive doc-level
+    dedup). Each doc splits into 20-token segments; a segment instance
+    is a duplicate iff the same segment text occurred earlier in
+    corpus order (doc_id, seg_id). Per-doc report: segment counts +
+    duplicate ratio — the pipeline drops or rewrites docs above a
+    threshold.
+
+    100 TB shape: posexplode (map-side) → one shuffle keyed by
+    (doc, seg) to build segment text → one shuffle keyed by the
+    16-byte segment digest for first-occurrence ranking (text itself
+    is dropped before that shuffle — only (digest, doc_id, seg_id)
+    rows move) → per-doc agg. No joins, no quadratic step anywhere.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
+    ).withColumn("seg_id", (F.col("pos") / SEGMENT_TOKENS).cast("int"))
+    segs = tok.groupBy("doc_id", "seg_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                    lambda s: s.getField("t"),
+                ),
+                " ",
+            )
+        ).alias("h")
+    )
+    w = W.partitionBy("h").orderBy("doc_id", "seg_id")
+    marked = segs.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("int")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("is_dup").alias("n_dup_segments"),
+            F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_PARAGRAPH_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, u.t, u.pos - 1 AS pos
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  ), LATERAL (SELECT unnest(toks) AS t, generate_subscripts(toks, 1) AS pos) u
+),
+segs AS (
+  SELECT doc_id,
+         CAST(floor(pos / {SEGMENT_TOKENS}) AS INT) AS seg_id,
+         md5(string_agg(t, ' ' ORDER BY pos)) AS h
+  FROM tok GROUP BY doc_id, CAST(floor(pos / {SEGMENT_TOKENS}) AS INT)
+),
+marked AS (
+  SELECT doc_id,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, seg_id) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM segs
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_segments,
+       ROUND(SUM(is_dup) * 1.0 / COUNT(*), 6) AS dup_ratio
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_subset": dedup_exact_subset,
     "dedup_exact_text": dedup_exact_text,
@@ -661,6 +738,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_clusters": dedup_clusters,
+    "dedup_paragraph_exact": dedup_paragraph_exact,
 }
 
 ORACLES = {
@@ -672,4 +750,5 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_ORACLE,
     "dedup_embedding_lsh": _embedding_lsh_oracle(),
     "dedup_clusters": _clusters_oracle(),
+    "dedup_paragraph_exact": DEDUP_PARAGRAPH_ORACLE,
 }

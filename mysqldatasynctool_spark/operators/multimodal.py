@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.multimodal import DECODE_SCHEMA, make_decode_batches
+from ..functions.multimodal import (
+    DECODE_SCHEMA,
+    FRAME_BYTES,
+    FRAME_SCHEMA,
+    FRAME_STRIDE,
+    make_decode_batches,
+    make_frame_sample_batches,
+)
 from ..sources.fixtures import load
 
 
@@ -98,14 +105,51 @@ ORDER BY size_bucket_100b
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-shaped payloads: every payload fans
+    out to one row per sampled fixed-size frame (every 4th of its
+    64-byte frames) with offset + content digest — the row-expansion
+    shape of real video pipelines (decode k-th frame only). The byte
+    slicer is the deterministic codec stand-in; the SQL oracle
+    replicates the slicing, verifying fan-out row alignment, offsets,
+    and per-frame digests end-to-end through mapInPandas.
+
+    100 TB shape: pure map-side fan-out — no shuffle at all; output
+    rows carry a 32-char digest, not the frame bytes, so downstream
+    joins stay slim. Real decoders drop in at the closure swap point
+    (functions/multimodal.py)."""
+    payloads = _with_payload(spark, sf_dir).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        make_frame_sample_batches(), schema=FRAME_SCHEMA
+    ).orderBy("doc_id", "frame_idx")
+
+
+MULTIMODAL_FRAME_ORACLE = f"""
+-- fixture text is pure ASCII, so VARCHAR slicing == byte slicing and
+-- md5(substring(text,...)) == md5 of the frame bytes
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * {FRAME_BYTES} AS INT) AS offset,
+       CAST({FRAME_BYTES} AS INT) AS n_bytes,
+       md5(substring(text, CAST(i * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES})) AS digest
+FROM documents,
+     LATERAL (
+       SELECT unnest(range(0, CAST(floor(octet_length(CAST(text AS BLOB)) / {FRAME_BYTES}) AS BIGINT), {FRAME_STRIDE})) AS i
+     )
+ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_size_partitioned": multimodal_size_partitioned,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
     "multimodal_binary_meta": MULTIMODAL_BINARY_META_ORACLE,
     "multimodal_decode_features": MULTIMODAL_DECODE_ORACLE,
     "multimodal_size_partitioned": MULTIMODAL_SIZE_ORACLE,
+    "multimodal_frame_sample": MULTIMODAL_FRAME_ORACLE,
 }

@@ -352,12 +352,102 @@ FROM t ORDER BY source
 """
 
 
+#: md5-mod bins for the split; <90 train, <95 val, else test
+SPLIT_BINS, SPLIT_TRAIN, SPLIT_VAL = 100, 90, 95
+#: output shards for the deterministic global shuffle (production:
+#: one shard per output file — thousands; 32 keeps fixture plans small)
+SHUFFLE_SHARDS = 32
+
+
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash:
+    bucket = 60-bit md5(doc_id) mod 100 → 90/5/5. Hash-based (not
+    random()) so the split is reproducible across runs, engines, and
+    re-partitions — the property an LLM data pipeline needs to avoid
+    silent train/eval leakage when data is re-ingested.
+
+    100 TB shape: one map-side expression + a 3-group aggregate; no
+    shuffle wider than the final 3 rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = _md5_mod(F.col("doc_id"), SPLIT_BINS)
+    split = (
+        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+PIPELINE_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT CASE WHEN {_duck_md5_mod('doc_id', SPLIT_BINS)} < {SPLIT_TRAIN} THEN 'train'
+              WHEN {_duck_md5_mod('doc_id', SPLIT_BINS)} < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY split ORDER BY split
+"""
+
+
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order assignment:
+    shard = md5(doc_id) mod 32, position = rank of md5 hex within the
+    shard. Reproducible (no random()), uniform (md5), and
+    shuffle-write-shaped: at 100 TB this is exactly a write bucketed
+    by shard with a per-shard local sort — one shuffle keyed by shard,
+    per-shard sort bounded by shard size (Spark's ExternalSorter
+    spills, never OOMs), no global ordering anywhere.
+    """
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    shuffled = docs.select(
+        "doc_id",
+        _md5_mod(F.col("doc_id"), SHUFFLE_SHARDS).alias("shard"),
+        key.alias("sort_key"),
+    )
+    w = W.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (
+        shuffled.withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        # no trailing global orderBy: output is one row per document —
+        # at corpus scale a global sort here would be the most
+        # expensive stage for zero semantic gain (rows already arrive
+        # shard-clustered and pos-ordered from the window)
+    )
+
+
+PIPELINE_SHUFFLE_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_duck_md5_mod('doc_id', SHUFFLE_SHARDS)} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM documents
+)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS pos
+FROM s
+"""
+
+
 QUERIES = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_sample_stratified": pipeline_sample_stratified,
     "pipeline_repetition_score": pipeline_repetition_score,
     "pipeline_mix_weights": pipeline_mix_weights,
+    "pipeline_train_val_split": pipeline_train_val_split,
+    "pipeline_global_shuffle": pipeline_global_shuffle,
 }
 
 ORACLES = {
@@ -366,4 +456,6 @@ ORACLES = {
     "pipeline_sample_stratified": PIPELINE_SAMPLE_ORACLE,
     "pipeline_repetition_score": PIPELINE_REPETITION_ORACLE,
     "pipeline_mix_weights": PIPELINE_MIX_ORACLE,
+    "pipeline_train_val_split": PIPELINE_SPLIT_ORACLE,
+    "pipeline_global_shuffle": PIPELINE_SHUFFLE_ORACLE,
 }

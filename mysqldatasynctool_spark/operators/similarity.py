@@ -261,23 +261,28 @@ ORDER BY label, dim
 """
 
 
-def similarity_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ivf_pandas(
+    spark: SparkSession, sf_dir: str, probes: int = 1
+) -> DataFrame:
     """IVF-style ANN via a vectorized Pandas UDF (the numpy scale
     path the brief calls for): coarse cells are seeded by every 100th
     vector; each partition assigns its vectors to the nearest cell
     with ONE numpy matmul per Arrow batch; queries then search only
-    their own cell.
+    their ``probes`` nearest cells (probes=1: own cell only).
 
     100 TB shape: the broadcast centroid matrix is tiny; assignment is
     a linear scan at matmul speed that also emits each vector's norm
     (ONE numpy linalg.norm per Arrow batch — never recomputed later);
     the shuffle key is the cell id, and search is a cogrouped
-    applyInPandas doing one queries x corpus matmul per cell — no
-    interpreted per-pair dot anywhere on this path (multi-probe = also
-    scan the runner-up cell, same plumbing). Rows-only driver check
+    applyInPandas doing one queries x corpus matmul per cell.
+    Multi-probe is the recall/cost knob: each query row explodes to
+    its ``probes`` nearest cells (scan volume scales linearly with
+    probes), and a final per-query window merges the per-cell
+    candidates — with probes=1 that window sees exactly the per-cell
+    top-k, so the default output is unchanged. Rows-only driver check
     (numpy's reduction order differs from SQL engines'); the pytest
-    gate verifies assignments against an in-Spark argmin and recall
-    > 0 vs brute force.
+    gate verifies assignments against an in-Spark argmin, recall > 0
+    vs brute force, and that probes=2 recall >= probes=1 recall.
     """
     import numpy as np
 
@@ -289,6 +294,7 @@ def similarity_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_ids = spark.sparkContext.broadcast(cent_ids)
     b_mat = spark.sparkContext.broadcast(cent_mat)
     b_norms = spark.sparkContext.broadcast(cent_norms)
+    n_probe = max(1, min(probes, len(cent_ids)))
 
     def make_assign():
         def _assign(batches):
@@ -300,22 +306,39 @@ def similarity_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vecs = _np.stack(pdf["v"].to_numpy())
                 vnorms = _np.linalg.norm(vecs, axis=1)
                 sims = (vecs @ mat.T) / (vnorms[:, None] * norms[None, :])
-                best = sims.argmax(axis=1)
+                # top-probes cells per vector, nearest first (cells[0]
+                # is the assignment cell; the rest are probe targets)
+                top = _np.argsort(-sims, axis=1)[:, :n_probe]
                 yield _pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"].values,
                         "v": pdf["v"].values,
                         "vnorm": vnorms,
-                        "cell": [ids[i] for i in best],
+                        "cells": [[ids[i] for i in row] for row in top],
                     }
                 )
 
         return _assign
 
-    assigned = emb.select("vec_id", "v").mapInPandas(
-        make_assign(), schema="vec_id long, v array<double>, vnorm double, cell long"
+    with_cells = emb.select("vec_id", "v").mapInPandas(
+        make_assign(),
+        schema="vec_id long, v array<double>, vnorm double, cells array<long>",
     )
-    queries = assigned.filter(F.col("vec_id") % 50 == 0)
+    # corpus vectors live in their single assignment cell; query rows
+    # fan out to every probed cell. The query side is re-aliased
+    # (fresh expression ids) because both cogroup inputs derive from
+    # the same frame: with shared expr-ids, downstream column pruning
+    # dedups the right child against the left and strips every column
+    # but the grouping key from the query-side pandas frame.
+    assigned = with_cells.select(
+        "vec_id", "v", "vnorm", F.element_at("cells", 1).alias("cell")
+    )
+    queries = with_cells.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+        F.explode("cells").alias("cell"),
+    )
     top_k = TOP_K
 
     def make_score():
@@ -328,13 +351,13 @@ def similarity_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return _pd.DataFrame(columns=cols)
             cmat = _np.stack(corpus_pdf["v"].to_numpy())
             cn = corpus_pdf["vnorm"].to_numpy()
-            qmat = _np.stack(q_pdf["v"].to_numpy())
-            qn = q_pdf["vnorm"].to_numpy()
+            qmat = _np.stack(q_pdf["qv"].to_numpy())
+            qn = q_pdf["qnorm"].to_numpy()
             sims = _np.round((qmat @ cmat.T) / (qn[:, None] * cn[None, :]), 6)
             cids = corpus_pdf["vec_id"].to_numpy()
             cell = int(corpus_pdf["cell"].iloc[0])
             out = []
-            for qi, qid in enumerate(q_pdf["vec_id"].to_numpy()):
+            for qi, qid in enumerate(q_pdf["qid"].to_numpy()):
                 mask = cids != qid
                 ids_m, sims_m = cids[mask], sims[qi][mask]
                 # ties broken by ascending neighbor id, matching the
@@ -346,13 +369,21 @@ def similarity_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return _score
 
-    return (
+    candidates = (
         assigned.groupBy("cell")
         .cogroup(queries.groupBy("cell"))
         .applyInPandas(
             make_score(),
             schema="qid long, cell long, neighbor_id long, cosine double, rank int",
         )
+    )
+    # merge per-cell candidate lists into the global per-query top-k
+    # (probes * top_k candidate rows per query — tiny); with probes=1
+    # this re-rank reproduces the in-cell ranks exactly
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
         .orderBy("qid", "rank")
     )
 

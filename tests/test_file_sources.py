@@ -9,8 +9,10 @@ from mysqldatasynctool_spark.sources.files import (
     CORRUPT_COL,
     read_csv,
     read_jsonl,
+    read_orc,
     write_csv,
     write_jsonl,
+    write_orc,
 )
 from mysqldatasynctool_spark.sources.fixtures import load
 
@@ -39,6 +41,23 @@ def test_jsonl_roundtrip(spark, tmp_path):
     write_jsonl(nation, path)
     back = read_jsonl(spark, path, NATION_SCHEMA).drop(CORRUPT_COL)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip preserves values AND the scan honors predicate
+    pushdown / column pruning like parquet."""
+    orders = load(spark, SF, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert dict(back.dtypes) == dict(orders.dtypes)
+    q = back.filter(F.col("o_orderkey") < 100).select("o_orderkey", "o_totalprice")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+    expect = orders.filter(F.col("o_orderkey") < 100).select("o_orderkey", "o_totalprice")
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, expect.collect()))
 
 
 def test_corrupt_records_quarantined_not_dropped(spark, tmp_path):

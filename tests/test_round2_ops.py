@@ -67,6 +67,100 @@ def test_clusters_consistent_with_pairs(spark):
         assert sizes[cid] == len(ms)
 
 
+def test_paragraph_dedup_planted_dups_detected(spark):
+    """Planted near-duplicate docs share 20-token segments verbatim,
+    so segment-level dedup must flag a nonzero duplicate ratio
+    somewhere, dup counts must never exceed segment counts, and the
+    corpus-wide first occurrence of every segment must be kept
+    (sum of dups < sum of segments)."""
+    rows = dedup.QUERIES["dedup_paragraph_exact"](spark, SF_DIR).collect()
+    assert rows
+    assert all(0 <= r.n_dup_segments <= r.n_segments for r in rows)
+    assert any(r.n_dup_segments > 0 for r in rows), "no duplicate segments found"
+    assert sum(r.n_dup_segments for r in rows) < sum(r.n_segments for r in rows)
+
+
+def test_train_val_split_deterministic_and_complete(spark):
+    rows = pipeline.QUERIES["pipeline_train_val_split"](spark, SF_DIR).collect()
+    by_split = {r.split: r.n_docs for r in rows}
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert sum(by_split.values()) == n_docs, "split must partition the corpus"
+    assert set(by_split) == {"train", "val", "test"}
+    # 90/5/5 within hash noise
+    assert by_split["train"] > by_split["val"]
+    assert by_split["train"] > by_split["test"]
+    again = {
+        r.split: r.n_docs
+        for r in pipeline.QUERIES["pipeline_train_val_split"](spark, SF_DIR).collect()
+    }
+    assert again == by_split, "hash split must be reproducible"
+
+
+def test_global_shuffle_is_permutation(spark):
+    rows = pipeline.QUERIES["pipeline_global_shuffle"](spark, SF_DIR).collect()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs, "must be a permutation"
+    # positions are contiguous 1..size within each shard
+    shards: dict[int, list[int]] = {}
+    for r in rows:
+        shards.setdefault(r.shard, []).append(r.pos)
+    assert len(shards) > 1
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # not the identity order: hash shuffling must actually reorder
+    first_shard = sorted(shards)[0]
+    docs_in_order = [
+        r.doc_id for r in sorted(rows, key=lambda r: (r.shard, r.pos))
+    ]
+    assert docs_in_order != sorted(docs_in_order)
+
+
+def test_frame_sample_geometry(spark):
+    """Fan-out must follow the frame geometry exactly: every 4th
+    64-byte frame of each payload, offsets aligned, digests unique per
+    distinct content."""
+    from mysqldatasynctool_spark.functions.multimodal import FRAME_BYTES, FRAME_STRIDE
+    from mysqldatasynctool_spark.operators import multimodal
+
+    rows = multimodal.QUERIES["multimodal_frame_sample"](spark, SF_DIR).collect()
+    assert rows
+    lens = {
+        r.doc_id: r.n_chars
+        for r in load(spark, SF_DIR, "documents").select("doc_id", "n_chars").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.offset == r.frame_idx * FRAME_BYTES
+        assert r.frame_idx % FRAME_STRIDE == 0
+        assert r.n_bytes == FRAME_BYTES
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc_id, idxs in by_doc.items():
+        n_frames = lens[doc_id] // FRAME_BYTES
+        assert sorted(idxs) == list(range(0, n_frames, FRAME_STRIDE))
+
+
+def test_ivf_multiprobe_recall_not_worse(spark):
+    """probes=2 scans a superset of cells per query, so its hit set
+    vs the exact brute-force top-k must be at least as large."""
+    from mysqldatasynctool_spark.operators import similarity
+
+    exact = {
+        (r.qid, r.neighbor_id)
+        for r in similarity.QUERIES["similarity_topk_bruteforce"](spark, SF_DIR).collect()
+    }
+    p1 = {
+        (r.qid, r.neighbor_id)
+        for r in similarity.similarity_ivf_pandas(spark, SF_DIR, probes=1).collect()
+    }
+    p2 = {
+        (r.qid, r.neighbor_id)
+        for r in similarity.similarity_ivf_pandas(spark, SF_DIR, probes=2).collect()
+    }
+    assert len(p2 & exact) >= len(p1 & exact)
+    assert len(p1 & exact) >= 1
+
+
 def test_mix_weights_normalize(spark):
     rows = pipeline.QUERIES["pipeline_mix_weights"](spark, SF_DIR).collect()
     assert len(rows) > 1
