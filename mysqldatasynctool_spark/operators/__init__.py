@@ -87,7 +87,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     # map_functions were red in round 1 — keep them in the window)
     "events_json_extract",
     "events_tumbling_window",
-    "events_sliding_window",
+    "events_funnel_join",
     "events_sessionization",
     "events_map_functions",
     # one representative per relational family (array_functions was a

@@ -295,6 +295,85 @@ ORDER BY event_id
 """
 
 
+#: funnel window: a purchase "converts" a click within this interval
+FUNNEL_MINUTES = 10
+
+
+def events_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel: per user, every (click, purchase) pair
+    where the purchase follows the click within 10 minutes — the batch
+    twin of the STREAM-STREAM interval join in
+    streaming/jobs.py::streaming_funnel_join (same predicate, plus
+    watermarks). Per-user conversion pair counts + median-free lag
+    stats keep the output compact.
+
+    100 TB shape: equi-join on user_id (the shuffle key) with the
+    time-interval predicate evaluated post-match — exactly how Spark
+    executes the streaming version, where the watermark bounds the
+    join state to the interval.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {FUNNEL_MINUTES} MINUTES")
+        ),
+    )
+    lag_s = F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.countDistinct("click_id").alias("n_clicks_converted"),
+            F.min(lag_s).alias("min_lag_s"),
+            F.max(lag_s).alias("max_lag_s"),
+            F.sum(lag_s).alias("total_lag_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_FUNNEL_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c.user_id, c.click_id,
+         CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+           - CAST(floor(epoch(c.click_ts)) AS BIGINT) AS lag_s
+  FROM c JOIN p
+    ON p.user_id = c.user_id
+   AND p.purchase_ts > c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL {FUNNEL_MINUTES} MINUTE
+)
+SELECT user_id,
+       COUNT(*) AS n_conversions,
+       COUNT(DISTINCT click_id) AS n_clicks_converted,
+       CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+       CAST(MAX(lag_s) AS BIGINT) AS max_lag_s,
+       CAST(SUM(lag_s) AS BIGINT) AS total_lag_s
+FROM pairs GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_json_extract": events_json_extract,
     "events_tumbling_window": events_tumbling_window,
@@ -303,6 +382,7 @@ QUERIES = {
     "events_map_functions": events_map_functions,
     "events_gap_fill": events_gap_fill,
     "events_date_functions": events_date_functions,
+    "events_funnel_join": events_funnel_join,
 }
 
 ORACLES = {
@@ -313,4 +393,5 @@ ORACLES = {
     "events_sliding_window": EVENTS_SLIDING_ORACLE,
     "events_sessionization": EVENTS_SESSIONIZATION_ORACLE,
     "events_date_functions": EVENTS_DATE_FUNCTIONS_ORACLE,
+    "events_funnel_join": EVENTS_FUNNEL_ORACLE,
 }

@@ -5,6 +5,7 @@ from .jobs import (
     streaming_session_windows,
     streaming_dedup_within_watermark,
     streaming_stateful_user_counts,
+    streaming_funnel_join,
     streaming_static_enrichment,
     run_to_memory_sink,
     foreach_batch_parquet_sink,
@@ -17,6 +18,7 @@ __all__ = [
     "streaming_session_windows",
     "streaming_dedup_within_watermark",
     "streaming_stateful_user_counts",
+    "streaming_funnel_join",
     "streaming_static_enrichment",
     "run_to_memory_sink",
     "foreach_batch_parquet_sink",

@@ -163,6 +163,48 @@ def streaming_stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_funnel_join(
+    clicks: DataFrame, purchases: DataFrame, minutes: int = 10
+) -> DataFrame:
+    """STREAM-STREAM interval join (the batch twin is
+    operators/events.py::events_funnel_join): click and purchase
+    streams join per user when the purchase lands within ``minutes``
+    of the click.
+
+    State semantics at scale: both sides carry watermarks, and the
+    time-interval predicate (`purchase_ts` between `click_ts` and
+    `click_ts + interval`) lets Spark bound each side's join state —
+    clicks older than watermark - interval and purchases older than
+    watermark are evicted instead of accumulating forever. Without the
+    interval bound a stream-stream join must keep ALL history; this
+    form is the production-safe one.
+    """
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{minutes * 2} minutes")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{minutes * 2} minutes")
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {minutes} MINUTES")),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
 def streaming_static_enrichment(
     events: DataFrame, dim: DataFrame, on: str = "region_key"
 ) -> DataFrame:

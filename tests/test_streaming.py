@@ -109,6 +109,37 @@ def test_stream_static_enrichment(spark):
     assert out.select("r_name").distinct().count() == 5
 
 
+def test_stream_stream_funnel_join_matches_batch_twin(spark):
+    """The stream-stream interval join must produce exactly the pairs
+    the batch twin's join produces (watermarks only bound state; with
+    bounded input and processAllAvailable nothing is dropped)."""
+    from mysqldatasynctool_spark.streaming import streaming_funnel_join
+
+    clicks = read_events_stream(spark, SF)
+    purchases = read_events_stream(spark, SF)
+    out = run_to_memory_sink(
+        streaming_funnel_join(clicks, purchases), "t_funnel"
+    )
+    ev = ev_ops.load(spark, SF, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expect = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    got = _rows(out, ["click_id", "purchase_id"])
+    want = _rows(expect, ["click_id", "purchase_id"])
+    assert got and got == want
+
+
 def test_foreach_batch_sink_roundtrip(spark, tmp_path):
     dest = str(tmp_path / "sink")
     stream = read_events_stream(spark, SF).select("event_id", "user_id", "event_type")
