@@ -93,8 +93,9 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     # one representative per relational family (array_functions was a
     # round-1 harness crash — keep it in the window)
     "array_functions",
-    "join_asof",
-    "agg_grouping_sets",
+    # Python UDF surface (UDAF + UDTF as driver-checked queries)
+    "udf_grouped_agg_pandas",
+    "udf_udtf_windows",
 )
 
 
@@ -112,6 +113,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         setops,
         similarity,
         textops,
+        udfs,
         windows,
     )
 
@@ -130,6 +132,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         textops,
         multimodal,
         pipeline,
+        udfs,
     ):
         q = getattr(mod, "QUERIES", {})
         o = getattr(mod, "ORACLES", {})
