@@ -63,7 +63,9 @@ def migrate_directory(
     discovered = tables or discover_parquet_tables(src_dir)
     todo = [t for t in discovered if t not in set(cfg.exclude)]
 
-    from .operators.compare import table_summary
+    from pyspark.sql import Observation
+
+    from .operators.compare import row_digest, table_summary
 
     def copy_one(t: str) -> tuple[TableReport, tuple | None]:
         t0 = time.monotonic()
@@ -75,30 +77,36 @@ def migrate_directory(
             # boundaries=sample_boundaries(...))) as exercised by
             # tests/test_jdbc_roundtrip.py; sampling boundaries for a
             # parquet copy would be a pure-waste shuffle.
-            write_parquet(df, f"{dest_dir}/{t}.parquet")
-            # verify INSIDE the copy thread, one job per table (src
-            # summary ∪ dest summary): each table's checksum scan
-            # overlaps the remaining tables' copies instead of running
-            # as a second serial phase after the last copy — at
-            # thousands-of-tables scale (the reference's regime) the
-            # verification phase disappears into the copy wall-clock.
-            # The dest-side count doubles as the report row count (no
-            # separate count() job).
-            dest_df = load(spark, dest_dir, t)
-            s, d = (
-                table_summary(df, t)
-                .withColumn("side", F.lit("src"))
-                .unionByName(table_summary(dest_df, t).withColumn("side", F.lit("dest")))
-                .collect()
+            #
+            # The SOURCE-side count+checksum piggybacks on the copy
+            # scan via observe(): the write action computes them in
+            # passing, so the source is scanned exactly once per
+            # table. At 100 TB that one saved re-scan IS the
+            # source-side verification cost.
+            obs = Observation(f"src_summary_{t}")
+            observed = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("cnt"),
+                F.coalesce(
+                    F.sum(row_digest(df)), F.lit(0).cast("decimal(38,0)")
+                ).alias("checksum"),
             )
-            if s.side != "src":
-                s, d = d, s
-            ok = s.cnt == d.cnt and s.checksum == d.checksum
+            write_parquet(observed, f"{dest_dir}/{t}.parquet")
+            src_cnt, src_sum = obs.get["cnt"], obs.get["checksum"]
+            # dest-side verify INSIDE the copy thread, one job per
+            # table: each table's checksum scan overlaps the remaining
+            # tables' copies instead of running as a second serial
+            # phase — at thousands-of-tables scale (the reference's
+            # regime) verification disappears into the copy
+            # wall-clock. The dest count doubles as the report row
+            # count (no separate count() job).
+            d = table_summary(load(spark, dest_dir, t), t).collect()[0]
+            ok = src_cnt == d.cnt and src_sum == d.checksum
             vrow = (
                 t,
-                s.cnt,
+                src_cnt,
                 d.cnt,
-                s.checksum,
+                src_sum,
                 d.checksum,
                 "YES",
                 "YES" if ok else "NO",
