@@ -156,8 +156,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc, shingle) row — an array-projection formulation is tempting
     # but CollapseProject inlines the hash array into every array_min
     # consumer, multiplying the md5 work 8x (measured 5x slower); the
-    # Aggregate boundary below pins the hash to a single evaluation
-    sh_rows = _shingle_table(spark, sf_dir)
+    # Aggregate boundary below pins the hash to a single evaluation.
+    # The shingle subtree (split + posexplode + window + distinct) is
+    # referenced FOUR times downstream (signatures, sizes, both
+    # verify sides) — checkpoint it so it runs once (measured ~2x on
+    # the whole query; same stage-boundary argument as `cand` below)
+    sh_rows = _shingle_table(spark, sf_dir).localCheckpoint(eager=True)
     hashed = sh_rows.select(
         "doc_id",
         F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("h1"),
@@ -217,7 +221,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("sz", "szb")
     )
     sha = sh_rows.select(F.col("doc_id").alias("ida"), "sh")
-    shb = sh_rows.select(F.col("doc_id").alias("idb"), "sh")
+    # the b-side only needs shingles of candidate docs — semi-join on
+    # the (broadcast, tiny) candidate id set BEFORE the wide (idb, sh)
+    # equi-join so non-candidate docs never enter that shuffle
+    shb = sh_rows.select(F.col("doc_id").alias("idb"), "sh").join(
+        F.broadcast(cand.select("idb").distinct()), "idb", "semi"
+    )
     n_inter = (
         sha.join(F.broadcast(cand), "ida")
         .join(shb, ["idb", "sh"])
