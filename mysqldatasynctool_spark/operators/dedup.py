@@ -681,7 +681,12 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is dropped before that shuffle — only (digest, doc_id, seg_id)
     rows move) → per-doc agg. No joins, no quadratic step anywhere.
     """
-    docs = load(spark, sf_dir, "documents")
+    return paragraph_dedup_report(load(spark, sf_dir, "documents"))
+
+
+def paragraph_dedup_report(docs: DataFrame) -> DataFrame:
+    """Core of ``dedup_paragraph_exact`` over any (doc_id, text)
+    frame — separated so edge-case corpora can be tested directly."""
     tok = docs.select(
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
     ).withColumn("seg_id", (F.col("pos") / SEGMENT_TOKENS).cast("int"))

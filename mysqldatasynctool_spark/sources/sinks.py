@@ -29,9 +29,25 @@ def effective_batch_size(batch_row_size: int, n_cols: int) -> int:
     return max(1, min(cap, batch_row_size))
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Columnar sink used by tests and as a staging target."""
-    df.write.mode(mode).parquet(path)
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Columnar sink used by tests and as a staging target.
+
+    ``partition_by`` writes a hive-partitioned layout (one directory
+    per value): at warehouse scale this is what makes partition
+    pruning work — a reader filtering on the partition column scans
+    only matching directories (PartitionFilters in the scan node,
+    verified in tests/test_file_sources.py). Choose low-cardinality
+    columns; one directory per value means a high-cardinality key
+    produces millions of tiny files."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
 
 
 def write_jdbc(

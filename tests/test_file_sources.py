@@ -60,6 +60,23 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert sorted(map(tuple, q.collect())) == sorted(map(tuple, expect.collect()))
 
 
+def test_partitioned_parquet_prunes_directories(spark, tmp_path):
+    """A hive-partitioned write must let the reader prune partitions:
+    the scan's PartitionFilters carry the predicate and the row count
+    matches a plain filter."""
+    from mysqldatasynctool_spark.sources.sinks import write_parquet
+
+    docs = load(spark, SF, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, path, partition_by=["lang"])
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan and "(lang" in plan
+    assert q.count() == docs.filter(F.col("lang") == "en").count()
+    assert back.count() == docs.count()
+
+
 def test_corrupt_records_quarantined_not_dropped(spark, tmp_path):
     p = tmp_path / "bad.jsonl"
     p.write_text(

@@ -80,6 +80,30 @@ def test_paragraph_dedup_planted_dups_detected(spark):
     assert sum(r.n_dup_segments for r in rows) < sum(r.n_segments for r in rows)
 
 
+def test_paragraph_dedup_constructed_corpus(spark):
+    """Hand-built corpus with known segment structure: identical docs
+    dup against the earliest doc_id; partial (<20-token) segments
+    still count; unique docs have zero dups."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),          # 1 partial segment
+            (1, "a b c"),          # identical -> its segment is a dup
+            (2, "x y z"),          # unique
+            (3, " ".join(str(i) for i in range(45))),  # 3 segments (20+20+5)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup.paragraph_dedup_report(docs).collect()
+    }
+    assert rows[0].n_segments == 1 and rows[0].n_dup_segments == 0
+    assert rows[1].n_segments == 1 and rows[1].n_dup_segments == 1
+    assert rows[1].dup_ratio == 1.0
+    assert rows[2].n_segments == 1 and rows[2].n_dup_segments == 0
+    assert rows[3].n_segments == 3 and rows[3].n_dup_segments == 0
+
+
 def test_train_val_split_deterministic_and_complete(spark):
     rows = pipeline.QUERIES["pipeline_train_val_split"](spark, SF_DIR).collect()
     by_split = {r.split: r.n_docs for r in rows}
