@@ -51,7 +51,13 @@ def cmd_migrate(args) -> int:
     cfg = load_config(args.config) if args.config else SyncConfig()
     spark = get_spark(app_name="migrate")
     t0 = time.monotonic()
-    reports, verdict = migrate_directory(spark, args.src_dir, args.dest_dir, cfg=cfg)
+    reports, verdict = migrate_directory(
+        spark,
+        args.src_dir,
+        args.dest_dir,
+        cfg=cfg,
+        resume=getattr(args, "resume", False),
+    )
     rows = [
         (r.table, r.rows, f"{r.elapsed_s:.3f}s", "OK" if r.ok else f"FAILED: {r.error}")
         for r in reports
@@ -135,6 +141,11 @@ def main(argv: list[str] | None = None) -> int:
     }
 
     pm = sub.add_parser("migrate", help="full migration (the reference's default command)")
+    pm.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip tables whose destination already checksum-matches",
+    )
     pc = sub.add_parser("compareDb", help="count+checksum compare of src vs dest")
     pt = sub.add_parser("createTable", help="emit DDL replication statements")
     pt.add_argument("-t", "--print-only", action="store_true", help="DDL only (reference -t)")

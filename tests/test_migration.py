@@ -264,6 +264,42 @@ def test_migrate_directory_roundtrip(spark, tmp_path):
     assert all(r.src_cnt == r.dest_cnt for r in rows.values())
 
 
+def test_migrate_resume_skips_verified_tables(spark, tmp_path):
+    """resume=True must leave verified destinations untouched (file
+    mtimes unchanged), restore missing ones, and end fully verified."""
+    import os
+    import shutil
+    import time as _time
+
+    dest = str(tmp_path / "dest")
+    tabs = ["region", "nation", "orders"]
+    reports, verdict = migrate_directory(
+        spark, "/root/testdata/sf0.001", dest, tables=tabs
+    )
+    assert all(r.is_ok == "YES" for r in verdict.collect())
+
+    def mtimes(table):
+        d = f"{dest}/{table}.parquet"
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {t: mtimes(t) for t in ["region", "nation"]}
+    shutil.rmtree(f"{dest}/orders.parquet")  # simulate a failed table
+    _time.sleep(0.05)
+
+    reports2, verdict2 = migrate_directory(
+        spark, "/root/testdata/sf0.001", dest, tables=tabs, resume=True
+    )
+    assert all(r.ok for r in reports2)
+    assert all(r.is_ok == "YES" for r in verdict2.collect())
+    for t in ["region", "nation"]:
+        assert mtimes(t) == before[t], f"{t} was rewritten on resume"
+    assert os.path.isdir(f"{dest}/orders.parquet"), "missing table not restored"
+
+
 def test_compare_detects_corruption_and_missing(spark, tmp_path):
     from mysqldatasynctool_spark.operators.compare import compare_tables
 
