@@ -47,6 +47,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_stringify",
     "migration_compare_checksums",
     "migration_row_diff",
+    "migration_incremental",
     # dedup north star
     "dedup_exact_subset",
     "dedup_exact_text",
@@ -86,7 +87,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     # events / streaming batch twins (json_extract/sessionization/
     # map_functions were red in round 1 — keep them in the window)
     "events_json_extract",
-    "events_tumbling_window",
     "events_funnel_join",
     "events_sessionization",
     "events_map_functions",

@@ -295,11 +295,68 @@ ORDER BY o_orderkey
 """
 
 
+# --- incremental (watermark) sync ---------------------------------------
+
+
+def migration_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-based incremental sync summary — the delta-copy
+    upgrade of the reference's always-full-copy (root.go re-copies
+    every table every run): rows above the last-synced high watermark
+    are the only ones a rerun needs to move. The watermark here is
+    derived (80% of max key) so the query is self-contained; a real
+    run persists it per table. Output = the delta's count, key range,
+    and content checksum — enough to copy AND verify just the delta.
+
+    100 TB shape: the watermark predicate pushes down to the scan
+    (min/max rowgroup stats skip everything below it — the same
+    pruning a `WHERE pk > ?` JDBC page gets), and the checksum is the
+    usual single-scan partial-aggregated SUM.
+    """
+    cols = _CHECK_TABLES["orders"]
+    orders = load(spark, sf_dir, "orders").select(*[c for c, _ in cols])
+    wm = orders.agg(
+        F.floor(F.max("o_orderkey") * 0.8).cast("long").alias("wm")
+    )
+    delta = orders.join(F.broadcast(wm)).filter(F.col("o_orderkey") > F.col("wm"))
+    digest = row_digest(orders)
+    return delta.agg(
+        F.max("wm").alias("watermark"),
+        F.count("*").alias("delta_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.coalesce(F.sum(digest), F.lit(0).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("delta_checksum"),
+    )
+
+
+def _incremental_oracle() -> str:
+    cols = _CHECK_TABLES["orders"]
+    rep = "concat_ws('|', " + ", ".join(_duck_norm(c, t) for c, t in cols) + ")"
+    digest = (
+        f"CAST(CAST(concat('0x', substr(md5({rep}), 18, 15)) AS BIGINT) AS DECIMAL(38,0))"
+    )
+    return f"""
+WITH wm AS (SELECT CAST(floor(MAX(o_orderkey) * 0.8) AS BIGINT) AS wm FROM orders),
+delta AS (
+  SELECT o.*, wm.wm FROM orders o, wm WHERE o.o_orderkey > wm.wm
+)
+SELECT MAX(wm) AS watermark,
+       COUNT(*) AS delta_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(CAST(COALESCE(SUM({digest}), 0) AS DECIMAL(38,0)) AS VARCHAR) AS delta_checksum
+FROM delta
+"""
+
+
 QUERIES = {
     "migration_compare_checksums": migration_compare_checksums,
     "migration_row_diff": migration_row_diff,
+    "migration_incremental": migration_incremental,
 }
 ORACLES = {
     "migration_compare_checksums": _compare_oracle(),
     "migration_row_diff": _row_diff_oracle(),
+    "migration_incremental": _incremental_oracle(),
 }
