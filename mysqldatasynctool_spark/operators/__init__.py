@@ -37,7 +37,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     # flagship
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    "join_skew_salted",
     # reference migration surface (§2A)
     "migration_catalog_exclude",
     "migration_pk_catalog",

@@ -514,6 +514,44 @@ LIMIT 25
 """
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join as a first-class operator: the fact side's
+    join key is salted (deterministic hash of its other columns mod 8)
+    and the dim side replicated per salt value, so one hot key's rows
+    spread over 8 reducers instead of one (plans/layout.py::
+    salted_join). Results are identical to the plain join — the oracle
+    is the unsalted SQL — which is the point: salting is a physical
+    rewrite, not a semantic one. At 100 TB prefer AQE's runtime skew
+    split (on by default here); manual salting is for the cases AQE
+    can't see (skewed aggregation keys, stateful streaming keys).
+    """
+    from ..plans.layout import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(22,2)")).cast("double"), 2
+            ).alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+JOIN_SKEW_SALTED_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(22,2))) AS DOUBLE), 2) AS total_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q1_pricing_summary_fast": q1_pricing_summary_fast,
@@ -531,6 +569,7 @@ QUERIES = {
     "agg_approx_distinct": agg_approx_distinct,
     "scalar_functions": scalar_functions,
     "sort_limit_topk": sort_limit_topk,
+    "join_skew_salted": join_skew_salted,
 }
 
 ORACLES = {
@@ -549,4 +588,5 @@ ORACLES = {
     # agg_approx_distinct: deliberately no oracle (sketch-based)
     "scalar_functions": SCALAR_FUNCTIONS_ORACLE,
     "sort_limit_topk": SORT_LIMIT_TOPK_ORACLE,
+    "join_skew_salted": JOIN_SKEW_SALTED_ORACLE,
 }
