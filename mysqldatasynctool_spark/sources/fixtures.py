@@ -28,6 +28,48 @@ TABLES = (
 )
 
 
+#: tables below this on-disk size skip rebalancing (broadcast-bound
+#: dims; spreading 5 rows over 32 tasks only adds scheduling overhead)
+REBALANCE_MIN_BYTES = 512 * 1024
+
+
+def _rebalance(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Fix the single-rowgroup parallelism trap: each fixture table is
+    ONE parquet file with ONE rowgroup, so the scan yields ONE
+    non-empty partition and every scan-stage computation (row digests,
+    regex, tokenization, hashing) runs on a single core no matter how
+    many the session has. Repartition CPU-relevant tables up to the
+    session's parallelism — shuffling a few MB to unlock a 32x-wider
+    map stage.
+
+    At production scale this is a NO-OP by construction: real datasets
+    have many files/rowgroups, so the partition count clears the
+    target/4 guard and the frame passes through untouched (blanket
+    repartitioning there would be an expensive anti-pattern — this
+    mirrors the standard fix for 'few huge gzip files' inputs).
+    """
+    import os
+
+    try:
+        size = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
+        )
+    except OSError:
+        return df
+    if size < REBALANCE_MIN_BYTES:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 > target:
+        return df
+    return df.repartition(target)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
@@ -41,13 +83,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # harness may hand us a session with a different default, so pin
     # it here (runtime-settable, affects only this session)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _rebalance(spark, df, path)
+    return _rebalance(spark, spark.read.parquet(path), path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
