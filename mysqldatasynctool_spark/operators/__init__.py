@@ -36,7 +36,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 VERIFY_PRIORITY: tuple[str, ...] = (
     # flagship
     "q1_pricing_summary",
-    "q3_shipping_priority",
+    "pipeline_end_to_end",
     "join_skew_salted",
     # reference migration surface (§2A)
     "migration_catalog_exclude",

@@ -440,6 +440,97 @@ FROM s
 """
 
 
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep pipeline as ONE composed plan:
+    exact dedup (normalized-text fingerprint, min-doc_id winner) →
+    quality filter (the text_quality_score heuristic, keep >= 0.7) →
+    deterministic hash split (90/5/5) → per-split counts + token
+    totals. This is the flagship composition a user of the engine
+    runs daily; every stage is an operator that is also individually
+    oracle-checked, and the composition itself hash-matches DuckDB.
+
+    Plan shape at 100 TB: dedup is one shuffle on the 16-byte digest
+    (text stays in the scan stage), the quality filter and split are
+    map-side expressions, and the final agg is 3 groups — no stage
+    shuffles document text.
+    """
+    from ..functions.text import normalized_text_col, tokens_col as _toks
+
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(normalized_text_col(F.col("text")))
+    w = W.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        docs.withColumn("fp", fp)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("fp", "rk")
+    )
+    toks = _toks(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|and|is)\b"))
+    mean_tok_len = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")) / n_tokens
+    score = (
+        F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((n_stop / n_tokens) > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    quality = kept.withColumn("n_tokens", n_tokens).filter(score >= 0.7)
+    bucket = _md5_mod(F.col("doc_id"), SPLIT_BINS)
+    split = (
+        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        quality.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+PIPELINE_END_TO_END_ORACLE = rf"""
+WITH deduped AS (
+  SELECT doc_id, text
+  FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id
+           ) AS rk
+    FROM documents
+  ) WHERE rk = 1
+),
+scored AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS n_stopwords,
+         length(regexp_replace(trim(text), '\s+', '', 'g')) AS alpha_chars
+  FROM deduped
+),
+quality AS (
+  SELECT doc_id, n_tokens
+  FROM scored
+  WHERE (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      + (CASE WHEN n_stopwords * 1.0 / n_tokens > 0.05 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      + (CASE WHEN alpha_chars * 1.0 / n_tokens BETWEEN 3 AND 10 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      >= 0.7
+),
+splits AS (
+  SELECT CASE WHEN {_duck_md5_mod('doc_id', SPLIT_BINS)} < {SPLIT_TRAIN} THEN 'train'
+              WHEN {_duck_md5_mod('doc_id', SPLIT_BINS)} < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         n_tokens
+  FROM quality
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM splits GROUP BY split ORDER BY split
+"""
+
+
 QUERIES = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_pack_sequences": pipeline_pack_sequences,
@@ -448,6 +539,7 @@ QUERIES = {
     "pipeline_mix_weights": pipeline_mix_weights,
     "pipeline_train_val_split": pipeline_train_val_split,
     "pipeline_global_shuffle": pipeline_global_shuffle,
+    "pipeline_end_to_end": pipeline_end_to_end,
 }
 
 ORACLES = {
@@ -458,4 +550,5 @@ ORACLES = {
     "pipeline_mix_weights": PIPELINE_MIX_ORACLE,
     "pipeline_train_val_split": PIPELINE_SPLIT_ORACLE,
     "pipeline_global_shuffle": PIPELINE_SHUFFLE_ORACLE,
+    "pipeline_end_to_end": PIPELINE_END_TO_END_ORACLE,
 }
