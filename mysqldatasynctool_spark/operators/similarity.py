@@ -388,7 +388,82 @@ def similarity_ivf_pandas(
     )
 
 
+def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit for the embedding store —
+    the compression step a 100 TB vector corpus runs before ANN
+    (4x smaller than float32, dot products stay in integer SIMD).
+    Per vector: scale = max|x| / 127, q_i = floor(x_i/scale + 0.5).
+    Output per label: vector count, the exact integer SUM of all
+    quantized values (an order-free cross-engine checksum of the
+    quantized representation), and the max absolute reconstruction
+    error (order-free max — bit-exact).
+
+    Every aggregate here is order-insensitive by construction
+    (COUNT/SUM over integers, MAX over doubles), so the oracle
+    hash-matches without the decimal-sum discipline. floor(x+0.5) is
+    used instead of round() because engines disagree on round-half
+    tie-breaking; floor is floor everywhere.
+    """
+    emb = _vecs(spark, sf_dir)
+    amax = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    per_vec = emb.select(
+        "label",
+        "v",
+        (amax / F.lit(127.0)).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    q = F.transform(
+        "v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long")
+    )
+    err = F.zip_with(
+        "v",
+        q.cast("array<double>"),
+        lambda x, qi: F.abs(x - qi * F.col("scale")),
+    )
+    rows = per_vec.select(
+        "label",
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, z: acc + z).alias("sum_q"),
+        F.array_max(err).alias("max_err"),
+    )
+    return (
+        rows.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("sum_q").alias("sum_q_total"),
+            F.max("max_err").alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
+SIMILARITY_QUANTIZE_ORACLE = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+),
+f AS (SELECT * FROM e WHERE scale > 0),
+elems AS (SELECT label, scale, unnest(v) AS x FROM f),
+per_elem AS (
+  SELECT label,
+         CAST(floor(x / scale + 0.5) AS BIGINT) AS q,
+         abs(x - CAST(floor(x / scale + 0.5) AS BIGINT) * scale) AS err
+  FROM elems
+),
+per_label AS (
+  SELECT label,
+         CAST(SUM(q) AS BIGINT) AS sum_q_total,
+         MAX(err) AS max_abs_err
+  FROM per_elem GROUP BY label
+),
+counts AS (SELECT label, COUNT(*) AS n_vectors FROM f GROUP BY label)
+SELECT c.label, c.n_vectors, p.sum_q_total, p.max_abs_err
+FROM counts c JOIN per_label p USING (label)
+ORDER BY label
+"""
+
+
 QUERIES = {
+    "similarity_quantize_int8": similarity_quantize_int8,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_lsh_bucketed": similarity_lsh_bucketed,
     "similarity_label_centroids": similarity_label_centroids,
@@ -396,6 +471,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "similarity_quantize_int8": SIMILARITY_QUANTIZE_ORACLE,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_ORACLE,
     "similarity_lsh_bucketed": _lsh_oracle(),
     "similarity_label_centroids": SIMILARITY_CENTROIDS_ORACLE,

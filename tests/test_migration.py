@@ -264,6 +264,26 @@ def test_migrate_directory_roundtrip(spark, tmp_path):
     assert all(r.src_cnt == r.dest_cnt for r in rows.values())
 
 
+def test_migrate_per_table_failure_isolated(spark, tmp_path):
+    """A table that fails to read must be reported failed without
+    sinking the run (the reference's errDataCount semantics,
+    root.go:48-56): other tables still copy and verify."""
+    dest = str(tmp_path / "dest")
+    reports, verdict = migrate_directory(
+        spark,
+        "/root/testdata/sf0.001",
+        dest,
+        tables=["region", "no_such_table", "nation"],
+    )
+    by_table = {r.table: r for r in reports}
+    assert by_table["region"].ok and by_table["nation"].ok
+    bad = by_table["no_such_table"]
+    assert not bad.ok and bad.error and bad.rows == 0
+    vrows = {r.table_name for r in verdict.collect()}
+    assert vrows == {"region", "nation"}, "verdict covers only copied tables"
+    assert all(r.is_ok == "YES" for r in verdict.collect())
+
+
 def test_migrate_resume_skips_verified_tables(spark, tmp_path):
     """resume=True must leave verified destinations untouched (file
     mtimes unchanged), restore missing ones, and end fully verified."""
