@@ -39,7 +39,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_end_to_end",
     "join_skew_salted",
     # reference migration surface (§2A)
-    "migration_catalog_exclude",
     "migration_pk_catalog",
     "migration_full_scan_fallback",
     "migration_page_count",
@@ -63,6 +62,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_lsh_bucketed",
     "similarity_label_centroids",
     "similarity_ivf_pandas",
+    "similarity_quantize_int8",
     # text-analysis north star
     "text_token_stats",
     "text_quality_score",
