@@ -9,7 +9,7 @@ the final small aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text_col, tokens_col
@@ -318,6 +318,78 @@ LIMIT 20
 """
 
 
+TFIDF_TOP_K = 3
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: per doc, the top-3 tokens by
+    tf * ln(N/df). The idf is ROUNDED to 6 decimals before the
+    multiply — ln() comes from each engine's libm and may differ in
+    the last ulp; rounding first keeps the product (int * rounded
+    double) bit-comparable cross-engine, the same discipline as the
+    decimal-sum rule.
+
+    100 TB shape: token explode (map-side) → tf agg keyed by
+    (doc, token) → df agg keyed by token (both partial-agg'd) → a
+    broadcast-sized token→idf join only if the vocab is small, else
+    the (token) shuffle join here; top-k per doc is a bounded window.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    idf = df_.withColumn(
+        "idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    )
+    scored = tf.join(idf, "token").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TEXT_TFIDF_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+),
+idf AS (
+  SELECT token, df,
+         ROUND(ln((SELECT COUNT(*) FROM documents) * 1.0 / df), 6) AS idf
+  FROM df
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+         ROUND(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (token)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -326,6 +398,7 @@ QUERIES = {
     "text_chunking": text_chunking,
     "text_fingerprint": text_fingerprint,
     "text_token_frequency": text_token_frequency,
+    "text_tfidf": text_tfidf,
 }
 
 ORACLES = {
@@ -336,4 +409,5 @@ ORACLES = {
     "text_language_id": _langid_oracle(),
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "text_token_frequency": TEXT_TOKEN_FREQUENCY_ORACLE,
+    "text_tfidf": TEXT_TFIDF_ORACLE,
 }
