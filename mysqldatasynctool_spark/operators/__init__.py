@@ -34,8 +34,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: twins of already-listed families, all driver-green in round 1) come
 #: last in stable module order.
 VERIFY_PRIORITY: tuple[str, ...] = (
-    # flagship
-    "q1_pricing_summary",
+    # flagship composition (q1 itself is round-1 green AND smoke-run by
+    # the driver's entry() check every round, so it cedes its window
+    # slot)
     "pipeline_end_to_end",
     "join_skew_salted",
     # reference migration surface (§2A)
@@ -71,6 +72,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "text_chunking",
     "text_fingerprint",
     "text_token_frequency",
+    "text_tfidf",
     # multimodal north star
     "multimodal_binary_meta",
     "multimodal_decode_features",
