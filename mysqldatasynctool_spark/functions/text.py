@@ -28,6 +28,37 @@ def normalized_text_col(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def distinct_ngram_rows(docs, n: int, out_col: str = "gram"):
+    """Distinct (doc_id, n-gram) rows via posexplode + window ``lead``
+    — THE codegen-safe n-gram formulation, shared by MinHash shingles
+    (n=3) and decontamination grams (n=4).
+
+    Why not an array-expression (``transform`` over ``sequence``): a
+    higher-order transform runs interpreted (outside codegen) and
+    re-evaluates the token ``split`` per element access — measured
+    ~O(tokens²) per document. posexplode evaluates the split once per
+    doc and lead() is a streaming per-partition window; everything
+    stays in WholeStageCodegen.
+    """
+    from pyspark.sql import Window as W
+
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("t", k).over(w) for k in range(1, n)]
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("t"), *leads).alias(out_col),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", out_col)
+        .distinct()
+    )
+
+
 def shingles_col(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; empty array for short docs.
 

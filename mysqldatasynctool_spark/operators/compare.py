@@ -27,6 +27,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duck_md5_low60, md5_low60
 from ..sources.fixtures import load
 
 NULL_SENTINEL = "\\N"
@@ -50,9 +51,11 @@ def _norm_col(name: str, dtype: str):
 
 
 def row_digest(df: DataFrame) -> F.Column:
-    """60-bit per-row digest over all scalar columns."""
+    """60-bit per-row digest over all scalar columns (the shared
+    md5-low-60 idiom, functions/hashing.py; widened to DECIMAL(38,0)
+    so a full-table SUM cannot overflow)."""
     repr_col = F.concat_ws("|", *[_norm_col(n, t) for n, t in df.dtypes])
-    return F.conv(F.substring(F.md5(repr_col), 18, 15), 16, 10).cast("decimal(38,0)")
+    return md5_low60(repr_col).cast("decimal(38,0)")
 
 
 def table_summary(df: DataFrame, table: str) -> DataFrame:
@@ -183,7 +186,7 @@ def _duck_norm(col: str, dtype: str) -> str:
 
 def _duck_table_summary(table: str, cols: list[tuple[str, str]]) -> str:
     rep = "concat_ws('|', " + ", ".join(_duck_norm(c, t) for c, t in cols) + ")"
-    digest = f"CAST(CAST(concat('0x', substr(md5({rep}), 18, 15)) AS BIGINT) AS DECIMAL(38,0))"
+    digest = f"CAST({duck_md5_low60(rep)} AS DECIMAL(38,0))"
     return (
         f"SELECT '{table}' AS table_name, COUNT(*) AS cnt, "
         f"COALESCE(SUM({digest}), 0) AS checksum FROM {table}"
@@ -268,7 +271,7 @@ def migration_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _row_diff_oracle() -> str:
     cols = _CHECK_TABLES["orders"]
     rep = "concat_ws('|', " + ", ".join(_duck_norm(c, t) for c, t in cols) + ")"
-    digest = f"CAST(concat('0x', substr(md5({rep}), 18, 15)) AS BIGINT)"
+    digest = duck_md5_low60(rep)
     col_list = ", ".join(c for c, _ in cols)
     return f"""
 WITH src AS (SELECT {col_list} FROM orders),
@@ -333,9 +336,7 @@ def migration_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _incremental_oracle() -> str:
     cols = _CHECK_TABLES["orders"]
     rep = "concat_ws('|', " + ", ".join(_duck_norm(c, t) for c, t in cols) + ")"
-    digest = (
-        f"CAST(CAST(concat('0x', substr(md5({rep}), 18, 15)) AS BIGINT) AS DECIMAL(38,0))"
-    )
+    digest = f"CAST({duck_md5_low60(rep)} AS DECIMAL(38,0))"
     return f"""
 WITH wm AS (SELECT CAST(floor(MAX(o_orderkey) * 0.8) AS BIGINT) AS wm FROM orders),
 delta AS (

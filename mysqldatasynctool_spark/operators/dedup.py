@@ -95,34 +95,12 @@ ORDER BY kept_doc_id
 
 
 def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) rows via posexplode + window lead.
+    """Distinct (doc_id, 3-gram shingle) rows — the shared
+    codegen-safe formulation (functions/text.distinct_ngram_rows; see
+    its docstring for why NOT an array expression)."""
+    from ..functions.text import distinct_ngram_rows
 
-    Deliberately NOT the array-expression route (shingles_col): a
-    higher-order ``transform`` runs interpreted (outside codegen) and
-    re-evaluates the token ``split`` per element access — measured
-    ~O(tokens²) per document. posexplode evaluates the split once per
-    doc and lead() is a streaming per-partition window; everything
-    stays in WholeStageCodegen.
-    """
-    from pyspark.sql import Window as W
-
-    docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    return (
-        tok.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "t", F.lead("t", 1).over(w), F.lead("t", 2).over(w)
-            ).alias("sh"),
-            F.lead("t", 2).over(w).alias("_t2"),
-        )
-        .filter(F.col("_t2").isNotNull())
-        .select("doc_id", "sh")
-        .distinct()
-    )
+    return distinct_ngram_rows(load(spark, sf_dir, "documents"), 3, out_col="sh")
 
 
 _DUCK_SHINGLES = r"""
@@ -559,10 +537,12 @@ ORDER BY ida, idb
 
 # --- duplicate-cluster resolution ---------------------------------------
 
-#: safety bound on label-propagation rounds; chain diameter in a
-#: near-dup graph is tiny (clusters are cliques-ish), and propagation
-#: halves remaining diameter per round — the loop exits on fixpoint
-CC_MAX_ROUNDS = 10
+#: safety bound on label-propagation rounds. Min-label propagation
+#: advances ONE hop per round, so convergence needs up to
+#: eccentricity(min-id node) rounds; near-dup components are
+#: cliques-ish (tiny diameter), so 50 is generous. Exceeding the cap
+#: RAISES instead of returning partially-propagated (wrong) labels.
+CC_MAX_ROUNDS = 50
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,9 +561,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     to keep lineage flat.
 
     100 TB shape: this is the standard alternating-propagation CC on
-    DataFrames (same plan family GraphFrames uses); rounds ~
-    O(diameter) <= O(log n) for near-dup graphs, shuffle volume = 2
-    longs per edge per round — document text never enters the loop.
+    DataFrames (same plan family GraphFrames uses); one hop of label
+    movement per round, so rounds = O(component eccentricity) — tiny
+    for cliques-ish near-dup graphs, capped loud (CC_MAX_ROUNDS);
+    shuffle volume = 2 longs per edge per round — document text never
+    enters the loop.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("ida", "idb")
     edges = (
@@ -616,6 +598,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge within "
+            f"{CC_MAX_ROUNDS} rounds — component diameter exceeds the cap; "
+            f"raise CC_MAX_ROUNDS rather than returning split clusters"
+        )
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return (
         comp.join(sizes, "comp")

@@ -37,45 +37,24 @@ SAMPLE_BINS, SAMPLE_KEEP = 10, 3
 NGRAM_N = 4
 
 
-def _md5_mod(col, m: int):
-    """60-bit integer from the low 15 md5 hex chars, mod m — the
-    engine-portable deterministic hash (same value in DuckDB/MySQL)."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 18, 15), 16, 10).cast("long") % m
-    )
-
-
-def _duck_md5_mod(expr: str, m: int) -> str:
-    return (
-        f"(CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 18, 15)) AS BIGINT) % {m})"
-    )
+# the engine-portable 60-bit md5 idiom lives in functions/hashing.py
+# (shared with the checksum discipline in operators/compare.py)
+from ..functions.hashing import duck_md5_mod as _duck_md5_mod
+from ..functions.hashing import md5_mod as _md5_mod
 
 
 def _ngram_table(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
-    """Distinct (doc_id, gram) word n-grams via posexplode + window
-    lead — the codegen-safe formulation (higher-order transform would
-    re-evaluate the token split per element; see dedup._shingle_table,
-    measured ~O(tokens²))."""
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("t", k).over(w) for k in range(1, n)]
-    return (
-        tok.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("t"), *leads).alias("gram"),
-            leads[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "gram")
-        .distinct()
-    )
+    """Distinct (doc_id, gram) word n-grams — the shared codegen-safe
+    formulation (functions/text.distinct_ngram_rows)."""
+    from ..functions.text import distinct_ngram_rows
+
+    return distinct_ngram_rows(docs, n, out_col="gram")
 
 
 def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: find training docs sharing any word
-    5-gram with the held-out benchmark set (docs with doc_id % 97 == 0
+    n-gram (NGRAM_N = 4 at fixture scale; 8-13 in production) with the
+    held-out benchmark set (docs with doc_id % 97 == 0
     stand in for the eval suite), reporting how many distinct grams
     leak. The standard pre-training hygiene pass (e.g. GPT-3 §C /
     PaLM-style n-gram overlap).

@@ -38,10 +38,8 @@ def main() -> int:
                 verdict = "red"
             # keep the best verdict seen across rounds
             rank = {"green": 2, "rows_only": 1, "red": 0}
-            if rank[verdict] >= rank.get(best.get(name, "red"), -1) or name not in best:
-                if name not in best or rank[verdict] > rank[best[name]]:
-                    best[name] = verdict
-            best.setdefault(name, verdict)
+            if name not in best or rank[verdict] > rank[best[name]]:
+                best[name] = verdict
         print(f"read {rnd}: {len(rec)} rows")
 
     green = [q for q in queries if best.get(q) == "green"]

@@ -8,7 +8,7 @@ HUGEINT arrive as float64 ('99111.0' vs '99111') and crashed sorting
 list-valued columns — so this sim compares pandas dtypes AND per-cell
 reprs after sorting, which is a superset of whatever the driver hashes.
 
-Usage: python /tmp/driver_sim.py [only_prefix ...]
+Usage: cd /tmp && python /root/repo/tools/driver_sim.py [only_prefix ...]
 """
 import math
 import sys
