@@ -96,6 +96,40 @@ def test_ivf_scores_in_cogrouped_pandas(spark):
     assert "zip_with" not in plan
 
 
+def test_funnel_join_is_keyed_not_nested_loop(spark):
+    """The stream-stream-shaped funnel join must hash/merge on the
+    user_id equi-key with the interval predicate as a residual — never
+    a nested-loop/cartesian plan (which the pure range form would
+    produce and which cannot scale or bound streaming state)."""
+    from mysqldatasynctool_spark.operators import events
+
+    plan = _plan(spark, events.QUERIES["events_funnel_join"](spark, SF), "simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "user_id" in l]
+    assert join_lines, "expected an equi-join keyed on user_id"
+
+
+def test_salted_join_key_includes_salt(spark):
+    """The skew-salted join's physical key must be (key, _salt) so a
+    hot key's rows spread over salt-many reducers."""
+    plan = _plan(spark, relational.QUERIES["join_skew_salted"](spark, SF), "simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert any(
+        "Join" in l and "_salt" in l for l in plan.splitlines()
+    ), "join key does not include the salt column"
+
+
+def test_end_to_end_pipeline_has_no_joins_or_python(spark):
+    """The composed dedup->quality->split pipeline is windows +
+    aggregates only: no join (nothing pairs), no Python eval nodes,
+    and document text must not appear in any exchange."""
+    from mysqldatasynctool_spark.operators import pipeline
+
+    plan = _plan(spark, pipeline.QUERIES["pipeline_end_to_end"](spark, SF), "simple")
+    assert "Join" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
 def test_minhash_band_join_shuffles_slim_rows(spark):
     plan = _plan(spark, dedup.QUERIES["dedup_minhash_lsh"](spark, SF), "formatted")
     # the band self-join must not carry shingle arrays through its
