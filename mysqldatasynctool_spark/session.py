@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # long sessions run many queries that localCheckpoint small
+        # intermediates (LSH candidate sets, shingle tables); the
+        # ContextCleaner only drops those blocks after a JVM GC notices
+        # the references died — force one periodically so block-manager
+        # memory can't ratchet up across a 100-query session
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
