@@ -102,6 +102,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # each number is the min of this many runs (box shows host-level
+        # CPU-steal outliers of 5-20x on arbitrary queries)
+        "runs_per_query": 2,
     }
     if n_bad:
         # failure count lives OUTSIDE the summed timings dict so it
