@@ -649,6 +649,68 @@ ORDER BY doc_id
 """
 
 
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation as a first-class operator: join the
+    MinHash-LSH pair set against the exact n-gram-Jaccard ground
+    truth and report recall/precision — the number a pipeline owner
+    watches when tuning bands/rows. (On this corpus LSH verification
+    filters by TRUE Jaccard, so precision is 1 by construction; recall
+    is the banding loss.)
+
+    Test-scale only insofar as the ground-truth side is the quadratic
+    dedup_ngram_jaccard; at production scale the same report runs
+    against a sampled truth set.
+    """
+    lsh = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("ida", "idb")
+        .withColumn("in_lsh", F.lit(1))
+    )
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("ida", "idb")
+        .withColumn("in_truth", F.lit(1))
+    )
+    j = lsh.join(truth, ["ida", "idb"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("in_truth"), F.lit(0))).alias("n_truth"),
+        F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))).alias("n_lsh"),
+        F.sum(
+            F.when(F.col("in_lsh").isNotNull() & F.col("in_truth").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+    ).select(
+        "n_truth",
+        "n_lsh",
+        "n_both",
+        F.round(F.col("n_both") / F.col("n_truth"), 6).alias("recall"),
+        F.round(F.col("n_both") / F.col("n_lsh"), 6).alias("precision"),
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    lsh = _minhash_oracle().replace("ORDER BY ida, idb", "")
+    truth = _NGRAM_JACCARD_ORACLE.replace("ORDER BY ida, idb", "")
+    return f"""
+WITH lsh AS ({lsh}),
+truth AS ({truth}),
+j AS (
+  SELECT COALESCE(l.ida, t.ida) AS ida, COALESCE(l.idb, t.idb) AS idb,
+         (l.ida IS NOT NULL) AS in_lsh, (t.ida IS NOT NULL) AS in_truth
+  FROM lsh l FULL OUTER JOIN truth t ON l.ida = t.ida AND l.idb = t.idb
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         CAST(SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+         CAST(SUM(CASE WHEN in_lsh AND in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM j
+)
+SELECT n_truth, n_lsh, n_both,
+       ROUND(n_both * 1.0 / n_truth, 6) AS recall,
+       ROUND(n_both * 1.0 / n_lsh, 6) AS precision
+FROM c
+"""
+
+
 #: tokens per segment for paragraph-level dedup (the fixture text has
 #: no newlines, so fixed token windows stand in for paragraphs)
 SEGMENT_TOKENS = 20
@@ -741,6 +803,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_clusters": dedup_clusters,
     "dedup_paragraph_exact": dedup_paragraph_exact,
+    "dedup_lsh_recall_report": dedup_lsh_recall_report,
 }
 
 ORACLES = {
@@ -753,4 +816,5 @@ ORACLES = {
     "dedup_embedding_lsh": _embedding_lsh_oracle(),
     "dedup_clusters": _clusters_oracle(),
     "dedup_paragraph_exact": DEDUP_PARAGRAPH_ORACLE,
+    "dedup_lsh_recall_report": _lsh_recall_oracle(),
 }

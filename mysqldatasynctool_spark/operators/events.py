@@ -374,6 +374,47 @@ FROM pairs GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, and
+    for each (cohort_day, day_offset) the count of distinct users
+    active that many days later — the standard activation/retention
+    report over an event stream.
+
+    100 TB shape: one shuffle keyed by user for the first-seen agg,
+    the cohort map joined back by user (broadcast when the user dim
+    fits, AQE decides), then one (cohort, offset) agg. countDistinct
+    expands to a two-phase exact distinct; swap for
+    approx_count_distinct at extreme cardinality.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EVENTS_RETENTION_ORACLE = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, e.day) AS INT) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_active_users
+FROM ev e JOIN first f USING (user_id)
+GROUP BY f.cohort_day, day_offset
+ORDER BY f.cohort_day, day_offset
+"""
+
+
 QUERIES = {
     "events_json_extract": events_json_extract,
     "events_tumbling_window": events_tumbling_window,
@@ -383,6 +424,7 @@ QUERIES = {
     "events_gap_fill": events_gap_fill,
     "events_date_functions": events_date_functions,
     "events_funnel_join": events_funnel_join,
+    "events_retention_cohorts": events_retention_cohorts,
 }
 
 ORACLES = {
@@ -394,4 +436,5 @@ ORACLES = {
     "events_sessionization": EVENTS_SESSIONIZATION_ORACLE,
     "events_date_functions": EVENTS_DATE_FUNCTIONS_ORACLE,
     "events_funnel_join": EVENTS_FUNNEL_ORACLE,
+    "events_retention_cohorts": EVENTS_RETENTION_ORACLE,
 }
