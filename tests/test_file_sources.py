@@ -77,6 +77,24 @@ def test_partitioned_parquet_prunes_directories(spark, tmp_path):
     assert back.count() == docs.count()
 
 
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across ingestion batches: a later batch adds a
+    column; mergeSchema reads the union, older rows null-fill — the
+    append-only table-evolution story a long-lived warehouse needs."""
+    orders = load(spark, SF, "orders")
+    path = tmp_path / "orders_evolving"
+    orders.select("o_orderkey", "o_totalprice").write.parquet(str(path / "batch=1"))
+    orders.select("o_orderkey", "o_totalprice", "o_orderpriority").write.parquet(
+        str(path / "batch=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(str(path))
+    assert {"o_orderkey", "o_totalprice", "o_orderpriority"} <= set(merged.columns)
+    assert merged.count() == 2 * orders.count()
+    # batch-1 rows null-fill the new column; batch-2 rows carry it
+    assert merged.filter(F.col("o_orderpriority").isNull()).count() == orders.count()
+    assert merged.filter(F.col("o_orderpriority").isNotNull()).count() == orders.count()
+
+
 def test_corrupt_records_quarantined_not_dropped(spark, tmp_path):
     p = tmp_path / "bad.jsonl"
     p.write_text(
