@@ -224,6 +224,70 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def window_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-share analysis: rank customers by revenue
+    and report each one's cumulative share of total revenue (the
+    '20% of customers drive X%' readout) for the top 20.
+
+    Exactness: revenue is summed as DECIMAL (order-independent), the
+    cumulative sum runs over the exact decimals, and only the final
+    share is a rounded double — so the oracle hash-matches despite the
+    division. Scale note: a global revenue ranking is inherently a
+    total order; this implementation windows over a single partition,
+    which is fine for a top-k readout (ORDER BY + LIMIT pushes down to
+    TakeOrdered for the ranking itself) but a full cumulative curve at
+    100 TB would be computed per revenue-range bucket and stitched.
+    """
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_dec(F.col("o_totalprice"))).alias("revenue")
+    )
+    total = rev.agg(F.sum("revenue").alias("total_revenue"))
+    w = W.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    ranked = (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum_revenue",
+            F.sum("revenue").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .filter(F.col("rnk") <= 20)
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .select(
+            "rnk",
+            "o_custkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                (F.col("cum_revenue") / F.col("total_revenue")).cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("rnk")
+    )
+
+
+WINDOW_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+total AS (SELECT SUM(revenue) AS total_revenue FROM rev),
+ranked AS (
+  SELECT o_custkey, revenue,
+         ROW_NUMBER() OVER w AS rnk,
+         SUM(revenue) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+  FROM rev
+  WINDOW w AS (ORDER BY revenue DESC, o_custkey ASC)
+)
+SELECT rnk, o_custkey,
+       CAST(revenue AS DOUBLE) AS revenue,
+       ROUND(CAST(cum_revenue / total_revenue AS DOUBLE), 6) AS cum_share
+FROM ranked, total
+WHERE rnk <= 20
+ORDER BY rnk
+"""
+
+
 QUERIES = {
     "window_value_functions": window_value_functions,
     "window_topk_per_group": window_topk_per_group,
@@ -231,6 +295,7 @@ QUERIES = {
     "window_lag_lead": window_lag_lead,
     "window_running_sum": window_running_sum,
     "window_range_frame": window_range_frame,
+    "window_pareto_cumshare": window_pareto_cumshare,
 }
 
 ORACLES = {
@@ -240,4 +305,5 @@ ORACLES = {
     "window_lag_lead": WINDOW_LAG_LEAD_ORACLE,
     "window_running_sum": WINDOW_RUNNING_SUM_ORACLE,
     "window_range_frame": WINDOW_RANGE_FRAME_ORACLE,
+    "window_pareto_cumshare": WINDOW_PARETO_ORACLE,
 }
