@@ -542,6 +542,41 @@ ORDER BY r_name, o_orderpriority
 """
 
 
+#: fixed histogram bin width for the value-profile operator
+HIST_BIN_WIDTH = 50.0
+
+
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type — the profiling scan
+    a pipeline runs before choosing filters/clamps. floor(value/width)
+    is one deterministic double op (no libm, no rounding ambiguity),
+    the bucket is a map-side expression, and the agg is partial-first:
+    at 100 TB this is a pure scan-bandwidth profile with a
+    (type, bucket)-keyed shuffle of counts only.
+    """
+    ev = load(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / HIST_BIN_WIDTH).cast("long")
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("bin_lo", (F.col("bucket") * HIST_BIN_WIDTH).cast("double"))
+        .select("event_type", "bucket", "bin_lo", "n")
+        .orderBy("event_type", "bucket")
+    )
+
+
+AGG_HISTOGRAM_ORACLE = f"""
+SELECT event_type,
+       CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bucket,
+       CAST(CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
 QUERIES = {
     "date_arithmetic": date_arithmetic,
     "join_cross": join_cross,
@@ -558,6 +593,7 @@ QUERIES = {
     "string_functions2": string_functions2,
     "null_conditional": null_conditional,
     "sql_cte_subqueries": sql_cte_subqueries,
+    "agg_histogram_fixed_bins": agg_histogram_fixed_bins,
 }
 
 ORACLES = {
@@ -576,4 +612,5 @@ ORACLES = {
     "string_functions2": STRING_FUNCTIONS2_ORACLE,
     "null_conditional": NULL_CONDITIONAL_ORACLE,
     "sql_cte_subqueries": SQL_CTE_SUBQUERIES_ORACLE,
+    "agg_histogram_fixed_bins": AGG_HISTOGRAM_ORACLE,
 }
