@@ -34,10 +34,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: twins of already-listed families, all driver-green in round 1) come
 #: last in stable module order.
 VERIFY_PRIORITY: tuple[str, ...] = (
-    # flagship composition (q1 itself is round-1 green AND smoke-run by
-    # the driver's entry() check every round, so it cedes its window
-    # slot)
+    # ROUND-3 ROTATION — the 4 registry entries that have never had a
+    # driver CORRECTNESS row (added after round 2's check window); a
+    # green row here completes 96/96 oracle-backed coverage
+    "agg_histogram_fixed_bins",
+    "window_pareto_cumshare",
+    "events_retention_cohorts",
+    "dedup_lsh_recall_report",
+    # queries MODIFIED in round 3 — their cumulative green rows predate
+    # the change, so they need fresh driver validation:
+    # approx twins upgraded from rows-only to oracle-backed via
+    # within_tolerance bounds vs their exact twins
+    "agg_approx_distinct",
+    "agg_percentiles",
+    # corpus-size-adaptive bucketing wired in (same output at fixture N)
+    "dedup_embedding_lsh",
+    # flagship composition + the perf-tuned MinHash path (dedup.py
+    # checkpoint strategy changed this round)
     "pipeline_end_to_end",
+    "dedup_minhash_lsh",
     "join_skew_salted",
     # reference migration surface (§2A)
     "migration_pk_catalog",
@@ -48,14 +63,12 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_compare_checksums",
     "migration_row_diff",
     "migration_incremental",
-    # dedup north star
+    # dedup north star (rest)
     "dedup_exact_subset",
     "dedup_exact_text",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
     "dedup_clusters",
     "dedup_paragraph_exact",
     # similarity north star
@@ -86,18 +99,9 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_mix_weights",
     "pipeline_train_val_split",
     "pipeline_global_shuffle",
-    # events / streaming batch twins (json_extract/sessionization/
-    # map_functions were red in round 1 — keep them in the window)
-    "events_json_extract",
-    "events_funnel_join",
+    # events batch twin (sessionization is the hardest streaming-parity
+    # query; udf_* are both green r2 and cede their slots)
     "events_sessionization",
-    "events_map_functions",
-    # one representative per relational family (array_functions was a
-    # round-1 harness crash — keep it in the window)
-    "array_functions",
-    # Python UDF surface (UDAF + UDTF as driver-checked queries)
-    "udf_grouped_agg_pandas",
-    "udf_udtf_windows",
 )
 
 

@@ -219,20 +219,42 @@ ORDER BY l_returnflag
 
 
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) per group. The 100 TB
-    twin is percentile_approx (t-digest-style sketch, fixed memory) —
-    sketch outputs are engine-specific, so the exact form carries the
-    oracle."""
+    """Exact percentiles (linear interpolation) per group, plus an
+    in-query bound on the sketch twin: ``within_tol`` asserts
+    percentile_approx's Greenwald-Khanna estimate (the fixed-memory
+    100 TB path) lands within 1% of the exact p50. The sketch VALUE is
+    engine-specific so it can't be hashed directly — the boolean can:
+    DuckDB asserts TRUE, and a drifting sketch turns the row red."""
     orders = load(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderstatus")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50_raw"),
             F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-            F.round(F.expr("percentile_approx(o_totalprice, 0.5)"), 4).alias("p50_approx"),
+            F.expr("percentile_approx(o_totalprice, 0.5)").alias("p50_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round("p50_raw", 4).alias("p50"),
+            "p90",
+            (
+                F.abs(F.col("p50_approx") - F.col("p50_raw"))
+                <= F.col("p50_raw") * F.lit(0.01)
+            ).alias("within_tol"),
         )
         .orderBy("o_orderstatus")
     )
+
+
+AGG_PERCENTILES_TOL_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       TRUE AS within_tol
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
 
 
 def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,7 +628,9 @@ ORACLES = {
     "agg_moments_manual": AGG_MOMENTS_ORACLE,
     "agg_correlation_manual": AGG_CORRELATION_ORACLE,
     "agg_percentiles_exact": AGG_PERCENTILES_ORACLE,
-    # agg_percentiles includes percentile_approx → rows-only check
+    # sketch value is engine-specific; oracle hashes the exact
+    # percentiles + a within-1% bound the sketch must satisfy
+    "agg_percentiles": AGG_PERCENTILES_TOL_ORACLE,
     "join_asof": JOIN_ASOF_ORACLE,
     "array_functions": ARRAY_FUNCTIONS_ORACLE,
     "string_functions2": STRING_FUNCTIONS2_ORACLE,

@@ -430,19 +430,47 @@ ORDER BY l_returnflag
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++). No oracle: HLL sketches
-    are implementation-specific, so engines legitimately differ — the
-    driver records a rows-only check. The exact twin is agg_distinct.
+    """approx_count_distinct (HyperLogLog++) with an in-query error
+    bound. HLL sketch VALUES are implementation-specific (engines
+    legitimately differ), so the raw estimate can't be oracle-hashed —
+    instead the query emits the exact count plus ``within_tol``: the
+    sketch estimate is within 5% of exact (5× the configured 1% rsd,
+    comfortably inside HLL++'s tail). DuckDB asserts TRUE; if Spark's
+    sketch ever drifts out of bound, the hash goes red. The exact twin
+    is agg_distinct.
 
     Scale note: this is THE cardinality operator at 100 TB — fixed
-    memory per group vs the expand+shuffle of exact distinct.
+    memory per group vs the expand+shuffle of exact distinct; HLL
+    insert/merge are order-insensitive register maxes, so the estimate
+    is deterministic under any partitioning.
     """
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("n_parts"))
+                <= F.col("n_parts") * F.lit(0.05)
+            ).alias("within_tol"),
+        )
         .orderBy("l_returnflag")
     )
+
+
+AGG_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       TRUE AS within_tol
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,7 +613,9 @@ ORACLES = {
     "agg_rollup": AGG_ROLLUP_ORACLE,
     "agg_cube": AGG_CUBE_ORACLE,
     "agg_distinct": AGG_DISTINCT_ORACLE,
-    # agg_approx_distinct: deliberately no oracle (sketch-based)
+    # sketch VALUE is engine-specific; the oracle hashes the exact
+    # count + a within-5% bound the Spark side must satisfy
+    "agg_approx_distinct": AGG_APPROX_DISTINCT_ORACLE,
     "scalar_functions": SCALAR_FUNCTIONS_ORACLE,
     "sort_limit_topk": SORT_LIMIT_TOPK_ORACLE,
     "join_skew_salted": JOIN_SKEW_SALTED_ORACLE,

@@ -22,5 +22,6 @@ def test_percentile_approx_runs(spark):
     rows = df.collect()
     assert len(rows) == 3
     for r in rows:
-        # the sketch median must land near the exact median
-        assert abs(r.p50_approx - r.p50) / r.p50 < 0.05
+        # the GK sketch median must land inside the 1% bound the
+        # oracle asserts
+        assert r.within_tol
