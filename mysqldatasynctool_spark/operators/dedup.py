@@ -481,19 +481,25 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the random-hyperplane family similarity_lsh_bucketed uses), so
     the bucket key — not a cross join — is the shuffle key.
 
-    100 TB shape: O(sum of bucket²) instead of O(N²); add bucket bits
-    as N grows (lsh_bucket_bits in similarity.py scales them), and
-    multi-probe neighboring buckets to buy recall. Single-probe here;
-    the oracle replicates the exact bucketed semantics, so the result
-    is hash-checkable even though recall < 1 vs the all-pairs truth.
+    100 TB shape: O(sum of bucket²) instead of O(N²); bucket bits
+    SCALE WITH N via ``similarity.lsh_dims_for`` (one metadata-cheap
+    parquet count() sizes the key so the expected bucket stays
+    ~10k vectors — at fixture N that yields the default 4-bit key the
+    committed oracle mirrors), and multi-probe neighboring buckets
+    buys recall back. Single-probe here; the oracle replicates the
+    exact bucketed semantics, so the result is hash-checkable even
+    though recall < 1 vs the all-pairs truth.
     """
-    from .similarity import _bucket_expr, _dot as dot
+    from .similarity import _bucket_expr, _dot as dot, lsh_dims_for
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    # parquet count() is footer-metadata work, not a scan — the price
+    # of a corpus-size-adaptive bucket key
+    dims = lsh_dims_for(emb.count())
     emb = emb.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v")))).withColumn(
-        "bucket", _bucket_expr(F.col("v"))
+        "bucket", _bucket_expr(F.col("v"), dims)
     )
     a = emb.select(
         "bucket", F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("n").alias("na")

@@ -76,3 +76,26 @@ def test_lsh_bucket_recall_vs_bruteforce(spark):
     # single-probe 8-bit LSH on near-random vectors: modest recall is
     # expected; it must at least find *some* true neighbors
     assert len(ann_pairs & exact_pairs) >= 1
+
+
+def test_lsh_dims_scale_with_corpus_size():
+    """Pin the corpus-size-adaptive bucket-key sizing that
+    dedup_embedding_lsh and production similarity callers share."""
+    from mysqldatasynctool_spark.operators.similarity import (
+        EMBED_DIM,
+        LSH_DIMS,
+        lsh_dims_for,
+    )
+
+    # fixture scale reproduces the committed-oracle default key
+    assert lsh_dims_for(2_000) == LSH_DIMS
+    assert lsh_dims_for(10_000) == LSH_DIMS
+    # 10M vectors / 10k target -> 1024 buckets (10 bits)
+    assert len(lsh_dims_for(10_000_000)) == 10
+    # bits never exceed one per embedding dimension
+    assert len(lsh_dims_for(10**24)) == EMBED_DIM
+    # dims are valid 1-based indices, strictly increasing
+    for n in (2_000, 10_000_000, 10**12, 10**24):
+        dims = lsh_dims_for(n)
+        assert all(1 <= d <= EMBED_DIM for d in dims)
+        assert list(dims) == sorted(set(dims))
