@@ -168,3 +168,137 @@ def migrate_directory(
     )
     verdict = spark.createDataFrame(vrows, schema).orderBy("table_name")
     return reports, verdict
+
+
+def jsonify_nested(df):
+    """Nested columns (array/map/struct) → JSON text, matching the DDL
+    layer's nested-as-JSON storage decision (ddl.mysql_column_type /
+    derby_column_type) so any DataFrame becomes JDBC-writable."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            df = df.withColumn(f.name, F.to_json(f.name))
+    return df
+
+
+def migrate_jdbc(
+    spark: SparkSession,
+    src,
+    dest,
+    pk_map: dict[str, list[str]],
+    cfg: SyncConfig | None = None,
+    page_size: int = 20_000,
+    quote: str = '"',
+) -> tuple[list[TableReport], object]:
+    """DB→DB migration — the reference's actual job
+    (root.go:375-507): plan partitions from the source PK, read each
+    table through partitioned JDBC, batch-write to the destination,
+    then checksum-verify both sides.
+
+    Plan selection per table (plans/partitioning.plan_table):
+    - single numeric PK → range partitions from one COUNT/MIN/MAX
+      aggregate PUSHED DOWN to the source (a 1-row result, not a scan
+      into Spark);
+    - composite PK → lexicographic boundary predicates from a bounded
+      PK sample (``sample_boundaries``);
+    - no PK → single full-scan partition.
+
+    ``quote`` wraps PK identifiers inside composite predicates for the
+    target dialect ('"' for Derby/ANSI, '`' for MySQL).
+
+    Scale note: this is the same phase structure as migrate_directory
+    but with JDBC endpoints; numPartitions bounds per-table connection
+    concurrency exactly like the reference's channel semaphore
+    (root.go:104-147). Verification re-reads both sides through JDBC —
+    at the reference's thousands-of-tables regime each verify job
+    overlaps other tables' copies via the thread pool.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.compare import table_summary
+    from .plans.partitioning import plan_table, sample_boundaries
+    from .sources.jdbc import read_table
+    from .sources.sinks import write_jdbc
+
+    cfg = cfg or SyncConfig()
+    todo = [t for t in pk_map if t not in set(cfg.exclude)]
+
+    def copy_one(t: str) -> tuple[TableReport, tuple | None]:
+        t0 = time.monotonic()
+        try:
+            pk = pk_map[t]
+            if len(pk) == 1:
+                q = quote
+                stats = read_table(
+                    spark,
+                    src,
+                    t,
+                    # aliases quoted: unquoted identifiers are upcased
+                    # by ANSI databases, which would break Row access
+                    custom_sql=(
+                        f'SELECT COUNT(*) AS {q}c{q}, MIN({q}{pk[0]}{q}) AS {q}lo{q}, '
+                        f'MAX({q}{pk[0]}{q}) AS {q}hi{q} FROM {t}'
+                    ),
+                ).collect()[0]
+                plan = plan_table(
+                    t,
+                    pk,
+                    page_size=page_size,
+                    max_parallel=cfg.max_parallel,
+                    row_count=stats.c,
+                    pk_min=stats.lo,
+                    pk_max=stats.hi,
+                )
+            elif pk:
+                narrow = read_table(spark, src, t).select(*pk)
+                plan = plan_table(
+                    t,
+                    pk,
+                    page_size=page_size,
+                    max_parallel=cfg.max_parallel,
+                    boundaries=sample_boundaries(narrow, pk, page_size),
+                    quote=quote,
+                )
+            else:
+                plan = plan_table(t, [], page_size, cfg.max_parallel)
+            df = read_table(spark, src, t, plan=plan)
+            write_jdbc(
+                df,
+                dest,
+                t,
+                batch_row_size=cfg.batch_row_size,
+                truncate=True,
+                max_parallel=cfg.max_parallel,
+            )
+            # verify: one checksum job over src ∪ dest JDBC re-reads
+            s, d = (
+                table_summary(read_table(spark, src, t, plan=plan), t)
+                .withColumn("side", F.lit("src"))
+                .unionByName(
+                    table_summary(read_table(spark, dest, t), t).withColumn(
+                        "side", F.lit("dest")
+                    )
+                )
+                .collect()
+            )
+            if s.side != "src":
+                s, d = d, s
+            ok = s.cnt == d.cnt and s.checksum == d.checksum
+            vrow = (t, s.cnt, d.cnt, s.checksum, d.checksum, "YES", "YES" if ok else "NO")
+            return TableReport(t, d.cnt, time.monotonic() - t0, True), vrow
+        except Exception as exc:  # noqa: BLE001 — per-object failure accounting
+            return TableReport(t, 0, time.monotonic() - t0, False, str(exc)), None
+
+    with ThreadPoolExecutor(max_workers=min(cfg.max_parallel, max(1, len(todo)))) as pool:
+        results = list(pool.map(copy_one, todo))
+    reports = [r for r, _ in results]
+    vrows = [v for _, v in results if v is not None]
+    schema = (
+        "table_name string, src_cnt long, dest_cnt long, "
+        "src_checksum decimal(38,0), dest_checksum decimal(38,0), "
+        "dest_is_exist string, is_ok string"
+    )
+    verdict = spark.createDataFrame(vrows, schema).orderBy("table_name")
+    return reports, verdict
