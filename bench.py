@@ -66,13 +66,15 @@ def main() -> None:
     # page-cache noise; one observed 23 s outlier on a 3 s query), and
     # the steady-state number is what the plan actually costs
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.monotonic()
             queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.monotonic() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     # the reference's core job: full-DB copy + checksum verification
     # (BASELINE.md "TableData" + "compareDb" phases in one number)
@@ -83,7 +85,7 @@ def main() -> None:
 
     # best-of-2 like the queries (fresh dest each run; the first run
     # additionally pays one-time digest-codegen for every table schema)
-    best = float("inf")
+    runs = []
     n_bad = 0
     for _ in range(2):
         dest = tempfile.mkdtemp(prefix="bench_migrate_")
@@ -92,9 +94,10 @@ def main() -> None:
         n_bad = sum(1 for r in verdict.collect() if r.is_ok != "YES") + sum(
             1 for r in reports if not r.ok
         )
-        best = min(best, time.monotonic() - t0)
+        runs.append(round(time.monotonic() - t0, 3))
         shutil.rmtree(dest, ignore_errors=True)
-    timings["migrate_full_db_with_verify"] = round(best, 3)
+    all_runs["migrate_full_db_with_verify"] = runs
+    timings["migrate_full_db_with_verify"] = min(runs)
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -105,6 +108,10 @@ def main() -> None:
         # each number is the min of this many runs (box shows host-level
         # CPU-steal outliers of 5-20x on arbitrary queries)
         "runs_per_query": 2,
+        # per-run wall times behind each min, so a regression in the
+        # headline number is distinguishable from single-run box noise
+        # without re-running the whole suite
+        "runs": all_runs,
     }
     if n_bad:
         # failure count lives OUTSIDE the summed timings dict so it
