@@ -99,6 +99,44 @@ def main() -> None:
     all_runs["migrate_full_db_with_verify"] = runs
     timings["migrate_full_db_with_verify"] = min(runs)
 
+    # DB→DB through REAL JDBC (embedded Derby) — the reference's
+    # actual job shape (root.go:375-507): plan partitions from the
+    # source PK, partitioned JDBC read, batched JDBC write, checksum
+    # verify both sides. One table per plan mode: range (orders,
+    # single numeric PK), composite boundary predicates (lineitem),
+    # tiny dim (region). Source seeding is setup, not timed.
+    from mysqldatasynctool_spark.config import Endpoint
+    from mysqldatasynctool_spark.migrate import jsonify_nested, migrate_jdbc
+    from mysqldatasynctool_spark.sources.fixtures import load
+    from mysqldatasynctool_spark.sources.sinks import write_jdbc
+
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    jdbc_tables = {
+        "orders": ["o_orderkey"],
+        "lineitem": ["l_orderkey", "l_linenumber"],
+        "region": ["r_regionkey"],
+    }
+    derby_root = tempfile.mkdtemp(prefix="bench_derby_")
+    src_ep = Endpoint(
+        url_override=f"jdbc:derby:{derby_root}/src;create=true", driver=drv
+    )
+    for t in jdbc_tables:
+        write_jdbc(jsonify_nested(load(spark, sf_dir, t)), src_ep, t, truncate=True)
+    runs = []
+    for i in range(2):
+        dest_ep = Endpoint(
+            url_override=f"jdbc:derby:{derby_root}/dest{i};create=true", driver=drv
+        )
+        t0 = time.monotonic()
+        reports, verdict = migrate_jdbc(spark, src_ep, dest_ep, jdbc_tables)
+        n_bad += sum(1 for r in verdict.collect() if r.is_ok != "YES") + sum(
+            1 for r in reports if not r.ok
+        )
+        runs.append(round(time.monotonic() - t0, 3))
+    shutil.rmtree(derby_root, ignore_errors=True)
+    all_runs["migrate_jdbc_db_to_db"] = runs
+    timings["migrate_jdbc_db_to_db"] = min(runs)
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
