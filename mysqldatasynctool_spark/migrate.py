@@ -216,8 +216,9 @@ def migrate_jdbc(
     overlaps other tables' copies via the thread pool.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import Observation
 
-    from .operators.compare import table_summary
+    from .operators.compare import row_digest, table_summary
     from .plans.partitioning import plan_table, sample_boundaries
     from .sources.jdbc import read_table
     from .sources.sinks import write_jdbc
@@ -264,29 +265,32 @@ def migrate_jdbc(
             else:
                 plan = plan_table(t, [], page_size, cfg.max_parallel)
             df = read_table(spark, src, t, plan=plan)
+            # Source count+checksum piggyback on the copy scan via
+            # observe() (same single-scan contract as
+            # migrate_directory): each source row crosses JDBC exactly
+            # once. Only the destination is re-read for verification —
+            # that re-read is the point (it proves what LANDED, not
+            # what was sent).
+            obs = Observation(f"jdbc_src_summary_{t}")
+            observed = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("cnt"),
+                F.coalesce(
+                    F.sum(row_digest(df)), F.lit(0).cast("decimal(38,0)")
+                ).alias("checksum"),
+            )
             write_jdbc(
-                df,
+                observed,
                 dest,
                 t,
                 batch_row_size=cfg.batch_row_size,
                 truncate=True,
                 max_parallel=cfg.max_parallel,
             )
-            # verify: one checksum job over src ∪ dest JDBC re-reads
-            s, d = (
-                table_summary(read_table(spark, src, t, plan=plan), t)
-                .withColumn("side", F.lit("src"))
-                .unionByName(
-                    table_summary(read_table(spark, dest, t), t).withColumn(
-                        "side", F.lit("dest")
-                    )
-                )
-                .collect()
-            )
-            if s.side != "src":
-                s, d = d, s
-            ok = s.cnt == d.cnt and s.checksum == d.checksum
-            vrow = (t, s.cnt, d.cnt, s.checksum, d.checksum, "YES", "YES" if ok else "NO")
+            src_cnt, src_sum = obs.get["cnt"], obs.get["checksum"]
+            d = table_summary(read_table(spark, dest, t), t).collect()[0]
+            ok = src_cnt == d.cnt and src_sum == d.checksum
+            vrow = (t, src_cnt, d.cnt, src_sum, d.checksum, "YES", "YES" if ok else "NO")
             return TableReport(t, d.cnt, time.monotonic() - t0, True), vrow
         except Exception as exc:  # noqa: BLE001 — per-object failure accounting
             return TableReport(t, 0, time.monotonic() - t0, False, str(exc)), None
