@@ -57,10 +57,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries, _ = collect_registry()
 
+    #: query name -> error string; a broken query must cost its own
+    #: row here, never the whole round's record (round 4 lost ALL
+    #: numbers to one AnalysisException before this isolation existed)
+    failed: dict[str, str] = {}
+
     # JVM/codegen warmup outside the timed region
-    queries["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    try:
+        queries["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+        failed["_warmup"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # best-of-2 per query: single runs on this box swing +-2x (GC /
     # page-cache noise; one observed 23 s outlier on a 3 s query), and
@@ -69,10 +77,16 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         runs: list[float] = []
-        for _ in range(2):
-            t0 = time.monotonic()
-            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(round(time.monotonic() - t0, 3))
+        try:
+            for _ in range(2):
+                t0 = time.monotonic()
+                queries[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                runs.append(round(time.monotonic() - t0, 3))
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            failed[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         all_runs[name] = runs
         timings[name] = min(runs)
 
@@ -85,19 +99,24 @@ def main() -> None:
 
     # best-of-2 like the queries (fresh dest each run; the first run
     # additionally pays one-time digest-codegen for every table schema)
-    runs = []
     n_bad = 0
-    for _ in range(2):
-        dest = tempfile.mkdtemp(prefix="bench_migrate_")
-        t0 = time.monotonic()
-        reports, verdict = migrate_directory(spark, sf_dir, dest)
-        n_bad = sum(1 for r in verdict.collect() if r.is_ok != "YES") + sum(
-            1 for r in reports if not r.ok
-        )
-        runs.append(round(time.monotonic() - t0, 3))
-        shutil.rmtree(dest, ignore_errors=True)
-    all_runs["migrate_full_db_with_verify"] = runs
-    timings["migrate_full_db_with_verify"] = min(runs)
+    try:
+        runs = []
+        for _ in range(2):
+            dest = tempfile.mkdtemp(prefix="bench_migrate_")
+            t0 = time.monotonic()
+            reports, verdict = migrate_directory(spark, sf_dir, dest)
+            # reassigned (not +=) per run: both runs see the same data,
+            # so the failure state is identical — summing would double it
+            n_bad = sum(1 for r in verdict.collect() if r.is_ok != "YES") + sum(
+                1 for r in reports if not r.ok
+            )
+            runs.append(round(time.monotonic() - t0, 3))
+            shutil.rmtree(dest, ignore_errors=True)
+        all_runs["migrate_full_db_with_verify"] = runs
+        timings["migrate_full_db_with_verify"] = min(runs)
+    except Exception as exc:  # noqa: BLE001
+        failed["migrate_full_db_with_verify"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # DB→DB through REAL JDBC (embedded Derby) — the reference's
     # actual job shape (root.go:375-507): plan partitions from the
@@ -116,26 +135,33 @@ def main() -> None:
         "lineitem": ["l_orderkey", "l_linenumber"],
         "region": ["r_regionkey"],
     }
-    derby_root = tempfile.mkdtemp(prefix="bench_derby_")
-    src_ep = Endpoint(
-        url_override=f"jdbc:derby:{derby_root}/src;create=true", driver=drv
-    )
-    for t in jdbc_tables:
-        write_jdbc(jsonify_nested(load(spark, sf_dir, t)), src_ep, t, truncate=True)
-    runs = []
-    for i in range(2):
-        dest_ep = Endpoint(
-            url_override=f"jdbc:derby:{derby_root}/dest{i};create=true", driver=drv
+    try:
+        derby_root = tempfile.mkdtemp(prefix="bench_derby_")
+        src_ep = Endpoint(
+            url_override=f"jdbc:derby:{derby_root}/src;create=true", driver=drv
         )
-        t0 = time.monotonic()
-        reports, verdict = migrate_jdbc(spark, src_ep, dest_ep, jdbc_tables)
-        n_bad += sum(1 for r in verdict.collect() if r.is_ok != "YES") + sum(
-            1 for r in reports if not r.ok
-        )
-        runs.append(round(time.monotonic() - t0, 3))
-    shutil.rmtree(derby_root, ignore_errors=True)
-    all_runs["migrate_jdbc_db_to_db"] = runs
-    timings["migrate_jdbc_db_to_db"] = min(runs)
+        for t in jdbc_tables:
+            write_jdbc(jsonify_nested(load(spark, sf_dir, t)), src_ep, t, truncate=True)
+        runs = []
+        jdbc_bad = 0
+        for i in range(2):
+            dest_ep = Endpoint(
+                url_override=f"jdbc:derby:{derby_root}/dest{i};create=true", driver=drv
+            )
+            t0 = time.monotonic()
+            reports, verdict = migrate_jdbc(spark, src_ep, dest_ep, jdbc_tables)
+            # reassigned per run, not accumulated — both runs migrate
+            # the same tables, so += would count one failure twice
+            jdbc_bad = sum(1 for r in verdict.collect() if r.is_ok != "YES") + sum(
+                1 for r in reports if not r.ok
+            )
+            runs.append(round(time.monotonic() - t0, 3))
+        n_bad += jdbc_bad
+        shutil.rmtree(derby_root, ignore_errors=True)
+        all_runs["migrate_jdbc_db_to_db"] = runs
+        timings["migrate_jdbc_db_to_db"] = min(runs)
+    except Exception as exc:  # noqa: BLE001
+        failed["migrate_jdbc_db_to_db"] = f"{type(exc).__name__}: {exc}"[:300]
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -155,6 +181,8 @@ def main() -> None:
         # failure count lives OUTSIDE the summed timings dict so it
         # can't corrupt the wall-clock headline metric
         out["failed_objects"] = n_bad
+    if failed:
+        out["failed"] = failed
     print(json.dumps(out))
     spark.stop()
 

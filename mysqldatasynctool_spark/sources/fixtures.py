@@ -73,11 +73,22 @@ def _rebalance(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects ([PARQUET_TYPE_ILLEGAL]); read it as nanos-since-
-    epoch long and convert with exact integer division (a double
-    division would lose precision at 1e18 ns). This matches DuckDB's
-    behavior of truncating nanos to micros.
+    ``events.ts`` normalization: the driver has shipped the column as
+    both parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds,
+    and Spark reads those very differently — nanos is rejected by the
+    vectorized reader ([PARQUET_TYPE_ILLEGAL]) unless read as a long,
+    and tz-less micros becomes TIMESTAMP_NTZ (which refuses
+    ``cast("long")`` and silently ignores the session time zone).
+    Normalize ALL variants to a plain UTC TIMESTAMP here, the single
+    ingestion choke point, so every downstream consumer sees one dtype:
+
+    - ``bigint`` (nanos-as-long): exact integer DIV 1000 → micros
+      (double division would lose precision at 1e18 ns; matches
+      DuckDB's nanos→micros truncation).
+    - ``timestamp_ntz`` (micros, no tz): cast to ``timestamp``. The
+      session TZ is pinned UTC below, so the wall-clock fields are
+      reinterpreted as UTC instants — identical epoch semantics to the
+      DuckDB oracle.
     """
     # timestamp→epoch casts and F.window arithmetic assume UTC; the
     # harness may hand us a session with a different default, so pin
@@ -87,8 +98,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return _rebalance(spark, df, path)
     return _rebalance(spark, spark.read.parquet(path), path)
 

@@ -25,20 +25,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: explicit source schema — streaming reads never infer schemas.
-#: ts arrives as nanos-since-epoch long (the fixture parquet is
-#: TIMESTAMP(NANOS), unreadable as timestamp by Spark — see
-#: sources/fixtures.py) and is converted with exact integer division.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    """Explicit source schema — streaming reads never infer schemas.
+    ``ts`` is parameterized because the fixture parquet has shipped as
+    both TIMESTAMP(NANOS) (readable only as long under the legacy
+    flag) and TIMESTAMP(MICROS) without tz (TIMESTAMP_NTZ): declaring
+    the wrong one does NOT error — nanos-long read through a DIV-1000
+    micros conversion of micros data lands 1000x too small, silently
+    corrupting every window/watermark downstream. The actual on-disk
+    type is probed per-path in read_events_stream."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _probe_ts_unit(parquet_path: str) -> str:
+    """Driver-side one-file footer read: returns the parquet ``ts``
+    unit ('ns' | 'us' | ...) so the streaming schema matches the data.
+    A schema/data mismatch here is silent wrong answers, not an error,
+    so this cheap probe is mandatory, mirroring the dtype branch in
+    sources/fixtures.load."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = parquet_path
+    if os.path.isdir(p):
+        files = [
+            os.path.join(p, f)
+            for f in sorted(os.listdir(p))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return "us"
+        p = files[0]
+    field = pq.read_schema(p).field("ts")
+    return getattr(field.type, "unit", "us")
 
 
 def read_events_stream(
@@ -55,17 +84,29 @@ def read_events_stream(
     import os
     import tempfile
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = f"{sf_dir}/events.parquet"
+    unit = _probe_ts_unit(src)
     if os.path.isfile(src):
         staged = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(src, os.path.join(staged, "events-000.parquet"))
         src = staged
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if unit == "ns":
+        # nanos: only readable as long under the legacy flag; exact
+        # integer DIV to micros (see sources/fixtures.load)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _events_schema(T.LongType())
+    else:
+        # micros without tz → TIMESTAMP_NTZ; cast to TIMESTAMP below
+        # (session TZ pinned UTC, same epoch semantics as the oracle)
+        schema = _events_schema(T.TimestampNTZType())
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(src)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if unit == "ns":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
