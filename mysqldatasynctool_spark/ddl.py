@@ -94,6 +94,41 @@ _DIALECTS = {
 }
 
 
+#: substrings identifying a "table does not exist" error across the
+#: dialects this layer emulates DROP IF EXISTS for: Derby SQLStates
+#: 42Y55 (DROP on missing table) / 42X05 (table/view not found), plus
+#: generic phrasings (MySQL 1051 says "Unknown table").
+_MISSING_TABLE_MARKERS = (
+    "42y55",
+    "42x05",
+    "does not exist",
+    "doesn't exist",
+    "unknown table",
+    "not found",
+)
+
+
+def _is_missing_table_error(exc: Exception) -> bool:
+    """True when a failed DROP means only that the table wasn't there.
+    DB-API drivers wrap server errors differently, so this matches on
+    SQLState/message text through the whole exception chain."""
+    seen: list[str] = []
+    cur = exc
+    while cur is not None and len(seen) < 5:
+        try:
+            seen.append(str(cur).lower())
+        except Exception:  # noqa: BLE001 — a __str__ that throws
+            break
+        # getattr with defaults: the chain crosses into py4j
+        # JavaObjects, whose dynamic __getattr__ RAISES for absent
+        # members (including __cause__) instead of returning None
+        cur = getattr(cur, "__cause__", None) or getattr(
+            cur, "java_exception", None
+        )
+    blob = " ".join(seen)
+    return any(m in blob for m in _MISSING_TABLE_MARKERS)
+
+
 def create_table_sql(
     table: str,
     schema: T.StructType,
@@ -179,7 +214,14 @@ def replicate_ddl(
             if drop_tolerated and s.startswith("drop table"):
                 try:
                     cur.execute(s)
-                except Exception:
+                except Exception as exc:
+                    # tolerate ONLY missing-table (the IF EXISTS
+                    # semantics being emulated); anything else — lock
+                    # timeout, permissions, dependent FK — must surface,
+                    # not silently leave stale data under the new load
+                    if not _is_missing_table_error(exc):
+                        conn.rollback()
+                        raise
                     conn.rollback()  # clear the failed-statement txn state
                 continue
             cur.execute(s)

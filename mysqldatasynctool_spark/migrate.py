@@ -27,6 +27,19 @@ from .sources.fixtures import load
 from .sources.sinks import write_parquet
 
 
+def _check_ident(name: str) -> None:
+    """Reject table names that can't be interpolated into generated
+    SQL safely. Names flow into ``FROM {t}`` (stats probe) and Spark's
+    own raw ``dbtable`` interpolation; a quote/semicolon/whitespace in
+    one is either injection or a name no unquoted dialect accepts.
+    Dotted schema-qualified names are allowed (each part checked)."""
+    import re
+
+    for part in name.split("."):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$#]*", part):
+            raise ValueError(f"unsafe table identifier: {name!r}")
+
+
 @dataclass
 class TableReport:
     """Per-object run report (the reference's gotable summary row:
@@ -227,67 +240,114 @@ def migrate_jdbc(
     todo = [t for t in pk_map if t not in set(cfg.exclude)]
 
     def copy_one(t: str) -> tuple[TableReport, tuple | None]:
+        from numbers import Number
+
         t0 = time.monotonic()
         try:
             pk = pk_map[t]
-            if len(pk) == 1:
-                q = quote
-                stats = read_table(
-                    spark,
-                    src,
-                    t,
-                    # aliases quoted: unquoted identifiers are upcased
-                    # by ANSI databases, which would break Row access
-                    custom_sql=(
-                        f'SELECT COUNT(*) AS {q}c{q}, MIN({q}{pk[0]}{q}) AS {q}lo{q}, '
-                        f'MAX({q}{pk[0]}{q}) AS {q}hi{q} FROM {t}'
-                    ),
-                ).collect()[0]
-                plan = plan_table(
-                    t,
-                    pk,
-                    page_size=page_size,
-                    max_parallel=cfg.max_parallel,
-                    row_count=stats.c,
-                    pk_min=stats.lo,
-                    pk_max=stats.hi,
+            _check_ident(t)
+            def build_plan():
+                # Tier 1 — single PK: one COUNT/MIN/MAX pushed down to
+                # the source → JDBC range partitions. The probe itself
+                # can fail on the PK's SQL type (Derby refuses MIN on
+                # CLOB), which only means this FAST path is
+                # unavailable, not that the table can't be paged.
+                if len(pk) == 1:
+                    q = quote
+                    try:
+                        stats = read_table(
+                            spark,
+                            src,
+                            t,
+                            # aliases quoted: unquoted identifiers are
+                            # upcased by ANSI databases, which would
+                            # break Row access. The table name itself
+                            # stays unquoted on purpose — Spark's own
+                            # dbtable path interpolates it raw, so
+                            # quoting here would resolve to a DIFFERENT
+                            # (case-sensitive) identifier than every
+                            # other scan of the same table;
+                            # _check_ident guards injection.
+                            custom_sql=(
+                                f'SELECT COUNT(*) AS {q}c{q}, '
+                                f'MIN({q}{pk[0]}{q}) AS {q}lo{q}, '
+                                f'MAX({q}{pk[0]}{q}) AS {q}hi{q} FROM {t}'
+                            ),
+                        ).collect()[0]
+                    except Exception:  # noqa: BLE001 — degrade to tier 2
+                        stats = None
+                    if (
+                        stats is not None
+                        and isinstance(stats.lo, Number)
+                        and not isinstance(stats.lo, bool)
+                    ):
+                        return plan_table(
+                            t,
+                            pk,
+                            page_size=page_size,
+                            max_parallel=cfg.max_parallel,
+                            row_count=stats.c,
+                            pk_min=stats.lo,
+                            pk_max=stats.hi,
+                        )
+                # Tier 2 — any PK (incl. single string/date/uuid, or an
+                # empty table): lexicographic boundary predicates work
+                # for every orderable type — the reference likewise
+                # pages every PK type (root.go:347-371).
+                if pk:
+                    return plan_table(
+                        t,
+                        pk,
+                        page_size=page_size,
+                        max_parallel=cfg.max_parallel,
+                        boundaries=sample_boundaries(
+                            read_table(spark, src, t).select(*pk), pk, page_size
+                        ),
+                        quote=quote,
+                    )
+                # Tier 3 — no PK: single full-scan partition
+                # (root.go:341-345).
+                return plan_table(t, [], page_size, cfg.max_parallel)
+
+            def copy_with(plan, attempt: int):
+                df = read_table(spark, src, t, plan=plan)
+                # Source count+checksum piggyback on the copy scan via
+                # observe() (same single-scan contract as
+                # migrate_directory): each source row crosses JDBC
+                # exactly once. Only the destination is re-read for
+                # verification — that re-read is the point (it proves
+                # what LANDED, not what was sent).
+                obs = Observation(f"jdbc_src_summary_{t}_{attempt}")
+                observed = df.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.coalesce(
+                        F.sum(row_digest(df)), F.lit(0).cast("decimal(38,0)")
+                    ).alias("checksum"),
                 )
-            elif pk:
-                narrow = read_table(spark, src, t).select(*pk)
-                plan = plan_table(
+                write_jdbc(
+                    observed,
+                    dest,
                     t,
-                    pk,
-                    page_size=page_size,
+                    batch_row_size=cfg.batch_row_size,
+                    truncate=True,
                     max_parallel=cfg.max_parallel,
-                    boundaries=sample_boundaries(narrow, pk, page_size),
-                    quote=quote,
                 )
-            else:
+                return obs.get["cnt"], obs.get["checksum"]
+
+            plan = build_plan()
+            try:
+                src_cnt, src_sum = copy_with(plan, 0)
+            except Exception:
+                if plan.mode == "single":
+                    raise
+                # a partitioned read can fail only at EXECUTION time
+                # (e.g. the dialect can't compare the PK type inside
+                # boundary predicates — Derby CLOB). truncate=True makes
+                # the retry idempotent; degrade to one full scan rather
+                # than failing the table.
                 plan = plan_table(t, [], page_size, cfg.max_parallel)
-            df = read_table(spark, src, t, plan=plan)
-            # Source count+checksum piggyback on the copy scan via
-            # observe() (same single-scan contract as
-            # migrate_directory): each source row crosses JDBC exactly
-            # once. Only the destination is re-read for verification —
-            # that re-read is the point (it proves what LANDED, not
-            # what was sent).
-            obs = Observation(f"jdbc_src_summary_{t}")
-            observed = df.observe(
-                obs,
-                F.count(F.lit(1)).alias("cnt"),
-                F.coalesce(
-                    F.sum(row_digest(df)), F.lit(0).cast("decimal(38,0)")
-                ).alias("checksum"),
-            )
-            write_jdbc(
-                observed,
-                dest,
-                t,
-                batch_row_size=cfg.batch_row_size,
-                truncate=True,
-                max_parallel=cfg.max_parallel,
-            )
-            src_cnt, src_sum = obs.get["cnt"], obs.get["checksum"]
+                src_cnt, src_sum = copy_with(plan, 1)
             d = table_summary(read_table(spark, dest, t), t).collect()[0]
             ok = src_cnt == d.cnt and src_sum == d.checksum
             vrow = (t, src_cnt, d.cnt, src_sum, d.checksum, "YES", "YES" if ok else "NO")

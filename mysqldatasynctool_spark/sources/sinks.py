@@ -57,19 +57,29 @@ def write_jdbc(
     batch_row_size: int = 1000,
     truncate: bool = True,
     max_parallel: int | None = None,
+    column_types: str | None = None,
 ) -> None:
     """Batched JDBC append/overwrite mirroring the reference's sink.
 
     ``max_parallel`` bounds writer concurrency (the reference's dest
     pool limit of 30, app.go:74-76) via coalesce — fewer, larger
     partitions rather than connection pooling.
+
+    ``column_types`` (Spark's createTableColumnTypes syntax, e.g.
+    ``"c_name VARCHAR(64)"``) overrides the dialect's default type
+    mapping when the sink creates the table — the knob for dialects
+    whose default is unusable for keys (Spark maps StringType to
+    Derby CLOB, which supports neither MIN/MAX nor comparison, so a
+    string PRIMARY KEY must be written as VARCHAR to stay pageable).
     """
     if max_parallel is not None and df.rdd.getNumPartitions() > max_parallel:
         df = df.coalesce(max_parallel)
-    (
+    w = (
         df.write.mode("overwrite" if truncate else "append")
         .option("truncate", str(truncate).lower())
         .option("batchsize", str(effective_batch_size(batch_row_size, len(df.columns))))
         .option("isolationLevel", "READ_COMMITTED")
-        .jdbc(endpoint.jdbc_url, table, properties=endpoint.jdbc_properties)
     )
+    if column_types:
+        w = w.option("createTableColumnTypes", column_types)
+    w.jdbc(endpoint.jdbc_url, table, properties=endpoint.jdbc_properties)

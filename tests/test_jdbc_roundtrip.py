@@ -140,3 +140,93 @@ def test_migrate_jdbc_db_to_db(spark, tmp_path_factory):
         url=dest.jdbc_url, dbtable="orders", driver=drv
     ).load()
     assert back.count() == load(spark, SF, "orders").count()
+
+
+def test_migrate_jdbc_string_pk(spark, tmp_path_factory):
+    """Single-column NON-numeric PK: the range planner needs numeric
+    arithmetic, so a string PK must route to lexicographic boundary
+    predicates instead of raising TypeError and failing the table
+    (the reference handles every PK type, root.go:347-371)."""
+    from mysqldatasynctool_spark.migrate import migrate_jdbc
+
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    src_db = tmp_path_factory.mktemp("derby_src_s") / "db"
+    dest_db = tmp_path_factory.mktemp("derby_dest_s") / "db"
+    src = Endpoint(url_override=f"jdbc:derby:{src_db};create=true", driver=drv)
+    dest = Endpoint(url_override=f"jdbc:derby:{dest_db};create=true", driver=drv)
+
+    cust = load(spark, SF, "customer").select(
+        "c_name", "c_nationkey", "c_acctbal"
+    )
+    write_jdbc(cust, src, "cust_by_name", truncate=True)
+
+    reports, verdict = migrate_jdbc(
+        spark, src, dest, {"cust_by_name": ["c_name"]}, page_size=50
+    )
+    assert all(r.ok for r in reports), [(r.table, r.error) for r in reports]
+    assert all(r.is_ok == "YES" for r in verdict.collect())
+    back = read_table(spark, dest, "cust_by_name")
+    assert back.count() == cust.count()
+
+
+def test_check_ident_rejects_injection():
+    from mysqldatasynctool_spark.migrate import _check_ident
+
+    _check_ident("orders")
+    _check_ident("myschema.orders")
+    for bad in ('orders"; DROP TABLE x--', "a b", "t;", 'x"y', ""):
+        with pytest.raises(ValueError):
+            _check_ident(bad)
+
+
+def test_missing_table_error_classifier():
+    from mysqldatasynctool_spark.ddl import _is_missing_table_error
+
+    assert _is_missing_table_error(Exception("ERROR 42Y55: 'DROP TABLE' cannot be performed on 'T' because it does not exist"))
+    assert _is_missing_table_error(Exception("Table/View 'T' does not exist."))
+    assert _is_missing_table_error(Exception("Unknown table 'db.t'"))
+    assert not _is_missing_table_error(Exception("ERROR 40XL1: A lock could not be obtained"))
+    chained = Exception("java wrapper")
+    chained.__cause__ = Exception("ERROR 42X05: Table/View 'Q' not found")
+    assert _is_missing_table_error(chained)
+
+
+def test_migrate_jdbc_string_pk_varchar_pages(spark, tmp_path_factory):
+    """String PK stored as VARCHAR (the MySQL-realistic case): the
+    range probe still degrades (MIN works but lo is a str, not a
+    number), and lexicographic boundary predicates must EXECUTE on the
+    source — comparisons against a VARCHAR are legal SQL, so this
+    exercises tier 2 for real rather than the full-scan fallback."""
+    from mysqldatasynctool_spark.migrate import migrate_jdbc
+
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    src_db = tmp_path_factory.mktemp("derby_src_v") / "db"
+    dest_db = tmp_path_factory.mktemp("derby_dest_v") / "db"
+    src = Endpoint(url_override=f"jdbc:derby:{src_db};create=true", driver=drv)
+    dest = Endpoint(url_override=f"jdbc:derby:{dest_db};create=true", driver=drv)
+
+    cust = load(spark, SF, "customer").select("c_name", "c_nationkey", "c_acctbal")
+    write_jdbc(
+        cust, src, "cust_vc", truncate=True, column_types="c_name VARCHAR(40)"
+    )
+
+    # sanity: tier-2 predicates against the VARCHAR column are
+    # executable on this source (would raise for CLOB)
+    from mysqldatasynctool_spark.plans.partitioning import (
+        composite_pk_predicates as cpp,
+        sample_boundaries as sb,
+    )
+
+    narrow = read_table(spark, src, "cust_vc").select("c_name")
+    bounds = sb(narrow, ["c_name"], 50)
+    assert len(bounds) > 1
+    plan = plan_table("cust_vc", ["c_name"], 50, 8, boundaries=bounds, quote='"')
+    paged = read_table(spark, src, "cust_vc", plan=plan)
+    assert paged.rdd.getNumPartitions() == len(cpp(["c_name"], bounds, quote='"'))
+    assert paged.count() == cust.count()
+
+    reports, verdict = migrate_jdbc(
+        spark, src, dest, {"cust_vc": ["c_name"]}, page_size=50
+    )
+    assert all(r.ok for r in reports), [(r.table, r.error) for r in reports]
+    assert all(r.is_ok == "YES" for r in verdict.collect())
