@@ -34,6 +34,7 @@ HEADLINE = [
     "window_topk_per_group",
     "events_sessionization",
     "events_sliding_window",
+    "events_asof_join",
     "migration_compare_checksums",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -97,12 +98,14 @@ def main() -> None:
 
     from mysqldatasynctool_spark.migrate import migrate_directory
 
-    # best-of-2 like the queries (fresh dest each run; the first run
-    # additionally pays one-time digest-codegen for every table schema)
+    # best-of-3 (queries are best-of-2): this one metric swung
+    # [7.91, 11.85] in r3 — the extra run separates steady-state from
+    # GC/page-cache outliers. Fresh dest each run; the first run
+    # additionally pays one-time digest-codegen for every table schema.
     n_bad = 0
     try:
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             dest = tempfile.mkdtemp(prefix="bench_migrate_")
             t0 = time.monotonic()
             reports, verdict = migrate_directory(spark, sf_dir, dest)

@@ -41,9 +41,15 @@ class Endpoint:
             return self.url_override
         # The reference forces charset=utf8 & unlimited packet
         # (/root/reference/cmd/app.go:41, 64); JDBC equivalents below.
+        # rewriteBatchedStatements makes Connector/J send each
+        # executeBatch as ONE multi-row INSERT instead of N statements
+        # — the standard ~10x lever for JDBC bulk insert into MySQL,
+        # and the closest JDBC analogue of the reference's hand-built
+        # multi-VALUES batches (root.go:435-469).
         return (
             f"jdbc:mysql://{self.host}:{self.port}/{self.database}"
             "?characterEncoding=utf8&maxAllowedPacket=0&useSSL=false"
+            "&rewriteBatchedStatements=true"
         )
 
     @property

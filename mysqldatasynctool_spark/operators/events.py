@@ -415,6 +415,71 @@ ORDER BY f.cohort_day, day_offset
 """
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase picks the latest click at-or-before
+    it for the same user (the canonical ops/finance "most recent
+    matching record" operator; Spark has no native ASOF JOIN).
+
+    Spark-first shape — NO join at all: tag both sides, union them
+    (map-side, zero cost), shuffle ONCE on user_id, and compute a
+    running ``last(click_ts, ignorenulls=True)`` over (ts, side)
+    order. Equal timestamps order clicks (side 0) before purchases
+    (side 1), so a same-instant click counts as "at-or-before" —
+    matching the oracle's ``c.ts <= p.ts``.
+
+    100 TB: one hash exchange keyed by user_id and a per-key sort —
+    strictly cheaper than the join+groupBy an ASOF-via-interval-join
+    rewrite costs, and with no unbounded join state. Per-user data
+    sorts within a task, so only a pathological single-user skew
+    would need salting + a two-pass merge.
+    """
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .when(F.col("event_type") == "purchase", F.lit(1))
+        .alias("side"),
+    ).filter(F.col("side").isNotNull())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running_click = F.last(
+        F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("click_ts", running_click)
+        .filter(F.col("side") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+#: correlated-max form instead of DuckDB ASOF JOIN syntax: identical
+#: semantics (max click ts <= purchase ts, NULL when none) and
+#: deterministic even when several clicks share the boundary instant.
+EVENTS_ASOF_ORACLE = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       (SELECT max(c.ts) FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts <= p.ts) AS click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+ORDER BY user_id, purchase_id
+"""
+
+
 QUERIES = {
     "events_json_extract": events_json_extract,
     "events_tumbling_window": events_tumbling_window,
@@ -425,6 +490,7 @@ QUERIES = {
     "events_date_functions": events_date_functions,
     "events_funnel_join": events_funnel_join,
     "events_retention_cohorts": events_retention_cohorts,
+    "events_asof_join": events_asof_join,
 }
 
 ORACLES = {
@@ -437,4 +503,5 @@ ORACLES = {
     "events_date_functions": EVENTS_DATE_FUNCTIONS_ORACLE,
     "events_funnel_join": EVENTS_FUNNEL_ORACLE,
     "events_retention_cohorts": EVENTS_RETENTION_ORACLE,
+    "events_asof_join": EVENTS_ASOF_ORACLE,
 }

@@ -1,0 +1,106 @@
+"""Canary for fixture-regeneration drift.
+
+The driver regenerates /root/testdata between rounds and has already
+shipped events.ts as parquet TIMESTAMP(NANOS) (r1-r3) and
+TIMESTAMP(MICROS) without tz (r4, which Spark reads as TIMESTAMP_NTZ
+— that flip silently broke 3 queries and the whole streaming layer).
+This suite synthesizes every plausible encoding of the events table
+and asserts the batch loader AND the streaming reader normalize each
+to the same plain UTC TIMESTAMP with the same epoch values, so the
+next regeneration fails HERE, loudly, not in the driver's rotation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from mysqldatasynctool_spark.sources.fixtures import load
+
+#: one known instant, expressed in epoch micros (UTC)
+EPOCH_US = [1_700_000_000_000_000, 1_700_000_123_456_789]
+
+
+def _write_events(tmp_path, ts_array) -> str:
+    sf_dir = str(tmp_path)
+    n = len(EPOCH_US)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([1.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+ENCODINGS = {
+    "nanos_no_tz": pa.array(
+        [us * 1000 for us in EPOCH_US], pa.timestamp("ns")
+    ),
+    "micros_no_tz": pa.array(EPOCH_US, pa.timestamp("us")),
+    "micros_utc_tz": pa.array(EPOCH_US, pa.timestamp("us", tz="UTC")),
+    "millis_no_tz": pa.array(
+        [us // 1000 for us in EPOCH_US], pa.timestamp("ms")
+    ),
+}
+
+#: millis loses sub-ms precision by construction; truncate expectations
+def _expected_us(name: str) -> list[int]:
+    if name == "millis_no_tz":
+        return [us // 1000 * 1000 for us in EPOCH_US]
+    return list(EPOCH_US)
+
+
+@pytest.mark.parametrize("name", sorted(ENCODINGS))
+def test_batch_load_normalizes_ts(spark, tmp_path, name):
+    sf_dir = _write_events(tmp_path, ENCODINGS[name])
+    df = load(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp", (
+        f"{name}: load() must yield plain TIMESTAMP, got "
+        f"{dict(df.dtypes)['ts']}"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            (F.unix_micros(F.col("ts"))).alias("us")
+        )
+        .orderBy("us")
+        .collect()
+    ]
+    assert got == _expected_us(name), f"{name}: epoch drift"
+    # every downstream epoch idiom must work on the normalized column
+    df.select(F.col("ts").cast("long"), F.unix_timestamp("ts")).collect()
+
+
+@pytest.mark.parametrize("name", ["nanos_no_tz", "micros_no_tz"])
+def test_streaming_reader_matches_batch(spark, tmp_path, name):
+    """The streaming schema is declared, not inferred — a mismatch
+    parses WITHOUT error and lands 1000x-wrong timestamps (r4's
+    silent failure). Assert stream == batch per encoding."""
+    from mysqldatasynctool_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    sf_dir = _write_events(tmp_path, ENCODINGS[name])
+    batch_us = sorted(
+        r[0]
+        for r in load(spark, sf_dir, "events")
+        .select(F.unix_micros("ts"))
+        .collect()
+    )
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        stream.select(F.unix_micros("ts").alias("us")), f"canary_{name}"
+    )
+    got = sorted(r[0] for r in out.collect())
+    assert got == batch_us, f"{name}: stream/batch epoch mismatch"

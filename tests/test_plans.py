@@ -138,3 +138,16 @@ def test_minhash_band_join_shuffles_slim_rows(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line and "band_idx" in line:
             assert "sh#" not in line, f"band shuffle carries arrays: {line[:200]}"
+
+
+def test_asof_join_has_no_join_nodes(spark):
+    """events_asof_join is implemented as union + ONE windowed pass
+    (shuffle keyed on user_id), not as a join: any Join/Cartesian node
+    in the plan means the cheap shape regressed to the
+    interval-join+groupBy rewrite (unbounded pair blowup on hot
+    users)."""
+    from mysqldatasynctool_spark.operators import events
+
+    plan = _plan(spark, events.QUERIES["events_asof_join"](spark, SF), "simple")
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
