@@ -415,23 +415,32 @@ ORDER BY f.cohort_day, day_offset
 """
 
 
+#: asof tolerance: a click older than this no longer "explains" the
+#: purchase (pandas merge_asof(tolerance=...) semantics)
+ASOF_TOLERANCE_S = 1800
+
+
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AS-OF join: each purchase picks the latest click at-or-before
-    it for the same user (the canonical ops/finance "most recent
-    matching record" operator; Spark has no native ASOF JOIN).
+    """AS-OF join WITH TOLERANCE: each purchase picks the latest click
+    at-or-before it for the same user, but only if that click falls
+    within the last 30 minutes — otherwise NULL (exactly pandas
+    ``merge_asof(..., tolerance=...)``; the unbounded variant lives in
+    advanced.join_asof). The bounded-staleness form is what attribution
+    and trades-vs-quotes pipelines actually run, and it is also the
+    form whose streaming twin has FINITE state (the tolerance is the
+    watermark horizon).
 
     Spark-first shape — NO join at all: tag both sides, union them
-    (map-side, zero cost), shuffle ONCE on user_id, and compute a
-    running ``last(click_ts, ignorenulls=True)`` over (ts, side)
-    order. Equal timestamps order clicks (side 0) before purchases
-    (side 1), so a same-instant click counts as "at-or-before" —
-    matching the oracle's ``c.ts <= p.ts``.
+    (map-side, zero cost), shuffle ONCE on user_id, compute a running
+    ``last(click_ts, ignorenulls=True)`` over (ts, side) order, then
+    null out matches older than the tolerance. Equal timestamps order
+    clicks (side 0) before purchases (side 1), so a same-instant click
+    counts as "at-or-before" — matching the oracle's ``c.ts <= p.ts``.
 
     100 TB: one hash exchange keyed by user_id and a per-key sort —
-    strictly cheaper than the join+groupBy an ASOF-via-interval-join
-    rewrite costs, and with no unbounded join state. Per-user data
-    sorts within a task, so only a pathological single-user skew
-    would need salting + a two-pass merge.
+    strictly cheaper than the interval-join+groupBy rewrite (no pair
+    blowup on hot users, no unbounded join state). Only a pathological
+    single-user skew would need salting + a two-pass merge.
     """
     ev = load(spark, sf_dir, "events")
     tagged = ev.select(
@@ -450,9 +459,13 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     running_click = F.last(
         F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
     ).over(w)
+    fresh_enough = (
+        F.col("ts").cast("long") - F.col("click_ts").cast("long")
+    ) <= ASOF_TOLERANCE_S
     return (
         tagged.withColumn("click_ts", running_click)
         .filter(F.col("side") == 1)
+        .withColumn("click_ts", F.when(fresh_enough, F.col("click_ts")))
         .select(
             "user_id",
             F.col("event_id").alias("purchase_id"),
@@ -464,19 +477,62 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: correlated-max form instead of DuckDB ASOF JOIN syntax: identical
-#: semantics (max click ts <= purchase ts, NULL when none) and
-#: deterministic even when several clicks share the boundary instant.
-EVENTS_ASOF_ORACLE = """
+#: semantics (max click ts within (p.ts - tolerance, p.ts], NULL when
+#: none) and deterministic even when several clicks share the
+#: boundary instant.
+EVENTS_ASOF_ORACLE = f"""
 SELECT p.user_id,
        p.event_id AS purchase_id,
        p.ts AS purchase_ts,
        (SELECT max(c.ts) FROM events c
         WHERE c.event_type = 'click'
           AND c.user_id = p.user_id
-          AND c.ts <= p.ts) AS click_ts
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_S} SECOND) AS click_ts
 FROM events p
 WHERE p.event_type = 'purchase'
 ORDER BY user_id, purchase_id
+"""
+
+
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (TimescaleDB
+    continuous-aggregate shape): one pass produces hour-level rows,
+    day-level rows, AND the grand total via ROLLUP(day, hour) — the
+    coarser resolutions are what a dashboard reads instead of
+    re-scanning raw events.
+
+    100 TB: Catalyst expands ROLLUP map-side (each row feeds its 3
+    grouping sets before the exchange), partial-aggregates, and
+    shuffles once on the grouping-set key — the same single-shuffle
+    cost as the plain hourly aggregate, with day/total coming along
+    free. That is exactly the incremental-rollup economics a
+    hypertable materializes; here it is one declarative plan.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "value",
+    )
+    return (
+        ev.rollup("day", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("value"), 6)).cast("double").alias("sum_value"),
+        )
+        .orderBy(F.col("day").asc_nulls_first(), F.col("hr").asc_nulls_first())
+    )
+
+
+EVENTS_HYPERTABLE_ROLLUP_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                CAST(date_trunc('hour', ts) AS TIMESTAMP))
+ORDER BY day NULLS FIRST, hr NULLS FIRST
 """
 
 
@@ -491,6 +547,7 @@ QUERIES = {
     "events_funnel_join": events_funnel_join,
     "events_retention_cohorts": events_retention_cohorts,
     "events_asof_join": events_asof_join,
+    "events_hypertable_rollup": events_hypertable_rollup,
 }
 
 ORACLES = {
@@ -504,4 +561,5 @@ ORACLES = {
     "events_funnel_join": EVENTS_FUNNEL_ORACLE,
     "events_retention_cohorts": EVENTS_RETENTION_ORACLE,
     "events_asof_join": EVENTS_ASOF_ORACLE,
+    "events_hypertable_rollup": EVENTS_HYPERTABLE_ROLLUP_ORACLE,
 }
