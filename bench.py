@@ -35,6 +35,7 @@ HEADLINE = [
     "events_sessionization",
     "events_sliding_window",
     "events_asof_join",
+    "events_hypertable_rollup",
     "migration_compare_checksums",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -191,4 +192,21 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — the record must exist
+        # last-resort guarantee: the driver parses ONE JSON line from
+        # stdout; a startup/import crash must still yield a record
+        # (round 4 had rc=1, parsed=null and therefore no perf record)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_wall",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "error": f"{type(exc).__name__}: {exc}"[:500],
+                }
+            )
+        )
+        raise SystemExit(1)

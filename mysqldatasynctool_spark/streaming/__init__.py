@@ -5,6 +5,7 @@ from .jobs import (
     streaming_session_windows,
     streaming_dedup_within_watermark,
     streaming_stateful_user_counts,
+    streaming_topk_transform_with_state,
     streaming_funnel_join,
     streaming_static_enrichment,
     run_to_memory_sink,
@@ -18,6 +19,7 @@ __all__ = [
     "streaming_session_windows",
     "streaming_dedup_within_watermark",
     "streaming_stateful_user_counts",
+    "streaming_topk_transform_with_state",
     "streaming_funnel_join",
     "streaming_static_enrichment",
     "run_to_memory_sink",

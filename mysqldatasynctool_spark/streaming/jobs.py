@@ -204,6 +204,58 @@ def streaming_stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_topk_transform_with_state(events: DataFrame, k: int = 3) -> DataFrame:
+    """Custom stateful operator on the NEW Spark 4 API
+    (``transformWithStateInPandas``): per-user running top-``k`` event
+    values held in a ValueState. Chosen over the older
+    ``applyInPandasWithState`` (streaming_stateful_user_counts keeps
+    that surface covered) because the new API is where Spark's
+    stateful streaming is headed: typed per-key state handles
+    (Value/List/Map), optional TTL, and timers — the building blocks
+    any bespoke aggregator (top-k, HLL, decayed counters) needs at
+    production scale. State here is O(k) per user, bounded by
+    construction.
+
+    The processor is a locally-defined class (pickled by value —
+    executors don't need this package importable; same rule as
+    functions/multimodal.make_decode_batches).
+
+    Environment note: the API's Python<->JVM state transport uses
+    google.protobuf, which this sandbox lacks (installs disallowed) —
+    the parity test skips there and runs wherever protobuf exists;
+    the older applyInPandasWithState twin stays fully tested either
+    way.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("topk", f"vals array<double>")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            vals = list(self._state.get()[0]) if self._state.exists() else []
+            for pdf in rows:
+                vals.extend(float(v) for v in pdf["value"])
+            vals = sorted(vals, reverse=True)[:k]
+            self._state.update((vals,))
+            yield _pd.DataFrame({"user_id": [key[0]], "top_values": [vals]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _TopK(),
+        outputStructType="user_id long, top_values array<double>",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def streaming_funnel_join(
     clicks: DataFrame, purchases: DataFrame, minutes: int = 10
 ) -> DataFrame:

@@ -151,3 +151,14 @@ def test_asof_join_has_no_join_nodes(spark):
     plan = _plan(spark, events.QUERIES["events_asof_join"](spark, SF), "simple")
     assert "Join" not in plan and "Cartesian" not in plan
     assert "Window" in plan
+
+
+def test_hypertable_rollup_expands_mapside_with_partial_agg(spark):
+    """ROLLUP must expand grouping sets map-side (Expand node) and
+    partial-aggregate BEFORE the single exchange — the property that
+    makes hour/day/total cost one shuffle, not three scans."""
+    from mysqldatasynctool_spark.operators import events
+
+    plan = _plan(spark, events.QUERIES["events_hypertable_rollup"](spark, SF), "simple")
+    assert "Expand" in plan
+    assert "partial_" in plan, "no map-side partial aggregation under ROLLUP"

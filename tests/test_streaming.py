@@ -22,6 +22,13 @@ from mysqldatasynctool_spark.streaming import (
 
 SF = "/root/testdata/sf0.001"
 
+try:  # transformWithStateInPandas transport dep — see its test below
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
 
 def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
@@ -146,3 +153,41 @@ def test_foreach_batch_sink_roundtrip(spark, tmp_path):
     foreach_batch_parquet_sink(stream, dest)
     written = spark.read.parquet(dest)
     assert written.count() == ev_ops.load(spark, SF, "events").count()
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithStateInPandas needs google.protobuf (its "
+    "Python<->JVM state server protocol); not installed in this "
+    "container and installs are disallowed",
+)
+def test_transform_with_state_topk_matches_batch(spark):
+    """transformWithStateInPandas (the Spark 4 stateful API) parity:
+    the per-user running top-3 values must equal the batch top-3
+    (window row_number) once all input is processed."""
+    from pyspark.sql import Window as W
+
+    from mysqldatasynctool_spark.sources.fixtures import load
+    from mysqldatasynctool_spark.streaming import (
+        streaming_topk_transform_with_state,
+    )
+
+    stream = read_events_stream(spark, SF)
+    out = run_to_memory_sink(
+        streaming_topk_transform_with_state(stream), "t_tws_topk",
+        output_mode="update",
+    )
+    got = {r.user_id: tuple(r.top_values) for r in out.collect()}
+
+    ev = load(spark, SF, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    batch = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("value"), asc=False).alias("top_values"))
+    )
+    want = {r.user_id: tuple(r.top_values) for r in batch.collect()}
+    assert got == want
