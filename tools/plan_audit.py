@@ -1,0 +1,114 @@
+"""Whole-registry physical-plan audit: sweep EVERY queries() entry and
+flag the plan shapes that break at 100 TB.
+
+Anti-patterns hunted:
+- CartesianProduct / BroadcastNestedLoopJoin outside the explicitly
+  allowed ground-truth or tiny-dim set (ALLOWED_CARTESIAN below);
+- BatchEvalPython — row-at-a-time Python UDFs (Arrow paths show up as
+  ArrowEvalPython / MapInPandas / FlatMapCoGroupsInPandas and are
+  fine where the operator's contract is Python by design);
+- parquet scans with no pushed filters AND no column pruning on wide
+  tables would also be flagged here, but every query loads through
+  sources/fixtures.load whose pruning is plan-audited separately
+  (tests/test_plans.py::test_column_pruning).
+
+Usage: python tools/plan_audit.py [sf_dir]  → prints a per-query table
+and exits 1 if any NOT-allowed anti-pattern appears. The blanket test
+in tests/test_plan_audit.py runs the same sweep in CI.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: queries whose plans legitimately contain a cartesian/NLJ node, and why.
+ALLOWED_CARTESIAN = {
+    # O(N^2) ground truth twins for the bucketed LSH variants — their
+    # docstrings declare them test-scale-only (dedup.py:442).
+    "dedup_ngram_jaccard": "declared all-pairs ground truth for dedup_minhash_lsh",
+    "dedup_embedding_cosine": "declared all-pairs ground truth for dedup_embedding_lsh",
+    "join_cross": "the cross-join operator itself (tiny dims by contract)",
+    # tiny-dim gap-fill / banding grids: broadcast NLJ over a handful
+    # of rows is the correct physical plan
+    "events_gap_fill": "time-grid fill: minutes-range x tiny dim",
+    "join_range_nonequi": "3-row band dim: broadcast NLJ is optimal",
+    "agg_grouping_sets": "5x3 label grid scaffold (advanced.py:556)",
+    # brute-force scorer: query set is broadcast by contract (its
+    # docstring labels it the correctness baseline for the LSH/IVF twins)
+    "similarity_topk_bruteforce": "broadcast query set x corpus, declared baseline",
+    # scalar-subquery pattern: joining a 1-row aggregate (grand total /
+    # watermark) via broadcast NLJ is the OPTIMAL plan for attaching a
+    # scalar to every row — the window-over-all alternative forces a
+    # single-partition sort
+    "window_pareto_cumshare": "1-row grand-total broadcast (scalar subquery)",
+    "migration_incremental": "1-row watermark broadcast (scalar subquery)",
+}
+
+#: queries allowed to contain row-at-a-time BatchEvalPython (none —
+#: Python paths must be Arrow-vectorized; keep empty unless a future
+#: operator genuinely cannot batch).
+ALLOWED_ROW_UDF: dict[str, str] = {}
+
+
+def audit(spark, sf_dir: str):
+    """Returns (rows, violations): per-query plan-feature table and
+    the subset violating the policy."""
+    from mysqldatasynctool_spark.operators import collect_registry
+
+    queries, _ = collect_registry()
+    rows, violations = [], []
+    for name, fn in sorted(queries.items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        except Exception as exc:  # noqa: BLE001 — audit must see every query
+            rows.append((name, "ERROR", str(exc)[:120]))
+            violations.append((name, "plan-build error", str(exc)[:200]))
+            continue
+        cartesian = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        row_udf = "BatchEvalPython" in plan
+        flags = []
+        if cartesian:
+            flags.append(
+                "cartesian:allowed"
+                if name in ALLOWED_CARTESIAN
+                else "cartesian:VIOLATION"
+            )
+            if name not in ALLOWED_CARTESIAN:
+                violations.append((name, "cartesian/NLJ join", ""))
+        if row_udf:
+            flags.append(
+                "rowudf:allowed" if name in ALLOWED_ROW_UDF else "rowudf:VIOLATION"
+            )
+            if name not in ALLOWED_ROW_UDF:
+                violations.append((name, "row-at-a-time Python UDF", ""))
+        rows.append((name, ",".join(flags) or "clean", ""))
+    return rows, violations
+
+
+def main() -> int:
+    from mysqldatasynctool_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="plan_audit")
+    rows, violations = audit(spark, sf_dir)
+    n_clean = sum(1 for _, f, _ in rows if f == "clean")
+    for name, flags, err in rows:
+        if flags != "clean":
+            print(f"{name:45s} {flags} {err}")
+    print(f"\n{n_clean}/{len(rows)} clean; {len(violations)} violations")
+    for name, why, err in violations:
+        print(f"VIOLATION {name}: {why} {err}")
+    spark.stop()
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
