@@ -55,6 +55,37 @@ def primary_key_sql(table: str) -> str:
     )
 
 
+def discover_jdbc_pks(
+    spark: SparkSession, endpoint, exclude: tuple[str, ...] = ()
+) -> dict[str, list[str]]:
+    """Live-source catalog + PK discovery over JDBC — the reference's
+    startup sequence (root.go:222-241 discovery, root.go:327-340 PK
+    lookup) as two pushed-down information_schema queries per run.
+
+    MySQL-dialect information_schema only (the reference's single
+    dialect); databases without it (e.g. embedded Derby in tests) pass
+    an explicit pk_map instead — same escape hatch the CLI exposes as
+    --pk-map.
+    """
+    from .sources.jdbc import read_table
+
+    tables = [
+        r[0]
+        for r in read_table(
+            spark, endpoint, "", custom_sql=catalog_scan_sql(exclude)
+        ).collect()
+    ]
+    return {
+        t: [
+            r[0]
+            for r in read_table(
+                spark, endpoint, "", custom_sql=primary_key_sql(t)
+            ).collect()
+        ]
+        for t in tables
+    }
+
+
 def discover_parquet_tables(path: str) -> list[str]:
     """Directory-based discovery: every *.parquet entry is a table."""
     names = [

@@ -76,6 +76,62 @@ def cmd_migrate(args) -> int:
     return 1 if failed else 0
 
 
+def _parse_pk_map(spec: str) -> dict[str, list[str]]:
+    """Parse ``orders=o_orderkey;lineitem=l_orderkey+l_linenumber``
+    (``tbl=`` with no columns = no PK → full-scan plan)."""
+    out: dict[str, list[str]] = {}
+    for part in filter(None, (p.strip() for p in spec.split(";"))):
+        table, _, cols = part.partition("=")
+        out[table.strip()] = [c for c in cols.split("+") if c]
+    return out
+
+
+def cmd_migrate_db(args) -> int:
+    """DB→DB over real JDBC — the reference's actual job
+    (root.go:375-507). PKs come from --pk-map when given (required for
+    databases without MySQL's information_schema, e.g. Derby), else
+    from live information_schema discovery on the source."""
+    from .catalog import discover_jdbc_pks
+    from .config import Endpoint
+    from .migrate import migrate_jdbc
+
+    cfg = load_config(args.config) if args.config else SyncConfig()
+    src = (
+        Endpoint(url_override=args.src_url, driver=args.driver)
+        if args.src_url
+        else cfg.src
+    )
+    dest = (
+        Endpoint(url_override=args.dest_url, driver=args.driver)
+        if args.dest_url
+        else cfg.dest
+    )
+    spark = get_spark(app_name="migrateDb")
+    t0 = time.monotonic()
+    pk_map = (
+        _parse_pk_map(args.pk_map)
+        if args.pk_map
+        else discover_jdbc_pks(spark, src, exclude=tuple(cfg.exclude))
+    )
+    reports, verdict = migrate_jdbc(
+        spark, src, dest, pk_map, cfg=cfg, quote=args.quote
+    )
+    rows = [
+        (r.table, r.rows, f"{r.elapsed_s:.3f}s", "OK" if r.ok else f"FAILED: {r.error}")
+        for r in reports
+    ]
+    _print_report("TableData", rows, ("Object", "Rows", "Elapsed", "Result"))
+    verdict_rows = [tuple(r) for r in verdict.collect()]
+    _print_report(
+        "Verification (count + checksum)", verdict_rows, tuple(verdict.columns)
+    )
+    failed = sum(1 for r in reports if not r.ok) + sum(
+        1 for r in verdict_rows if r[-1] != "YES"
+    )
+    print(f"\nfinish elapsed time: {time.monotonic() - t0:.3f}s, failed objects: {failed}")
+    return 1 if failed else 0
+
+
 def cmd_compare(args) -> int:
     cfg = load_config(args.config) if args.config else SyncConfig()
     spark = get_spark(app_name="compareDb")
@@ -146,6 +202,30 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="skip tables whose destination already checksum-matches",
     )
+    pj = sub.add_parser(
+        "migrateDb",
+        help="DB-to-DB migration over JDBC (the reference's real job shape)",
+    )
+    pj.add_argument("--src-url", default=None, help="source JDBC URL (else config src)")
+    pj.add_argument("--dest-url", default=None, help="dest JDBC URL (else config dest)")
+    pj.add_argument(
+        "--driver",
+        default="com.mysql.cj.jdbc.Driver",
+        help="JDBC driver class for --src-url/--dest-url endpoints",
+    )
+    pj.add_argument(
+        "--pk-map",
+        default=None,
+        help="explicit PKs: 'orders=o_orderkey;lineitem=l_orderkey+l_linenumber'"
+        " (omit to discover from the source's information_schema)",
+    )
+    pj.add_argument(
+        "--quote",
+        default='"',
+        help="identifier quote for generated predicates ('\"' ANSI, '`' MySQL)",
+    )
+    pj.add_argument("--config", default=None, help="reference-format YAML config")
+
     pc = sub.add_parser("compareDb", help="count+checksum compare of src vs dest")
     pt = sub.add_parser("createTable", help="emit DDL replication statements")
     pt.add_argument("-t", "--print-only", action="store_true", help="DDL only (reference -t)")
@@ -163,6 +243,7 @@ def main(argv: list[str] | None = None) -> int:
             p.error(f"config file not found: {args.config}")
     return {
         "migrate": cmd_migrate,
+        "migrateDb": cmd_migrate_db,
         "compareDb": cmd_compare,
         "createTable": cmd_create_table,
         "version": cmd_version,

@@ -48,3 +48,44 @@ def test_missing_config_clean_error(capsys):
         main(["migrate", "--config", "/nonexistent.yml"])
     assert e.value.code == 2
     assert "config file not found" in capsys.readouterr().err
+
+
+def test_cli_migrate_db_jdbc(spark, tmp_path, capsys):
+    """migrateDb end-to-end through real JDBC (Derby), explicit
+    --pk-map (Derby has no MySQL information_schema): both tables land
+    verified YES and the exit code is 0."""
+    from mysqldatasynctool_spark.cli import main
+    from mysqldatasynctool_spark.config import Endpoint
+    from mysqldatasynctool_spark.sources.fixtures import load
+    from mysqldatasynctool_spark.sources.sinks import write_jdbc
+
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    src_url = f"jdbc:derby:{tmp_path}/csrc;create=true"
+    dest_url = f"jdbc:derby:{tmp_path}/cdst;create=true"
+    src = Endpoint(url_override=src_url, driver=drv)
+    for t in ("region", "nation"):
+        write_jdbc(load(spark, "/root/testdata/sf0.001", t), src, t, truncate=True)
+
+    rc = main(
+        [
+            "migrateDb",
+            "--src-url", src_url,
+            "--dest-url", dest_url,
+            "--driver", drv,
+            "--pk-map", "region=r_regionkey;nation=n_nationkey",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "failed objects: 0" in out
+    assert "region" in out and "nation" in out
+
+
+def test_cli_pk_map_parse():
+    from mysqldatasynctool_spark.cli import _parse_pk_map
+
+    assert _parse_pk_map("orders=o_orderkey;lineitem=l_orderkey+l_linenumber") == {
+        "orders": ["o_orderkey"],
+        "lineitem": ["l_orderkey", "l_linenumber"],
+    }
+    assert _parse_pk_map("nopk=") == {"nopk": []}

@@ -9,8 +9,12 @@ list-valued columns — so this sim compares pandas dtypes AND per-cell
 reprs after sorting, which is a superset of whatever the driver hashes.
 
 Usage: cd /tmp && python /root/repo/tools/driver_sim.py [only_prefix ...]
+Set SPARK_GRAFT_SIM_SF=/root/testdata/sf0.1 to sweep another scale
+(catches scale-dependent oracle drift: decimal overflow, sampling
+assumptions); the driver itself always grades sf0.01.
 """
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -30,6 +34,7 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 only = sys.argv[1:]
+SF_DIR = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 
 # smoke
 df = e.entry(spark)
@@ -41,7 +46,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 con = duckdb.connect()
 for t in TABLES:
     con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
     )
 
 
@@ -116,7 +121,7 @@ for name, fn in qs.items():
     if only and not any(name.startswith(p) for p in only):
         continue
     try:
-        sdf = fn(spark, "/root/testdata/sf0.01")
+        sdf = fn(spark, SF_DIR)
         spdf = sdf.toPandas()
     except Exception as ex:
         print(f"FAIL {name}: spark side raised {type(ex).__name__}: {ex}")
