@@ -107,3 +107,53 @@ def test_string_keys_quote_escaping():
         "SELECT " + " + ".join(f"CAST(({p}) AS INT)" for p in preds) + " FROM t"
     ).fetchall()
     assert all(x[0] == 1 for x in m)
+
+
+#: string keys incl. quotes/backslashes/unicode — the r5 string-PK
+#: paging path must tile these exactly like integers
+str_keys = st.tuples(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="\x00"
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    st.integers(-100, 100),
+)
+
+
+def _tile_check_str(pk_cols, rows, boundaries):
+    from mysqldatasynctool_spark.plans.partitioning import _sql_lit
+
+    preds = composite_pk_predicates(pk_cols, boundaries)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE t(a VARCHAR, b BIGINT)")
+    for r in rows:
+        con.execute("INSERT INTO t VALUES (?, ?)", list(r))
+    matches = con.execute(
+        "SELECT " + " + ".join(f"CAST(({p}) AS INT)" for p in preds) + " AS m FROM t"
+    ).fetchall()
+    con.close()
+    assert all(m[0] == 1 for m in matches)
+    return len(preds)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    rows=st.lists(str_keys, min_size=0, max_size=40),
+    boundary_pool=st.lists(str_keys, min_size=0, max_size=8, unique=True),
+)
+def test_string_key_tiling(rows, boundary_pool):
+    """Tiling must hold for (VARCHAR, BIGINT) composite keys — quotes
+    and unicode in the boundary values must round-trip through
+    _sql_lit without breaking exactly-one semantics.
+
+    Caveat encoded here: SQL string comparison is collation-dependent,
+    so boundaries must be sorted by the SAME collation the database
+    compares with. DuckDB compares binary (codepoint) — matching
+    Python's tuple sort — which is also why sample_boundaries sorts
+    driver-side only for SPACING, never for correctness."""
+    boundaries = sorted(set(boundary_pool))
+    n = _tile_check_str(["a", "b"], rows, boundaries)
+    assert n == len(boundaries) + 1

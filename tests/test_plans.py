@@ -162,3 +162,15 @@ def test_hypertable_rollup_expands_mapside_with_partial_agg(spark):
     plan = _plan(spark, events.QUERIES["events_hypertable_rollup"](spark, SF), "simple")
     assert "Expand" in plan
     assert "partial_" in plan, "no map-side partial aggregation under ROLLUP"
+
+
+def test_sessionization_single_data_shuffle(spark):
+    """Sessionization's lag window, cumsum window AND the session
+    groupBy must all ride ONE hashpartitioning(user_id) exchange
+    (hash-clustering by user_id satisfies the (user_id, session_id)
+    grouping requirement); the only other exchange allowed is the
+    final presentation sort's rangepartitioning."""
+    from mysqldatasynctool_spark.operators import events
+
+    plan = _plan(spark, events.QUERIES["events_sessionization"](spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
