@@ -55,12 +55,26 @@ def primary_key_sql(table: str) -> str:
     )
 
 
+def all_primary_keys_sql() -> str:
+    """One grouped PK query for the WHOLE schema — at the reference's
+    thousands-of-tables regime, a per-table lookup (root.go:327-340,
+    re-issued per table) costs one round-trip each; this single
+    information_schema scan replaces all of them."""
+    return (
+        "SELECT table_name, lower(COLUMN_NAME) AS column_name, ORDINAL_POSITION "
+        "FROM information_schema.key_column_usage "
+        "WHERE constraint_name = 'PRIMARY' AND table_schema = DATABASE()"
+    )
+
+
 def discover_jdbc_pks(
     spark: SparkSession, endpoint, exclude: tuple[str, ...] = ()
 ) -> dict[str, list[str]]:
     """Live-source catalog + PK discovery over JDBC — the reference's
     startup sequence (root.go:222-241 discovery, root.go:327-340 PK
-    lookup) as two pushed-down information_schema queries per run.
+    lookup) as exactly TWO pushed-down information_schema queries per
+    run (table list + one grouped PK scan), independent of table
+    count.
 
     MySQL-dialect information_schema only (the reference's single
     dialect); databases without it (e.g. embedded Derby in tests) pass
@@ -75,15 +89,16 @@ def discover_jdbc_pks(
             spark, endpoint, "", custom_sql=catalog_scan_sql(exclude)
         ).collect()
     ]
-    return {
-        t: [
-            r[0]
-            for r in read_table(
-                spark, endpoint, "", custom_sql=primary_key_sql(t)
-            ).collect()
-        ]
-        for t in tables
-    }
+    pk_rows = sorted(
+        read_table(spark, endpoint, "", custom_sql=all_primary_keys_sql()).collect(),
+        key=lambda r: (r[0], r[2]),  # (table, ordinal) — PK column order matters
+    )
+    by_table: dict[str, list[str]] = {}
+    for r in pk_rows:
+        by_table.setdefault(r[0], []).append(r[1])
+    # tables without a PRIMARY constraint still need an entry (no-PK →
+    # full-scan plan tier)
+    return {t: by_table.get(t, []) for t in tables}
 
 
 def discover_parquet_tables(path: str) -> list[str]:

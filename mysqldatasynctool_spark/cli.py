@@ -47,17 +47,9 @@ def _print_report(title: str, rows: list[tuple], headers: tuple[str, ...]) -> No
     print(line)
 
 
-def cmd_migrate(args) -> int:
-    cfg = load_config(args.config) if args.config else SyncConfig()
-    spark = get_spark(app_name="migrate")
-    t0 = time.monotonic()
-    reports, verdict = migrate_directory(
-        spark,
-        args.src_dir,
-        args.dest_dir,
-        cfg=cfg,
-        resume=getattr(args, "resume", False),
-    )
+def _report_and_exit(reports, verdict, t0: float) -> int:
+    """Shared run-report tail for migrate/migrateDb (the reference's
+    gotable summary + verification verdict + failed-object count)."""
     rows = [
         (r.table, r.rows, f"{r.elapsed_s:.3f}s", "OK" if r.ok else f"FAILED: {r.error}")
         for r in reports
@@ -74,6 +66,20 @@ def cmd_migrate(args) -> int:
     )
     print(f"\nfinish elapsed time: {time.monotonic() - t0:.3f}s, failed objects: {failed}")
     return 1 if failed else 0
+
+
+def cmd_migrate(args) -> int:
+    cfg = load_config(args.config) if args.config else SyncConfig()
+    spark = get_spark(app_name="migrate")
+    t0 = time.monotonic()
+    reports, verdict = migrate_directory(
+        spark,
+        args.src_dir,
+        args.dest_dir,
+        cfg=cfg,
+        resume=getattr(args, "resume", False),
+    )
+    return _report_and_exit(reports, verdict, t0)
 
 
 def _parse_pk_map(spec: str) -> dict[str, list[str]]:
@@ -113,23 +119,18 @@ def cmd_migrate_db(args) -> int:
         if args.pk_map
         else discover_jdbc_pks(spark, src, exclude=tuple(cfg.exclude))
     )
+    quote = args.quote
+    if quote is None:
+        # infer from the dialect: backtick for MySQL (whose default
+        # sql_mode treats "double-quoted" tokens as string LITERALS —
+        # an ANSI quote there silently degrades every table to an
+        # unpartitioned full scan), double-quote for ANSI databases
+        blob = f"{src.jdbc_url} {getattr(src, 'driver', '')}".lower()
+        quote = "`" if "mysql" in blob else '"'
     reports, verdict = migrate_jdbc(
-        spark, src, dest, pk_map, cfg=cfg, quote=args.quote
+        spark, src, dest, pk_map, cfg=cfg, page_size=cfg.page_size, quote=quote
     )
-    rows = [
-        (r.table, r.rows, f"{r.elapsed_s:.3f}s", "OK" if r.ok else f"FAILED: {r.error}")
-        for r in reports
-    ]
-    _print_report("TableData", rows, ("Object", "Rows", "Elapsed", "Result"))
-    verdict_rows = [tuple(r) for r in verdict.collect()]
-    _print_report(
-        "Verification (count + checksum)", verdict_rows, tuple(verdict.columns)
-    )
-    failed = sum(1 for r in reports if not r.ok) + sum(
-        1 for r in verdict_rows if r[-1] != "YES"
-    )
-    print(f"\nfinish elapsed time: {time.monotonic() - t0:.3f}s, failed objects: {failed}")
-    return 1 if failed else 0
+    return _report_and_exit(reports, verdict, t0)
 
 
 def cmd_compare(args) -> int:
@@ -221,8 +222,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     pj.add_argument(
         "--quote",
-        default='"',
-        help="identifier quote for generated predicates ('\"' ANSI, '`' MySQL)",
+        default=None,
+        help="identifier quote for generated predicates; default infers "
+        "from the source dialect ('`' for MySQL URLs/drivers, '\"' ANSI)",
     )
     pj.add_argument("--config", default=None, help="reference-format YAML config")
 

