@@ -136,6 +136,37 @@ def cmd_migrate_db(args) -> int:
 def cmd_compare(args) -> int:
     cfg = load_config(args.config) if args.config else SyncConfig()
     spark = get_spark(app_name="compareDb")
+    if getattr(args, "src_url", None):
+        # JDBC mode — the reference's actual compareDb (two live
+        # databases, compare.go:19-27). Table list from --tables or
+        # live information_schema discovery (MySQL sources).
+        from .catalog import discover_jdbc_pks
+        from .config import Endpoint
+        from .sources.jdbc import read_table
+
+        src_ep = Endpoint(url_override=args.src_url, driver=args.driver)
+        dest_ep = Endpoint(url_override=args.dest_url, driver=args.driver)
+        tables = (
+            [t for t in args.tables.split(",") if t]
+            if args.tables
+            else sorted(discover_jdbc_pks(spark, src_ep, tuple(cfg.exclude)))
+        )
+        src = {t: read_table(spark, src_ep, t) for t in tables}
+        dest = {}
+        for t in tables:
+            try:
+                d = read_table(spark, dest_ep, t)
+                d.schema  # force resolution → missing table raises here
+                dest[t] = d
+            except Exception:
+                pass  # missing on dest → DestIsExist=NO (compare.go:122-126)
+        verdict = compare_tables(spark, src, dest)
+        rows = [tuple(r) for r in verdict.collect()]
+        _print_report("compareDb", rows, tuple(verdict.columns))
+        bad = [r for r in rows if r[-1] != "YES"]
+        if bad:
+            _print_report("compareDb failed items", bad, tuple(verdict.columns))
+        return 1 if bad else 0
     tables = [
         t
         for t in discover_parquet_tables(args.src_dir)
@@ -229,6 +260,19 @@ def main(argv: list[str] | None = None) -> int:
     pj.add_argument("--config", default=None, help="reference-format YAML config")
 
     pc = sub.add_parser("compareDb", help="count+checksum compare of src vs dest")
+    pc.add_argument("--src-url", default=None, help="source JDBC URL (JDBC mode)")
+    pc.add_argument("--dest-url", default=None, help="dest JDBC URL (JDBC mode)")
+    pc.add_argument(
+        "--driver",
+        default="com.mysql.cj.jdbc.Driver",
+        help="JDBC driver class for --src-url/--dest-url",
+    )
+    pc.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated table list for JDBC mode (omit to discover "
+        "from the source's information_schema)",
+    )
     pt = sub.add_parser("createTable", help="emit DDL replication statements")
     pt.add_argument("-t", "--print-only", action="store_true", help="DDL only (reference -t)")
     sub.add_parser("version", help="print version")

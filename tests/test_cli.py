@@ -111,3 +111,39 @@ def test_discover_jdbc_pks_grouping():
         "orders": ["o_orderkey"],
         "no_pk_log": [],
     }
+
+
+def test_cli_compare_db_jdbc(spark, tmp_path, capsys):
+    """compareDb in JDBC mode (two Derby DBs, explicit --tables):
+    identical tables verdict YES (rc 0); after mutating one dest row,
+    the same compare returns rc 1 and flags the table."""
+    from mysqldatasynctool_spark.cli import main
+    from mysqldatasynctool_spark.config import Endpoint
+    from mysqldatasynctool_spark.sources.fixtures import load
+    from mysqldatasynctool_spark.sources.sinks import write_jdbc
+
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    src_url = f"jdbc:derby:{tmp_path}/qsrc;create=true"
+    dest_url = f"jdbc:derby:{tmp_path}/qdst;create=true"
+    nation = load(spark, "/root/testdata/sf0.001", "nation")
+    write_jdbc(nation, Endpoint(url_override=src_url, driver=drv), "nation", truncate=True)
+    write_jdbc(nation, Endpoint(url_override=dest_url, driver=drv), "nation", truncate=True)
+
+    argv = [
+        "compareDb",
+        "--src-url", src_url,
+        "--dest-url", dest_url,
+        "--driver", drv,
+        "--tables", "nation",
+    ]
+    assert main(argv) == 0
+    assert "YES" in capsys.readouterr().out
+
+    # corrupt one dest row → checksum must catch it
+    jconn = spark._jvm.java.sql.DriverManager.getConnection(dest_url)
+    st = jconn.createStatement()
+    st.execute("UPDATE nation SET \"n_name\" = 'XX' WHERE \"n_nationkey\" = 0")
+    st.close()
+    jconn.close()
+    assert main(argv) == 1
+    assert "NO" in capsys.readouterr().out
