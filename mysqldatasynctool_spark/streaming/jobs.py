@@ -48,10 +48,16 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 
 def _probe_ts_unit(parquet_path: str) -> str:
     """Driver-side one-file footer read: returns the parquet ``ts``
-    unit ('ns' | 'us' | ...) so the streaming schema matches the data.
-    A schema/data mismatch here is silent wrong answers, not an error,
-    so this cheap probe is mandatory, mirroring the dtype branch in
-    sources/fixtures.load."""
+    encoding ('ns' | 'us' | 'int96' | ...) so the streaming schema
+    matches the data. A schema/data mismatch here is silent wrong
+    answers, not an error, so this cheap probe is mandatory, mirroring
+    the dtype branch in sources/fixtures.load.
+
+    INT96 (Spark's own default parquet timestamp output) must be
+    distinguished from annotated nanos: pyarrow reports BOTH as
+    timestamp[ns], but INT96 is unreadable under the nanos-as-long
+    legacy flag while reading natively as TIMESTAMP — so the physical
+    type is checked first."""
     import os
 
     import pyarrow.parquet as pq
@@ -66,6 +72,11 @@ def _probe_ts_unit(parquet_path: str) -> str:
         if not files:
             return "us"
         p = files[0]
+    phys = pq.ParquetFile(p).schema
+    for i in range(len(phys)):
+        col = phys.column(i)
+        if col.name == "ts" and col.physical_type == "INT96":
+            return "int96"
     field = pq.read_schema(p).field("ts")
     return getattr(field.type, "unit", "us")
 
@@ -96,6 +107,10 @@ def read_events_stream(
         # integer DIV to micros (see sources/fixtures.load)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = _events_schema(T.LongType())
+    elif unit == "int96":
+        # Spark's own legacy output type: reads natively as tz-aware
+        # TIMESTAMP (session TZ is UTC), no conversion needed
+        schema = _events_schema(T.TimestampType())
     else:
         # micros without tz → TIMESTAMP_NTZ; cast to TIMESTAMP below
         # (session TZ pinned UTC, same epoch semantics as the oracle)
@@ -106,6 +121,8 @@ def read_events_stream(
     raw = reader.parquet(src)
     if unit == "ns":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if unit == "int96":
+        return raw
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

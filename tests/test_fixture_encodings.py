@@ -25,7 +25,7 @@ from mysqldatasynctool_spark.sources.fixtures import load
 EPOCH_US = [1_700_000_000_000_000, 1_700_000_123_456_789]
 
 
-def _write_events(tmp_path, ts_array) -> str:
+def _write_events(tmp_path, ts_array, int96: bool = False) -> str:
     sf_dir = str(tmp_path)
     n = len(EPOCH_US)
     table = pa.table(
@@ -38,7 +38,11 @@ def _write_events(tmp_path, ts_array) -> str:
             "props": pa.array(["{}"] * n),
         }
     )
-    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+    pq.write_table(
+        table,
+        os.path.join(sf_dir, "events.parquet"),
+        use_deprecated_int96_timestamps=int96,
+    )
     return sf_dir
 
 
@@ -104,3 +108,40 @@ def test_streaming_reader_matches_batch(spark, tmp_path, name):
     )
     got = sorted(r[0] for r in out.collect())
     assert got == batch_us, f"{name}: stream/batch epoch mismatch"
+
+
+def test_batch_load_normalizes_int96(spark, tmp_path):
+    """INT96 — Spark's own legacy parquet timestamp output (what any
+    Spark-written staging of the events table produces by default):
+    batch load must read it as plain TIMESTAMP with intact epochs."""
+    sf_dir = _write_events(
+        tmp_path,
+        pa.array([us * 1000 for us in EPOCH_US], pa.timestamp("ns")),
+        int96=True,
+    )
+    df = load(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(r[0] for r in df.select(F.unix_micros("ts")).collect())
+    assert got == list(EPOCH_US)
+
+
+def test_streaming_reader_int96_matches_batch(spark, tmp_path):
+    from mysqldatasynctool_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    sf_dir = _write_events(
+        tmp_path,
+        pa.array([us * 1000 for us in EPOCH_US], pa.timestamp("ns")),
+        int96=True,
+    )
+    batch_us = sorted(
+        r[0]
+        for r in load(spark, sf_dir, "events").select(F.unix_micros("ts")).collect()
+    )
+    out = run_to_memory_sink(
+        read_events_stream(spark, sf_dir).select(F.unix_micros("ts").alias("us")),
+        "canary_int96",
+    )
+    assert sorted(r[0] for r in out.collect()) == batch_us

@@ -191,3 +191,54 @@ def test_transform_with_state_topk_matches_batch(spark):
     )
     want = {r.user_id: tuple(r.top_values) for r in batch.collect()}
     assert got == want
+
+
+def test_multi_batch_incremental_state(spark, tmp_path):
+    """TRUE incremental processing: the same events split into 3
+    time-ordered files, streamed one file per micro-batch
+    (maxFilesPerTrigger=1), must produce the same tumbling-window
+    aggregate as one batch pass. Single-file availableNow tests never
+    exercise state carried ACROSS micro-batches — which is exactly
+    where r4's silent ts bug corrupted results."""
+    import os
+
+    from mysqldatasynctool_spark.sources.fixtures import load
+
+    ev = load(spark, SF, "events")
+    sf_dir = str(tmp_path)
+    # 3 contiguous time ranges → watermark only advances, no
+    # cross-file late data beyond the 1h horizon
+    ordered = ev.orderBy("ts").withColumn(
+        "part",
+        (F.row_number().over(__import__("pyspark").sql.Window.orderBy("ts")) % 3),
+    )
+    for i in range(3):
+        (
+            ordered.filter(F.col("part") == i)
+            .drop("part")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{sf_dir}/events_f{i}.parquet")
+        )
+    staged = f"{sf_dir}/staged"
+    os.makedirs(staged)
+    for i in range(3):
+        src = next(
+            f
+            for f in os.listdir(f"{sf_dir}/events_f{i}.parquet")
+            if f.endswith(".parquet")
+        )
+        os.rename(
+            f"{sf_dir}/events_f{i}.parquet/{src}", f"{staged}/events-{i:03d}.parquet"
+        )
+    # point the reader at the staged dir via a fake sf layout
+    os.symlink(staged, f"{sf_dir}/events.parquet")
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    out = run_to_memory_sink(
+        streaming_tumbling_counts(stream), "t_multibatch", output_mode="complete"
+    )
+    batch = ev_ops.events_tumbling_window(spark, SF)
+    s = _rows(out, ["window_start", "event_type", "n"])
+    b = _rows(batch, ["window_start", "event_type", "n"])
+    assert s == b
