@@ -128,7 +128,14 @@ def cmd_migrate_db(args) -> int:
         blob = f"{src.jdbc_url} {getattr(src, 'driver', '')}".lower()
         quote = "`" if "mysql" in blob else '"'
     reports, verdict = migrate_jdbc(
-        spark, src, dest, pk_map, cfg=cfg, page_size=cfg.page_size, quote=quote
+        spark,
+        src,
+        dest,
+        pk_map,
+        cfg=cfg,
+        page_size=cfg.page_size,
+        quote=quote,
+        resume=getattr(args, "resume", False),
     )
     return _report_and_exit(reports, verdict, t0)
 
@@ -237,6 +244,11 @@ def main(argv: list[str] | None = None) -> int:
     pj = sub.add_parser(
         "migrateDb",
         help="DB-to-DB migration over JDBC (the reference's real job shape)",
+    )
+    pj.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip tables whose destination already checksum-matches",
     )
     pj.add_argument("--src-url", default=None, help="source JDBC URL (else config src)")
     pj.add_argument("--dest-url", default=None, help="dest JDBC URL (else config dest)")

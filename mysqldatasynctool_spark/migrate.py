@@ -204,6 +204,7 @@ def migrate_jdbc(
     cfg: SyncConfig | None = None,
     page_size: int = 20_000,
     quote: str = '"',
+    resume: bool = False,
 ) -> tuple[list[TableReport], object]:
     """DB→DB migration — the reference's actual job
     (root.go:375-507): plan partitions from the source PK, read each
@@ -239,6 +240,28 @@ def migrate_jdbc(
     cfg = cfg or SyncConfig()
     todo = [t for t in pk_map if t not in set(cfg.exclude)]
 
+    def jdbc_verdict_row(t: str) -> tuple | None:
+        """src ∪ dest checksum compare in ONE job over both JDBC
+        endpoints; None if the dest table is unreadable/absent —
+        the same resume probe migrate_directory uses."""
+        try:
+            s, d = (
+                table_summary(read_table(spark, src, t), t)
+                .withColumn("side", F.lit("src"))
+                .unionByName(
+                    table_summary(read_table(spark, dest, t), t).withColumn(
+                        "side", F.lit("dest")
+                    )
+                )
+                .collect()
+            )
+        except Exception:  # noqa: BLE001 — absent/corrupt dest → recopy
+            return None
+        if s.side != "src":
+            s, d = d, s
+        ok = s.cnt == d.cnt and s.checksum == d.checksum
+        return (t, s.cnt, d.cnt, s.checksum, d.checksum, "YES", "YES" if ok else "NO")
+
     def copy_one(t: str) -> tuple[TableReport, tuple | None]:
         from numbers import Number
 
@@ -246,6 +269,16 @@ def migrate_jdbc(
         try:
             pk = pk_map[t]
             _check_ident(t)
+            if resume:
+                prior = jdbc_verdict_row(t)
+                if prior is not None and prior[-1] == "YES":
+                    # already copied and verified — skip the write
+                    # (rerun idempotency at table granularity, the
+                    # thousands-of-tables restart story)
+                    return (
+                        TableReport(t, prior[2], time.monotonic() - t0, True),
+                        prior,
+                    )
             def build_plan():
                 # Tier 1 — single PK: one COUNT/MIN/MAX pushed down to
                 # the source → JDBC range partitions. The probe itself

@@ -230,3 +230,41 @@ def test_migrate_jdbc_string_pk_varchar_pages(spark, tmp_path_factory):
     )
     assert all(r.ok for r in reports), [(r.table, r.error) for r in reports]
     assert all(r.is_ok == "YES" for r in verdict.collect())
+
+
+def test_migrate_jdbc_resume_skips_verified(spark, tmp_path_factory):
+    """resume=True: a rerun re-verifies each destination table via one
+    src-union-dest checksum job and SKIPS the write when it matches —
+    same idempotency contract as migrate_directory's --resume."""
+    import time as _time
+
+    from mysqldatasynctool_spark.migrate import jsonify_nested, migrate_jdbc
+
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    src_db = tmp_path_factory.mktemp("derby_src_r") / "db"
+    dest_db = tmp_path_factory.mktemp("derby_dest_r") / "db"
+    src = Endpoint(url_override=f"jdbc:derby:{src_db};create=true", driver=drv)
+    dest = Endpoint(url_override=f"jdbc:derby:{dest_db};create=true", driver=drv)
+    tables = {"orders": ["o_orderkey"], "region": ["r_regionkey"]}
+    for t in tables:
+        write_jdbc(jsonify_nested(load(spark, SF, t)), src, t, truncate=True)
+
+    r1, v1 = migrate_jdbc(spark, src, dest, tables, page_size=500)
+    assert all(r.ok for r in r1)
+
+    # corrupt one dest table; the resume run must recopy ONLY that one
+    jconn = spark._jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{dest_db}"
+    )
+    st = jconn.createStatement()
+    st.execute('DELETE FROM region WHERE "r_regionkey" = 0')
+    st.close()
+    jconn.close()
+
+    r2, v2 = migrate_jdbc(spark, src, dest, tables, page_size=500, resume=True)
+    assert all(r.ok for r in r2), [(r.table, r.error) for r in r2]
+    assert all(r.is_ok == "YES" for r in v2.collect())
+    by_table = {r.table: r for r in r2}
+    # the skipped table's elapsed is just the verify probe; the
+    # recopied one did real work — both end verified
+    assert by_table["region"].rows == load(spark, SF, "region").count()
