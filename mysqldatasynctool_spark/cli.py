@@ -140,24 +140,49 @@ def cmd_migrate_db(args) -> int:
     return _report_and_exit(reports, verdict, t0)
 
 
+def _compare_report(spark, src: dict, dest: dict) -> int:
+    """Shared compareDb tail: verdict → report(s) → exit code."""
+    verdict = compare_tables(spark, src, dest)
+    rows = [tuple(r) for r in verdict.collect()]
+    _print_report("compareDb", rows, tuple(verdict.columns))
+    bad = [r for r in rows if r[-1] != "YES"]
+    if bad:
+        _print_report("compareDb failed items", bad, tuple(verdict.columns))
+    return 1 if bad else 0
+
+
 def cmd_compare(args) -> int:
     cfg = load_config(args.config) if args.config else SyncConfig()
     spark = get_spark(app_name="compareDb")
-    if getattr(args, "src_url", None):
+    if getattr(args, "src_url", None) or getattr(args, "dest_url", None):
         # JDBC mode — the reference's actual compareDb (two live
         # databases, compare.go:19-27). Table list from --tables or
-        # live information_schema discovery (MySQL sources).
+        # live information_schema discovery (MySQL sources). URL flags
+        # override the config endpoint side-by-side (same fallback rule
+        # as migrateDb) — never a silent localhost default.
         from .catalog import discover_jdbc_pks
         from .config import Endpoint
+        from .ddl import _is_missing_table_error
+        from .migrate import _check_ident
         from .sources.jdbc import read_table
 
-        src_ep = Endpoint(url_override=args.src_url, driver=args.driver)
-        dest_ep = Endpoint(url_override=args.dest_url, driver=args.driver)
+        src_ep = (
+            Endpoint(url_override=args.src_url, driver=args.driver)
+            if args.src_url
+            else cfg.src
+        )
+        dest_ep = (
+            Endpoint(url_override=args.dest_url, driver=args.driver)
+            if args.dest_url
+            else cfg.dest
+        )
         tables = (
-            [t for t in args.tables.split(",") if t]
+            [t.strip() for t in args.tables.split(",") if t.strip()]
             if args.tables
             else sorted(discover_jdbc_pks(spark, src_ep, tuple(cfg.exclude)))
         )
+        for t in tables:
+            _check_ident(t)
         src = {t: read_table(spark, src_ep, t) for t in tables}
         dest = {}
         for t in tables:
@@ -165,15 +190,14 @@ def cmd_compare(args) -> int:
                 d = read_table(spark, dest_ep, t)
                 d.schema  # force resolution → missing table raises here
                 dest[t] = d
-            except Exception:
-                pass  # missing on dest → DestIsExist=NO (compare.go:122-126)
-        verdict = compare_tables(spark, src, dest)
-        rows = [tuple(r) for r in verdict.collect()]
-        _print_report("compareDb", rows, tuple(verdict.columns))
-        bad = [r for r in rows if r[-1] != "YES"]
-        if bad:
-            _print_report("compareDb failed items", bad, tuple(verdict.columns))
-        return 1 if bad else 0
+            except Exception as exc:
+                # ONLY missing-table means DestIsExist=NO
+                # (compare.go:122-126); auth/connectivity/driver
+                # failures must surface, not read as 'all tables
+                # missing on dest'
+                if not _is_missing_table_error(exc):
+                    raise
+        return _compare_report(spark, src, dest)
     tables = [
         t
         for t in discover_parquet_tables(args.src_dir)
@@ -188,13 +212,7 @@ def cmd_compare(args) -> int:
             dest[t] = d
         except Exception:
             pass  # missing on dest → DestIsExist=NO (compare.go:122-126)
-    verdict = compare_tables(spark, src, dest)
-    rows = [tuple(r) for r in verdict.collect()]
-    _print_report("compareDb", rows, tuple(verdict.columns))
-    bad = [r for r in rows if r[-1] != "YES"]
-    if bad:
-        _print_report("compareDb failed items", bad, tuple(verdict.columns))
-    return 1 if bad else 0
+    return _compare_report(spark, src, dest)
 
 
 def cmd_create_table(args) -> int:

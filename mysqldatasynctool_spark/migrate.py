@@ -27,6 +27,32 @@ from .sources.fixtures import load
 from .sources.sinks import write_parquet
 
 
+def _resume_verdict_row(spark, t: str, read_src, read_dest) -> tuple | None:
+    """src ∪ dest checksum compare in ONE job; None if the dest is
+    unreadable/absent (→ recopy). ``read_src``/``read_dest`` are
+    ``table_name -> DataFrame`` callables, so the parquet and JDBC
+    resume paths share one implementation."""
+    from pyspark.sql import functions as F
+
+    from .operators.compare import table_summary
+
+    try:
+        s, d = (
+            table_summary(read_src(t), t)
+            .withColumn("side", F.lit("src"))
+            .unionByName(
+                table_summary(read_dest(t), t).withColumn("side", F.lit("dest"))
+            )
+            .collect()
+        )
+    except Exception:  # noqa: BLE001 — absent/corrupt dest → recopy
+        return None
+    if s.side != "src":
+        s, d = d, s
+    ok = s.cnt == d.cnt and s.checksum == d.checksum
+    return (t, s.cnt, d.cnt, s.checksum, d.checksum, "YES", "YES" if ok else "NO")
+
+
 def _check_ident(name: str) -> None:
     """Reject table names that can't be interpolated into generated
     SQL safely. Names flow into ``FROM {t}`` (stats probe) and Spark's
@@ -90,25 +116,12 @@ def migrate_directory(
     from .operators.compare import row_digest, table_summary
 
     def verdict_row(t: str) -> tuple | None:
-        """src ∪ dest checksum compare in ONE job; None if the dest
-        is unreadable/absent."""
-        try:
-            s, d = (
-                table_summary(load(spark, src_dir, t), t)
-                .withColumn("side", F.lit("src"))
-                .unionByName(
-                    table_summary(load(spark, dest_dir, t), t).withColumn(
-                        "side", F.lit("dest")
-                    )
-                )
-                .collect()
-            )
-        except Exception:  # noqa: BLE001 — absent/corrupt dest → recopy
-            return None
-        if s.side != "src":
-            s, d = d, s
-        ok = s.cnt == d.cnt and s.checksum == d.checksum
-        return (t, s.cnt, d.cnt, s.checksum, d.checksum, "YES", "YES" if ok else "NO")
+        return _resume_verdict_row(
+            spark,
+            t,
+            lambda tt: load(spark, src_dir, tt),
+            lambda tt: load(spark, dest_dir, tt),
+        )
 
     def copy_one(t: str) -> tuple[TableReport, tuple | None]:
         t0 = time.monotonic()
@@ -241,26 +254,12 @@ def migrate_jdbc(
     todo = [t for t in pk_map if t not in set(cfg.exclude)]
 
     def jdbc_verdict_row(t: str) -> tuple | None:
-        """src ∪ dest checksum compare in ONE job over both JDBC
-        endpoints; None if the dest table is unreadable/absent —
-        the same resume probe migrate_directory uses."""
-        try:
-            s, d = (
-                table_summary(read_table(spark, src, t), t)
-                .withColumn("side", F.lit("src"))
-                .unionByName(
-                    table_summary(read_table(spark, dest, t), t).withColumn(
-                        "side", F.lit("dest")
-                    )
-                )
-                .collect()
-            )
-        except Exception:  # noqa: BLE001 — absent/corrupt dest → recopy
-            return None
-        if s.side != "src":
-            s, d = d, s
-        ok = s.cnt == d.cnt and s.checksum == d.checksum
-        return (t, s.cnt, d.cnt, s.checksum, d.checksum, "YES", "YES" if ok else "NO")
+        return _resume_verdict_row(
+            spark,
+            t,
+            lambda tt: read_table(spark, src, tt),
+            lambda tt: read_table(spark, dest, tt),
+        )
 
     def copy_one(t: str) -> tuple[TableReport, tuple | None]:
         from numbers import Number

@@ -72,12 +72,13 @@ def _probe_ts_unit(parquet_path: str) -> str:
         if not files:
             return "us"
         p = files[0]
-    phys = pq.ParquetFile(p).schema
+    pf = pq.ParquetFile(p)  # one footer read serves both checks
+    phys = pf.schema
     for i in range(len(phys)):
         col = phys.column(i)
         if col.name == "ts" and col.physical_type == "INT96":
             return "int96"
-    field = pq.read_schema(p).field("ts")
+    field = phys.to_arrow_schema().field("ts")
     return getattr(field.type, "unit", "us")
 
 

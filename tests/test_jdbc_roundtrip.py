@@ -261,10 +261,25 @@ def test_migrate_jdbc_resume_skips_verified(spark, tmp_path_factory):
     st.close()
     jconn.close()
 
-    r2, v2 = migrate_jdbc(spark, src, dest, tables, page_size=500, resume=True)
+    # count actual dest writes: the verified table must be SKIPPED,
+    # the corrupted one recopied — r.ok alone can't distinguish a
+    # broken resume that recopies everything
+    import mysqldatasynctool_spark.sources.sinks as sinks_mod
+
+    written = []
+    real_write = sinks_mod.write_jdbc
+
+    def counting_write(df, endpoint, table, **kw):
+        written.append(table)
+        return real_write(df, endpoint, table, **kw)
+
+    sinks_mod.write_jdbc = counting_write
+    try:
+        r2, v2 = migrate_jdbc(spark, src, dest, tables, page_size=500, resume=True)
+    finally:
+        sinks_mod.write_jdbc = real_write
     assert all(r.ok for r in r2), [(r.table, r.error) for r in r2]
     assert all(r.is_ok == "YES" for r in v2.collect())
+    assert written == ["region"], written
     by_table = {r.table: r for r in r2}
-    # the skipped table's elapsed is just the verify probe; the
-    # recopied one did real work — both end verified
     assert by_table["region"].rows == load(spark, SF, "region").count()

@@ -206,11 +206,13 @@ def test_multi_batch_incremental_state(spark, tmp_path):
 
     ev = load(spark, SF, "events")
     sf_dir = str(tmp_path)
-    # 3 contiguous time ranges → watermark only advances, no
-    # cross-file late data beyond the 1h horizon
+    # 3 CONTIGUOUS time ranges (ntile over ts order) → the watermark
+    # only advances between micro-batches; a round-robin split would
+    # make every later batch mostly late data and the parity would
+    # depend on complete-mode not dropping late rows
     ordered = ev.orderBy("ts").withColumn(
         "part",
-        (F.row_number().over(__import__("pyspark").sql.Window.orderBy("ts")) % 3),
+        F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts")) - 1,
     )
     for i in range(3):
         (
@@ -259,8 +261,9 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     sf_dir = str(tmp_path)
     staged = f"{sf_dir}/staged"
     os.makedirs(staged)
+    # contiguous time split (see test_multi_batch_incremental_state)
     ordered = ev.orderBy("ts").withColumn(
-        "part", (F.row_number().over(W.orderBy("ts")) % 3)
+        "part", F.ntile(3).over(W.orderBy("ts")) - 1
     )
     for i in range(3):
         tmp_out = f"{sf_dir}/f{i}"
