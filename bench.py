@@ -109,6 +109,7 @@ def main() -> None:
         for _ in range(3):
             dest = tempfile.mkdtemp(prefix="bench_migrate_")
             t0 = time.monotonic()
+            elapsed = None
             try:
                 reports, verdict = migrate_directory(spark, sf_dir, dest)
                 # reassigned (not +=) per run: both runs see the same
@@ -117,11 +118,15 @@ def main() -> None:
                 n_bad = sum(1 for r in verdict.collect() if r.is_ok != "YES") + sum(
                     1 for r in reports if not r.ok
                 )
+                # stop the clock BEFORE cleanup: rmtree of an sf-sized
+                # parquet copy is FS noise, not migration work, and
+                # timing it breaks comparability with prior rounds
+                elapsed = round(time.monotonic() - t0, 3)
             finally:
                 # a crashed run must not leave a partial sf-sized
                 # parquet copy in /tmp
                 shutil.rmtree(dest, ignore_errors=True)
-            runs.append(round(time.monotonic() - t0, 3))
+            runs.append(elapsed)
         all_runs["migrate_full_db_with_verify"] = runs
         timings["migrate_full_db_with_verify"] = min(runs)
     except Exception as exc:  # noqa: BLE001

@@ -92,6 +92,23 @@ def _parse_pk_map(spec: str) -> dict[str, list[str]]:
     return out
 
 
+def _require_full_endpoints(args) -> None:
+    """JDBC mode with only ONE of --src-url/--dest-url and no config
+    file would make the other side SyncConfig()'s default Endpoint —
+    localhost:3306 MySQL, empty database. That silent fallback turns a
+    typo into a compare/migrate against a database the user never
+    named; fail loudly instead (the config file is the only legitimate
+    source for the unspecified side)."""
+    src_url = getattr(args, "src_url", None)
+    dest_url = getattr(args, "dest_url", None)
+    if (bool(src_url) ^ bool(dest_url)) and not args.config:
+        missing = "--dest-url" if src_url else "--src-url"
+        raise SystemExit(
+            f"JDBC mode: {missing} is required (or pass --config with "
+            "the other endpoint); refusing the localhost default"
+        )
+
+
 def cmd_migrate_db(args) -> int:
     """DB→DB over real JDBC — the reference's actual job
     (root.go:375-507). PKs come from --pk-map when given (required for
@@ -101,6 +118,7 @@ def cmd_migrate_db(args) -> int:
     from .config import Endpoint
     from .migrate import migrate_jdbc
 
+    _require_full_endpoints(args)
     cfg = load_config(args.config) if args.config else SyncConfig()
     src = (
         Endpoint(url_override=args.src_url, driver=args.driver)
@@ -166,6 +184,7 @@ def cmd_compare(args) -> int:
         from .migrate import _check_ident
         from .sources.jdbc import read_table
 
+        _require_full_endpoints(args)
         src_ep = (
             Endpoint(url_override=args.src_url, driver=args.driver)
             if args.src_url

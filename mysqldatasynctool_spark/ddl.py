@@ -16,6 +16,7 @@ verbatim DDL, so this module provides both halves (SURVEY.md §2A #10):
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Callable
 
 from pyspark.sql import types as T
@@ -94,17 +95,24 @@ _DIALECTS = {
 }
 
 
-#: substrings identifying a "table does not exist" error across the
+#: markers identifying a "table does not exist" error across the
 #: dialects this layer emulates DROP IF EXISTS for: Derby SQLStates
-#: 42Y55 (DROP on missing table) / 42X05 (table/view not found), plus
-#: generic phrasings (MySQL 1051 says "Unknown table").
-_MISSING_TABLE_MARKERS = (
-    "42y55",
-    "42x05",
-    "does not exist",
-    "doesn't exist",
-    "unknown table",
-    "not found",
+#: 42Y55 (DROP on missing table) / 42X05 (table/view not found),
+#: MySQL 1051 "Unknown table". The bare phrases "not found" /
+#: "does not exist" are deliberately NOT matched on their own —
+#: Derby XJ004 "Database 'x' not found" (bad dest path, missing
+#: ;create=true) and wrapped driver-class-not-found errors contain
+#: them, and classifying those as missing-table makes compareDb
+#: silently report every table as DestIsExist=NO instead of failing.
+#: The phrase only counts when the words "table" or "view" appear
+#: shortly before it (Derby: "Table/View 'T' does not exist";
+#: MySQL 1146: "Table 'db.t' doesn't exist").
+_MISSING_TABLE_SQLSTATES = ("42y55", "42x05")
+_MISSING_TABLE_PHRASES = ("unknown table",)
+
+_TABLE_SCOPED_MISSING = _re.compile(
+    r"\b(?:table|view)\b[^;]{0,80}?"
+    r"(?:not found|does not exist|doesn't exist)"
 )
 
 
@@ -126,7 +134,11 @@ def _is_missing_table_error(exc: Exception) -> bool:
             cur, "java_exception", None
         )
     blob = " ".join(seen)
-    return any(m in blob for m in _MISSING_TABLE_MARKERS)
+    if any(m in blob for m in _MISSING_TABLE_SQLSTATES):
+        return True
+    if any(m in blob for m in _MISSING_TABLE_PHRASES):
+        return True
+    return bool(_TABLE_SCOPED_MISSING.search(blob))
 
 
 def create_table_sql(

@@ -62,7 +62,9 @@ def _check_ident(name: str) -> None:
     import re
 
     for part in name.split("."):
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$#]*", part):
+        # '#' excluded: it starts a comment in MySQL, so 'a#b'
+        # interpolated unquoted into FROM would silently query 'a'
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$]*", part):
             raise ValueError(f"unsafe table identifier: {name!r}")
 
 

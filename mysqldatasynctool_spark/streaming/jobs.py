@@ -62,24 +62,36 @@ def _probe_ts_unit(parquet_path: str) -> str:
 
     import pyarrow.parquet as pq
 
+    def _one(path: str) -> str:
+        pf = pq.ParquetFile(path)  # one footer read serves both checks
+        phys = pf.schema
+        for i in range(len(phys)):
+            col = phys.column(i)
+            if col.name == "ts" and col.physical_type == "INT96":
+                return "int96"
+        field = phys.to_arrow_schema().field("ts")
+        return getattr(field.type, "unit", "us")
+
     p = parquet_path
-    if os.path.isdir(p):
-        files = [
-            os.path.join(p, f)
-            for f in sorted(os.listdir(p))
-            if f.endswith(".parquet")
-        ]
-        if not files:
-            return "us"
-        p = files[0]
-    pf = pq.ParquetFile(p)  # one footer read serves both checks
-    phys = pf.schema
-    for i in range(len(phys)):
-        col = phys.column(i)
-        if col.name == "ts" and col.physical_type == "INT96":
-            return "int96"
-    field = phys.to_arrow_schema().field("ts")
-    return getattr(field.type, "unit", "us")
+    if not os.path.isdir(p):
+        return _one(p)
+    files = [
+        os.path.join(p, f)
+        for f in sorted(os.listdir(p))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return "us"
+    # probe EVERY footer (cheap, driver-side): a multi-file directory
+    # with mixed ts encodings would make a single declared schema
+    # silently misread the other files — the exact corruption class
+    # this probe exists to prevent, so heterogeneity is a hard error
+    units = {f: _one(f) for f in files}
+    if len(set(units.values())) > 1:
+        raise ValueError(
+            f"heterogeneous ts encodings across parquet files: {units}"
+        )
+    return next(iter(units.values()))
 
 
 def read_events_stream(
@@ -251,7 +263,7 @@ def streaming_topk_transform_with_state(events: DataFrame, k: int = 3) -> DataFr
 
     class _TopK(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("topk", f"vals array<double>")
+            self._state = handle.getValueState("topk", "vals array<double>")
 
         def handleInputRows(self, key, rows, timerValues):
             import pandas as _pd

@@ -147,3 +147,14 @@ def test_cli_compare_db_jdbc(spark, tmp_path, capsys):
     jconn.close()
     assert main(argv) == 1
     assert "NO" in capsys.readouterr().out
+
+
+def test_jdbc_mode_refuses_half_specified_endpoints():
+    """One URL flag + no config file must be a hard error, never a
+    silent localhost:3306 default for the unnamed side."""
+    with pytest.raises(SystemExit) as e:
+        main(["migrateDb", "--src-url", "jdbc:derby:memory:x;create=true"])
+    assert "--dest-url" in str(e.value)
+    with pytest.raises(SystemExit) as e:
+        main(["compareDb", "--dest-url", "jdbc:derby:memory:x;create=true"])
+    assert "--src-url" in str(e.value)

@@ -145,3 +145,45 @@ def test_streaming_reader_int96_matches_batch(spark, tmp_path):
         "canary_int96",
     )
     assert sorted(r[0] for r in out.collect()) == batch_us
+
+
+def test_probe_ts_unit_multi_file_homogeneous(tmp_path):
+    """Directory fixtures: the probe must survey every footer, not
+    just the first — and agree with the single-file answer."""
+    from mysqldatasynctool_spark.streaming.jobs import _probe_ts_unit
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    n = len(EPOCH_US)
+    for i in range(3):
+        table = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([u * 1000 for u in EPOCH_US], pa.timestamp("ns")),
+            }
+        )
+        pq.write_table(table, str(d / f"part-{i}.parquet"))
+    assert _probe_ts_unit(str(d)) == "ns"
+
+
+def test_probe_ts_unit_rejects_mixed_encodings(tmp_path):
+    """A regenerated multi-file events dir with DIFFERENT ts encodings
+    per file cannot be described by one declared schema; silently
+    trusting file 0 is exactly the corruption class the probe guards
+    against, so it must raise instead."""
+    from mysqldatasynctool_spark.streaming.jobs import _probe_ts_unit
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    n = len(EPOCH_US)
+    enc = {
+        "part-0.parquet": pa.array([u * 1000 for u in EPOCH_US], pa.timestamp("ns")),
+        "part-1.parquet": pa.array(EPOCH_US, pa.timestamp("us")),
+    }
+    for fname, arr in enc.items():
+        table = pa.table(
+            {"event_id": pa.array(range(n), pa.int64()), "ts": arr}
+        )
+        pq.write_table(table, str(d / fname))
+    with pytest.raises(ValueError, match="heterogeneous"):
+        _probe_ts_unit(str(d))

@@ -174,7 +174,8 @@ def test_check_ident_rejects_injection():
 
     _check_ident("orders")
     _check_ident("myschema.orders")
-    for bad in ('orders"; DROP TABLE x--', "a b", "t;", 'x"y', ""):
+    for bad in ('orders"; DROP TABLE x--', "a b", "t;", 'x"y', "",
+                "a#b"):  # '#' starts a MySQL comment: FROM a#b reads 'a'
         with pytest.raises(ValueError):
             _check_ident(bad)
 
@@ -189,6 +190,19 @@ def test_missing_table_error_classifier():
     chained = Exception("java wrapper")
     chained.__cause__ = Exception("ERROR 42X05: Table/View 'Q' not found")
     assert _is_missing_table_error(chained)
+    # MySQL 1146 phrasing
+    assert _is_missing_table_error(Exception("Table 'db.t' doesn't exist"))
+    # NON-table "not found" errors must NOT classify as missing-table:
+    # compareDb would silently report every table as DestIsExist=NO
+    assert not _is_missing_table_error(
+        Exception("ERROR XJ004: Database 'nosuch/db' not found.")
+    )
+    assert not _is_missing_table_error(
+        Exception("java.lang.ClassNotFoundException: com.mysql.cj.jdbc.Driver not found")
+    )
+    assert not _is_missing_table_error(
+        Exception("File not found: /tmp/x.parquet")
+    )
 
 
 def test_migrate_jdbc_string_pk_varchar_pages(spark, tmp_path_factory):
