@@ -279,15 +279,33 @@ def similarity_ivf_pandas(
     its ``probes`` nearest cells (scan volume scales linearly with
     probes), and a final per-query window merges the per-cell
     candidates — with probes=1 that window sees exactly the per-cell
-    top-k, so the default output is unchanged. Rows-only driver check
-    (numpy's reduction order differs from SQL engines'); the pytest
-    gate verifies assignments against an in-Spark argmin, recall > 0
-    vs brute force, and that probes=2 recall >= probes=1 recall.
+    top-k, so the default output is unchanged.
+
+    Oracle-backed (round 6): the probes=1 output is fully determined
+    by (a) argmax cell assignment with ties broken by ascending
+    centroid vec_id — numpy's stable argsort over a centroid matrix
+    collected in vec_id order — and (b) in-cell ranking on cosines
+    ROUNDED to 6 dp with ties broken by ascending neighbor_id. Both
+    decisions are rounding-robust (raw float noise between numpy's
+    blocked matmul and SQL's sequential list_dot_product only matters
+    within ~1e-10 of a decision boundary), so the DuckDB twin
+    replicates the semantics exactly — same pattern that keeps the
+    bruteforce/LSH variants hash-green. The pytest gate additionally
+    verifies assignments against an in-Spark argmin, recall > 0 vs
+    brute force, and that probes=2 recall >= probes=1 recall.
     """
     import numpy as np
 
     emb = _vecs(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") % 100 == 0).select("vec_id", "v").collect()
+    # vec_id-ordered collect: centroid INDEX order (numpy's stable
+    # argsort tie-break) == ascending centroid id, so the assignment
+    # is deterministic across runs and expressible as a SQL window
+    cents = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .collect()
+    )
     cent_ids = [r.vec_id for r in cents]
     cent_mat = np.array([r.v for r in cents], dtype=np.float64)
     cent_norms = np.linalg.norm(cent_mat, axis=1)
@@ -388,6 +406,56 @@ def similarity_ivf_pandas(
     )
 
 
+#: DuckDB twin of the probes=1 IVF path: centroids are every 100th
+#: vector; assignment = argmax UNROUNDED cosine with ties by ascending
+#: centroid id (matching the vec_id-ordered centroid matrix); search
+#: is an in-cell exact top-k on 6-dp-rounded cosines with ties by
+#: ascending neighbor id — the same rounding discipline as the
+#: bruteforce/LSH oracles.
+SIMILARITY_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv, vnorm AS cnorm FROM e WHERE vec_id % 100 = 0),
+aff AS (
+  SELECT e.vec_id,
+         c.cid,
+         list_dot_product(e.v, c.cv) / (e.vnorm * c.cnorm) AS sim
+  FROM e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM aff
+  ) WHERE rn = 1
+),
+corpus AS (
+  SELECT e.vec_id, e.v, e.vnorm, a.cell
+  FROM e JOIN assign a USING (vec_id)
+),
+q AS (
+  SELECT vec_id AS qid, v AS qv, vnorm AS qnorm, cell
+  FROM corpus WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.qid, q.cell, cor.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, cor.v) / (q.qnorm * cor.vnorm), 6) AS cosine
+  FROM q JOIN corpus cor ON cor.cell = q.cell AND cor.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, cell, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, cell, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY qid, rank
+"""
+
+
 def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization audit for the embedding store —
     the compression step a 100 TB vector corpus runs before ANN
@@ -475,4 +543,5 @@ ORACLES = {
     "similarity_topk_bruteforce": SIMILARITY_TOPK_ORACLE,
     "similarity_lsh_bucketed": _lsh_oracle(),
     "similarity_label_centroids": SIMILARITY_CENTROIDS_ORACLE,
+    "similarity_ivf_pandas": SIMILARITY_IVF_ORACLE,
 }
