@@ -499,6 +499,79 @@ ORDER BY user_id, purchase_id
 """
 
 
+def events_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of ``events_asof_join`` — same output, same
+    oracle. The single-exchange form partitions by user_id alone, so
+    one pathological hot user (a bot account with 10% of a 100 TB
+    event log) lands on one task. This variant salts the window key
+    with a TIME BUCKET of width >= tolerance, turning the hot user's
+    timeline into many independent partitions:
+
+    - pass 1 (keyed by user_id, bucket): running last-click within
+      the bucket — the hot user now spreads across all its buckets;
+    - bucket summary: per (user_id, bucket) max click ts (tiny:
+      one row per user-bucket);
+    - pass 2: a purchase whose own-bucket running click is NULL takes
+      the PREVIOUS bucket's last click. Because bucket width >=
+      tolerance, any in-tolerance click lives in the purchase's own
+      or previous bucket — coalesce of the two candidates is exhaustive,
+      and the shared tolerance filter nulls the rest.
+
+    Cost: two exchanges on (user_id, bucket) (the groupBy reuses the
+    window's partitioning) + one small equi-join — bounded per-task
+    work regardless of per-user skew. Cite: reference has no asof at
+    all; the pattern mirrors join_skew_salted (relational.py).
+    """
+    bucket_us = ASOF_TOLERANCE_S * 1_000_000
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .when(F.col("event_type") == "purchase", F.lit(1))
+        .alias("side"),
+    ).filter(F.col("side").isNotNull())
+    # integer `div`, not double `/`: exact at bucket boundaries
+    tagged = tagged.withColumn(
+        "bucket", F.expr(f"unix_micros(ts) div {bucket_us}L")
+    )
+    w = (
+        W.partitionBy("user_id", "bucket")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running_click = F.last(
+        F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    purchases = (
+        tagged.withColumn("own_click", running_click)
+        .filter(F.col("side") == 1)
+        .select("user_id", "bucket", "event_id", "ts", "own_click")
+    )
+    bucket_last = (
+        tagged.filter(F.col("side") == 0)
+        .groupBy("user_id", "bucket")
+        .agg(F.max("ts").alias("prev_click"))
+        .select("user_id", (F.col("bucket") + 1).alias("bucket"), "prev_click")
+    )
+    joined = purchases.join(bucket_last, ["user_id", "bucket"], "left")
+    candidate = F.coalesce(F.col("own_click"), F.col("prev_click"))
+    fresh_enough = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(candidate)
+    ) <= ASOF_TOLERANCE_S * 1_000_000
+    return (
+        joined.withColumn("click_ts", F.when(fresh_enough, candidate))
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (TimescaleDB
     continuous-aggregate shape): one pass produces hour-level rows,
@@ -551,6 +624,7 @@ QUERIES = {
     "events_funnel_join": events_funnel_join,
     "events_retention_cohorts": events_retention_cohorts,
     "events_asof_join": events_asof_join,
+    "events_asof_join_salted": events_asof_join_salted,
     "events_hypertable_rollup": events_hypertable_rollup,
 }
 
@@ -565,5 +639,6 @@ ORACLES = {
     "events_funnel_join": EVENTS_FUNNEL_ORACLE,
     "events_retention_cohorts": EVENTS_RETENTION_ORACLE,
     "events_asof_join": EVENTS_ASOF_ORACLE,
+    "events_asof_join_salted": EVENTS_ASOF_ORACLE,
     "events_hypertable_rollup": EVENTS_HYPERTABLE_ROLLUP_ORACLE,
 }

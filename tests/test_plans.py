@@ -174,3 +174,36 @@ def test_sessionization_single_data_shuffle(spark):
 
     plan = _plan(spark, events.QUERIES["events_sessionization"](spark, SF), "simple")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_single_hash_exchange_no_join(spark):
+    """events_asof_join's whole contract at 100 TB: ONE hash exchange
+    on user_id, a per-key sort, NO join operator (the union+window
+    rewrite) — the interval-join form it replaces would blow up on
+    hot users. The trailing rangepartitioning exchange is the
+    presentation orderBy, not part of the operator."""
+    from mysqldatasynctool_spark.operators import events
+
+    plan = _plan(spark, events.QUERIES["events_asof_join"](spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1].split("\n")[0]
+    for joinop in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert joinop not in plan, joinop
+
+
+def test_asof_join_salted_partitions_by_user_and_bucket(spark):
+    """The skew twin must key every wide stage by (user_id, bucket) —
+    never user_id alone — so a single hot user cannot serialize on
+    one task."""
+    import re
+
+    from mysqldatasynctool_spark.operators import events
+
+    plan = _plan(
+        spark, events.QUERIES["events_asof_join_salted"](spark, SF), "simple"
+    )
+    hash_parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert hash_parts, "expected hash exchanges"
+    for keys in hash_parts:
+        assert "user_id" in keys and "bucket" in keys, keys

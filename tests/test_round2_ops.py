@@ -197,3 +197,19 @@ def test_mix_weights_normalize(spark):
     assert big.mix_weight < big.token_share
     assert small.mix_weight > small.token_share
     assert all(r.tokens_per_epoch <= pipeline.MIX_TOKEN_BUDGET for r in rows)
+
+
+def test_asof_salted_equals_single_exchange_form(spark):
+    """The time-bucketed skew twin must reproduce the single-exchange
+    asof output EXACTLY — every (purchase, click_ts) pair, including
+    NULL click_ts rows at the tolerance edge."""
+    from mysqldatasynctool_spark.operators import events
+
+    base = events.QUERIES["events_asof_join"](spark, SF_DIR).collect()
+    salted = events.QUERIES["events_asof_join_salted"](spark, SF_DIR).collect()
+    assert len(base) > 0
+    assert [tuple(r) for r in base] == [tuple(r) for r in salted]
+    # both NULL and non-NULL outcomes must actually occur, or the
+    # tolerance path was never exercised
+    assert any(r.click_ts is None for r in base)
+    assert any(r.click_ts is not None for r in base)
