@@ -252,10 +252,29 @@ def streaming_topk_transform_with_state(events: DataFrame, k: int = 3) -> DataFr
 
     Environment note: the API's Python<->JVM state transport uses
     google.protobuf, which this sandbox lacks (installs disallowed) —
-    the parity test skips there and runs wherever protobuf exists;
-    the older applyInPandasWithState twin stays fully tested either
-    way.
+    the end-to-end parity test skips there and runs wherever protobuf
+    exists. The processor itself (``make_topk_processor``) is
+    transport-free, so its state math is driven directly by a
+    pure-pandas harness (tests/test_streaming.py) that runs in every
+    environment; the older applyInPandasWithState twin stays fully
+    tested either way.
     """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        make_topk_processor(k),
+        outputStructType="user_id long, top_values array<double>",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def make_topk_processor(k: int):
+    """Build the per-key running top-``k`` StatefulProcessor used by
+    ``streaming_topk_transform_with_state``. Module-level (not a
+    closure inside the job) so the state-update math is directly
+    testable against a fake handle without the protobuf transport;
+    the class itself stays locally scoped so it pickles by value —
+    executors don't need this package importable (same rule as
+    functions/multimodal.make_decode_batches)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -278,12 +297,7 @@ def streaming_topk_transform_with_state(events: DataFrame, k: int = 3) -> DataFr
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
-        _TopK(),
-        outputStructType="user_id long, top_values array<double>",
-        outputMode="Update",
-        timeMode="None",
-    )
+    return _TopK()
 
 
 def streaming_funnel_join(

@@ -306,3 +306,74 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     s = _rows(out, ["window_start", "event_type", "n"])
     b = _rows(batch, ["window_start", "event_type", "n"])
     assert s == b
+
+
+def test_topk_processor_math_without_transport(spark):
+    """Drive the ACTUAL _TopK processor (make_topk_processor) through
+    a fake state handle — no protobuf transport, runs in every
+    environment. Multi-micro-batch semantics: per key, values arrive
+    in several separate handleInputRows calls (state must carry
+    across), in several pandas chunks per call (all chunks must be
+    consumed), and the final emitted top-k must equal the batch
+    top-k over the full fixture. Spark is used only to read the
+    fixture and compute the expected answer."""
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    from mysqldatasynctool_spark.sources.fixtures import load
+    from mysqldatasynctool_spark.streaming.jobs import make_topk_processor
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _FakeValueState())
+
+    ev = load(spark, SF, "events").select("user_id", "value", "event_id")
+    pdf = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+
+    out = {}
+    for uid, grp in pdf.groupby("user_id"):
+        proc = make_topk_processor(3)
+        handle = _FakeHandle()
+        proc.init(handle)
+        # arrival order, split into 4 micro-batches of 2 chunks each
+        vals = grp["value"].to_numpy()
+        batches = [vals[i::4] for i in range(4)]
+        last = None
+        for b in batches:
+            chunks = [pd.DataFrame({"value": b[: len(b) // 2]}),
+                      pd.DataFrame({"value": b[len(b) // 2:]})]
+            for emitted in proc.handleInputRows((uid,), iter(chunks), None):
+                last = emitted
+        proc.close()
+        assert last is not None
+        assert list(last["user_id"]) == [uid]
+        out[uid] = tuple(last["top_values"].iloc[0])
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    batch = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("value"), asc=False).alias("top_values"))
+    )
+    want = {r.user_id: tuple(r.top_values) for r in batch.collect()}
+    assert out == want
