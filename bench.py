@@ -77,6 +77,8 @@ def main() -> None:
     # the steady-state number is what the plan actually costs
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    #: metric -> {table -> {"plan"/"copy"/"verify": sec}} (best run)
+    phase_split: dict[str, dict] = {}
     for name in HEADLINE:
         runs: list[float] = []
         try:
@@ -157,6 +159,7 @@ def main() -> None:
         for t in jdbc_tables:
             write_jdbc(jsonify_nested(load(spark, sf_dir, t)), src_ep, t, truncate=True)
         runs = []
+        run_phases = []
         jdbc_bad = 0
         for i in range(2):
             dest_ep = Endpoint(
@@ -170,9 +173,14 @@ def main() -> None:
                 1 for r in reports if not r.ok
             )
             runs.append(round(time.monotonic() - t0, 3))
+            run_phases.append({r.table: r.phases for r in reports if r.phases})
         n_bad += jdbc_bad
         all_runs["migrate_jdbc_db_to_db"] = runs
         timings["migrate_jdbc_db_to_db"] = min(runs)
+        # per-table plan/copy/verify wall-time from the BEST run:
+        # attributes the residual gap vs the reference (read-side vs
+        # Derby's serialized embedded writes) instead of assuming it
+        phase_split["migrate_jdbc_db_to_db"] = run_phases[runs.index(min(runs))]
     except Exception as exc:  # noqa: BLE001
         failed["migrate_jdbc_db_to_db"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
@@ -202,6 +210,8 @@ def main() -> None:
         # without re-running the whole suite
         "runs": all_runs,
     }
+    if phase_split:
+        out["phase_split"] = phase_split
     if n_bad:
         # failure count lives OUTSIDE the summed timings dict so it
         # can't corrupt the wall-clock headline metric

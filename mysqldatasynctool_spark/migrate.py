@@ -78,6 +78,11 @@ class TableReport:
     elapsed_s: float
     ok: bool
     error: str | None = None
+    #: wall-time split {"plan": s, "copy": s, "verify": s} — filled by
+    #: migrate_jdbc so a slow table is attributable to source probing,
+    #: the fused read+write action, or the dest verify re-read rather
+    #: than one opaque number (root.go:374,563 batch-tuning anchor)
+    phases: dict | None = None
 
 
 def migrate_directory(
@@ -369,7 +374,11 @@ def migrate_jdbc(
                 )
                 return obs.get["cnt"], obs.get["checksum"]
 
+            phases: dict[str, float] = {}
+            tp = time.monotonic()
             plan = build_plan()
+            phases["plan"] = round(time.monotonic() - tp, 3)
+            tc = time.monotonic()
             try:
                 src_cnt, src_sum = copy_with(plan, 0)
             except Exception:
@@ -382,10 +391,16 @@ def migrate_jdbc(
                 # than failing the table.
                 plan = plan_table(t, [], page_size, cfg.max_parallel)
                 src_cnt, src_sum = copy_with(plan, 1)
+            phases["copy"] = round(time.monotonic() - tc, 3)
+            tv = time.monotonic()
             d = table_summary(read_table(spark, dest, t), t).collect()[0]
+            phases["verify"] = round(time.monotonic() - tv, 3)
             ok = src_cnt == d.cnt and src_sum == d.checksum
             vrow = (t, src_cnt, d.cnt, src_sum, d.checksum, "YES", "YES" if ok else "NO")
-            return TableReport(t, d.cnt, time.monotonic() - t0, True), vrow
+            return (
+                TableReport(t, d.cnt, time.monotonic() - t0, True, phases=phases),
+                vrow,
+            )
         except Exception as exc:  # noqa: BLE001 — per-object failure accounting
             return TableReport(t, 0, time.monotonic() - t0, False, str(exc)), None
 
