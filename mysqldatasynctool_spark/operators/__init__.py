@@ -25,83 +25,73 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Registration order doubles as VERIFICATION PRIORITY: the driver
-#: walks ``queries()`` in order under a finite budget (round 1 recorded
+#: walks ``queries()`` in order under a finite budget (it records
 #: exactly the first 50 entries), so the entries that most need a
-#: fresh correctness record go first — flagship TPC-H heads, the
-#: reference's own migration operators, then the LLM-data-pipeline
-#: north stars (dedup / similarity / text / multimodal), events, and
-#: one representative per relational family. The remainder (redundant
-#: twins of already-listed families, all driver-green in round 1) come
-#: last in stable module order.
+#: fresh correctness record go first; everything else keeps its
+#: cumulative green row from an earlier round and comes after in
+#: stable module order.
+#:
+#: ROUND-6 ROTATION (tools/correctness_union.py stale-green sweep):
+#: 1) the 3 entries with NO driver row ever (asof pair + hypertable);
+#: 2) similarity_ivf_pandas — rows-only until r5, oracle-backed in r6,
+#:    so a fresh row upgrades it to hash-green;
+#: 3) every STALE-GREEN entry: its module changed in git after its
+#:    newest green record landed (r6 touched events/similarity;
+#:    r2-r5 touched relational/advanced/windows after their r1/r2
+#:    rows), so the old green validates code that no longer exists.
+#:    events_funnel_join swapped in for the 51st stale entry
+#:    (events_date_functions) per the r5 verdict's explicit call-out.
 VERIFY_PRIORITY: tuple[str, ...] = (
-    # ROUND-3 ROTATION — the 4 registry entries that have never had a
-    # driver CORRECTNESS row (added after round 2's check window); a
-    # green row here completes 96/96 oracle-backed coverage
-    "agg_histogram_fixed_bins",
-    "window_pareto_cumshare",
+    "events_asof_join",
+    "events_asof_join_salted",
+    "events_hypertable_rollup",
+    "similarity_ivf_pandas",
     "events_retention_cohorts",
-    "dedup_lsh_recall_report",
-    # queries MODIFIED in round 3 — their cumulative green rows predate
-    # the change, so they need fresh driver validation:
-    # approx twins upgraded from rows-only to oracle-backed via
-    # within_tolerance bounds vs their exact twins
-    "agg_approx_distinct",
-    "agg_percentiles",
-    # corpus-size-adaptive bucketing wired in (same output at fixture N)
-    "dedup_embedding_lsh",
-    # flagship composition + the perf-tuned MinHash path (dedup.py
-    # checkpoint strategy changed this round)
-    "pipeline_end_to_end",
-    "dedup_minhash_lsh",
-    "join_skew_salted",
-    # reference migration surface (§2A)
-    "migration_pk_catalog",
-    "migration_full_scan_fallback",
-    "migration_page_count",
-    "migration_pagination_page",
-    "migration_stringify",
-    "migration_compare_checksums",
-    "migration_row_diff",
-    "migration_incremental",
-    # dedup north star (rest)
-    "dedup_exact_subset",
-    "dedup_exact_text",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_paragraph_exact",
-    # similarity north star
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
     "similarity_label_centroids",
-    "similarity_ivf_pandas",
     "similarity_quantize_int8",
-    # text-analysis north star
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_token_count_bpe",
-    "text_chunking",
-    "text_fingerprint",
-    "text_token_frequency",
-    "text_tfidf",
-    # multimodal north star
-    "multimodal_binary_meta",
-    "multimodal_decode_features",
-    "multimodal_size_partitioned",
-    "multimodal_frame_sample",
-    # training-data pipeline ops
-    "pipeline_decontaminate",
-    "pipeline_pack_sequences",
-    "pipeline_sample_stratified",
-    "pipeline_repetition_score",
-    "pipeline_mix_weights",
-    "pipeline_train_val_split",
-    "pipeline_global_shuffle",
-    # events batch twin (sessionization is the hardest streaming-parity
-    # query; udf_* are both green r2 and cede their slots)
     "events_sessionization",
+    "events_funnel_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "project_filter",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_range_nonequi",
+    "agg_rollup",
+    "agg_cube",
+    "agg_distinct",
+    "scalar_functions",
+    "sort_limit_topk",
+    "date_arithmetic",
+    "join_cross",
+    "pivot_status_priority",
+    "unpivot_part_metrics",
+    "agg_grouping_sets",
+    "agg_max_by",
+    "agg_moments_manual",
+    "agg_correlation_manual",
+    "agg_percentiles_exact",
+    "join_asof",
+    "array_functions",
+    "string_functions2",
+    "null_conditional",
+    "sql_cte_subqueries",
+    "window_value_functions",
+    "window_topk_per_group",
+    "window_rank_functions",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_range_frame",
+    "events_json_extract",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_map_functions",
+    "events_gap_fill",
 )
 
 

@@ -21,11 +21,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _git_ts(*args: str) -> int | None:
+    """Unix timestamp from `git log -1 --format=%ct <args>`, or None."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", *args],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        ).stdout.strip()
+        return int(out) if out else None
+    except Exception:  # noqa: BLE001 — no git → skip staleness
+        return None
+
+
 def main() -> int:
     from mysqldatasynctool_spark.operators import collect_registry
 
     queries, oracles = collect_registry()
     best: dict[str, str] = {}  # query -> "green" | "rows_only" | "red"
+    last_green_rec: dict[str, str] = {}  # query -> newest green record file
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rec = json.load(open(path))
         rnd = os.path.basename(path)
@@ -40,12 +58,35 @@ def main() -> int:
             rank = {"green": 2, "rows_only": 1, "red": 0}
             if name not in best or rank[verdict] > rank[best[name]]:
                 best[name] = verdict
+            if verdict == "green":
+                last_green_rec[name] = rnd  # sorted iteration → newest wins
         print(f"read {rnd}: {len(rec)} rows")
 
     green = [q for q in queries if best.get(q) == "green"]
     rows_only = [q for q in queries if best.get(q) == "rows_only"]
     red = [q for q in queries if best.get(q) == "red"]
     never = [q for q in queries if q not in best]
+
+    # STALE-GREEN: the query's defining module changed in git AFTER its
+    # newest green record landed — the green row validates code that no
+    # longer exists. Module-level granularity is deliberately
+    # conservative: touching one query in a module marks its siblings
+    # stale too, which is the safe direction for a rotation decision.
+    stale: list[str] = []
+    rec_ts_cache: dict[str, int | None] = {}
+    file_ts_cache: dict[str, int | None] = {}
+    for q in green:
+        rnd = last_green_rec[q]
+        if rnd not in rec_ts_cache:
+            rec_ts_cache[rnd] = _git_ts("--", rnd)
+        mod = sys.modules[queries[q].__module__].__file__
+        rel = os.path.relpath(mod, REPO)
+        if rel not in file_ts_cache:
+            file_ts_cache[rel] = _git_ts("--", rel)
+        rts, fts = rec_ts_cache[rnd], file_ts_cache[rel]
+        if rts is not None and fts is not None and fts > rts:
+            stale.append(q)
+
     print(f"\nregistry: {len(queries)} queries ({len(oracles)} oracle-backed)")
     print(f"driver-green (any round): {len(green)}")
     print(f"rows-only by design:      {len(rows_only)}  {rows_only}")
@@ -53,10 +94,34 @@ def main() -> int:
         print(f"RED (latest-best):        {len(red)}  {red}")
     if never:
         print(f"NEVER driver-checked:     {len(never)}  {never}")
-    print(
-        "\nrotation hint: put NEVER + RED entries first in VERIFY_PRIORITY "
-        "(keep it at exactly 50 names)."
-    )
+    if stale:
+        print(
+            f"STALE-GREEN (code changed after last green record): "
+            f"{len(stale)}"
+        )
+        for q in stale:
+            print(f"  {q}  (last green: {last_green_rec[q]})")
+
+    # rows-only queries that NOW have an oracle registered: a fresh
+    # driver row would upgrade them from rows-only to hash-green
+    upgraded = [q for q in rows_only if q in oracles]
+    if upgraded:
+        print(f"rows-only but NOW oracle-backed (front-load): {upgraded}")
+
+    # ready-to-paste rotation: never + red + newly-oracle-backed +
+    # stale first, then greens oldest-record-first, capped at the
+    # driver's 50-slot window
+    ordered = [q for q in queries if q in never] + red
+    ordered += [q for q in upgraded if q not in ordered]
+    ordered += [q for q in stale if q not in ordered]
+    rest = sorted(
+        (q for q in green if q not in ordered),
+        key=lambda q: last_green_rec[q],
+    ) + [q for q in rows_only if q not in ordered]
+    rotation = (ordered + rest)[:50]
+    print(f"\nsuggested VERIFY_PRIORITY rotation ({len(rotation)} names):")
+    for q in rotation:
+        print(f'    "{q}",')
     return 0
 
 
