@@ -53,6 +53,9 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_quantize_int8",
     "events_sessionization",
     "events_funnel_join",
+    # NEW in r6 — need a first driver row
+    "migration_cdc_apply",
+    "text_pii_scrub",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -90,8 +93,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "events_json_extract",
     "events_tumbling_window",
     "events_sliding_window",
-    "events_map_functions",
-    "events_gap_fill",
 )
 
 

