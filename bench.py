@@ -35,8 +35,11 @@ HEADLINE = [
     "events_sessionization",
     "events_sliding_window",
     "events_asof_join",
+    "events_asof_join_salted",
     "events_hypertable_rollup",
     "migration_compare_checksums",
+    "migration_cdc_apply",
+    "text_pii_scrub",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",
