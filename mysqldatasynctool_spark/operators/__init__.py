@@ -56,6 +56,20 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     # NEW in r6 — need a first driver row
     "migration_cdc_apply",
     "text_pii_scrub",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -110,6 +124,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         setops,
         similarity,
         textops,
+        tpch,
         udfs,
         windows,
     )
@@ -118,6 +133,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     oracles: dict[str, str] = {}
     for mod in (
         relational,
+        tpch,
         advanced,
         windows,
         setops,

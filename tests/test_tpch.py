@@ -1,0 +1,82 @@
+"""Plan-shape and semantic gates for the extended TPC-H suite
+(operators/tpch.py).  Correctness vs DuckDB is the driver's oracle
+gate; these tests pin the 100 TB plan properties: dims broadcast,
+EXISTS/NOT EXISTS as single-pass semi/anti joins, top-k as
+TakeOrderedAndProject, and the scalar-threshold literal (no
+BroadcastNestedLoopJoin anywhere).
+"""
+
+from __future__ import annotations
+
+from mysqldatasynctool_spark.operators import tpch
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, df, mode: str = "simple") -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_q4_exists_is_semi_join(spark):
+    plan = _plan(spark, tpch.q4_order_priority(spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_both_nation_joins_broadcast(spark):
+    plan = _plan(spark, tpch.q7_volume_shipping(spark, SF))
+    # supplier, customer, nation x2 all broadcast; only li<->orders shuffles
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q8_all_dims_broadcast(spark):
+    plan = _plan(spark, tpch.q8_market_share(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q10_topk_is_take_ordered(spark):
+    plan = _plan(spark, tpch.q10_returned_items(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_topk_is_take_ordered(spark):
+    plan = _plan(spark, tpch.q18_large_volume_customers(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_prunes_part_side(spark):
+    # the brand IN-set implied by the OR should partial-pushdown to the
+    # part scan (Catalyst extracts common brand predicates as In())
+    plan = _plan(spark, tpch.q19_disjunctive_predicates(spark, SF), "formatted")
+    assert "PushedFilters" in plan
+
+
+def test_q21_semi_and_anti_joins(spark):
+    plan = _plan(spark, tpch.q21_waiting_supplier(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_threshold_is_literal_no_nested_loop(spark):
+    plan = _plan(spark, tpch.q22_global_sales_opportunity(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_q15_ties_included(spark):
+    # rank()==1 keeps ALL max-revenue suppliers (vs row_number which
+    # would drop ties nondeterministically)
+    df = tpch.q15_top_supplier(spark, SF)
+    rows = df.collect()
+    assert len(rows) >= 1
+    revs = {r["total_revenue"] for r in rows}
+    assert len(revs) == 1  # all returned suppliers share the max
+
+
+def test_q14_single_row_pct_bounds(spark):
+    row = tpch.q14_promo_revenue(spark, SF).collect()[0]
+    assert 0.0 <= row["promo_revenue_pct"] <= 100.0
