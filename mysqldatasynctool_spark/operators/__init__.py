@@ -70,6 +70,10 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_predicates",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "text_gopher_rules",
+    "text_char_entropy",
+    "text_source_stats",
+    "events_anomaly_zscore",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -613,6 +613,72 @@ ORDER BY day NULLS FIRST, hr NULLS FIRST
 """
 
 
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection per user — the batch
+    twin of a streaming metric-outlier monitor.
+
+    mean/std come from DECIMAL-exact trailing sums (sum, sum-of-squares
+    over a 20-row frame), so the derived doubles are order-independent
+    and hash-stable; only rows with >=10 history rows and |z| > 2 are
+    flagged.
+
+    100 TB: one shuffle on user_id (the window partitioning), frames
+    evaluated streaming per partition; the unique (ts, event_id)
+    ordering makes frames deterministic under re-execution. A skewed
+    hot user degrades to one straggler partition — the mitigation is
+    the same time-bucket salting as events_asof_join_salted.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    sum_v = F.sum(_dec(F.col("value"), 6)).over(w).cast("double")
+    sum_v2 = F.sum(_dec(F.col("value") * F.col("value"), 6)).over(w).cast("double")
+    n_hist = F.count("*").over(w)
+    mean = sum_v / n_hist
+    var = (sum_v2 - sum_v * sum_v / n_hist) / n_hist
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        n_hist.alias("n_hist"),
+        F.when(std > 0, (F.col("value") - mean) / std).alias("z"),
+    )
+    return (
+        scored.filter((F.col("n_hist") >= 10) & (F.abs(F.col("z")) > 2))
+        .select("event_id", "user_id", "ts", "value", F.round("z", 6).alias("zscore"))
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+EVENTS_ANOMALY_ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE) AS sum_v,
+         CAST(SUM(CAST(value * value AS DECIMAL(22,6))) OVER w AS DOUBLE) AS sum_v2,
+         COUNT(*) OVER w AS n_hist
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_id, user_id, ts, value, n_hist,
+         CASE WHEN sqrt(greatest((sum_v2 - sum_v * sum_v / n_hist) / n_hist, 0.0)) > 0
+              THEN (value - sum_v / n_hist)
+                   / sqrt(greatest((sum_v2 - sum_v * sum_v / n_hist) / n_hist, 0.0))
+         END AS z
+  FROM s
+)
+SELECT event_id, user_id, ts, value, ROUND(z, 6) AS zscore
+FROM z
+WHERE n_hist >= 10 AND abs(z) > 2
+ORDER BY user_id, ts, event_id
+"""
+
+
 QUERIES = {
     "events_json_extract": events_json_extract,
     "events_tumbling_window": events_tumbling_window,
@@ -626,6 +692,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_asof_join_salted": events_asof_join_salted,
     "events_hypertable_rollup": events_hypertable_rollup,
+    "events_anomaly_zscore": events_anomaly_zscore,
 }
 
 ORACLES = {
@@ -641,4 +708,5 @@ ORACLES = {
     "events_asof_join": EVENTS_ASOF_ORACLE,
     "events_asof_join_salted": EVENTS_ASOF_ORACLE,
     "events_hypertable_rollup": EVENTS_HYPERTABLE_ROLLUP_ORACLE,
+    "events_anomaly_zscore": EVENTS_ANOMALY_ZSCORE_ORACLE,
 }

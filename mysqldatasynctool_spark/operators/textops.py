@@ -500,6 +500,180 @@ ORDER BY doc_id
 """
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule ensemble (Rae et al. 2021, §A1.1):
+    per-document boolean gates + a single keep flag.
+
+    Distinct from ``text_quality_score`` (a scalar score): this is the
+    filter-with-reasons shape production pipelines need — each rule is
+    its own column so corpus triage can ask "what fraction fails WHICH
+    rule".  All integer/ratio arithmetic on built-ins; the word-level
+    alpha check is a higher-order ``filter`` over a materialized token
+    array (bounded per-row work, zero shuffle, no Python).
+    Bounds adapted to the synthetic corpus (docs are ~10-40 words).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "text", tokens_col(F.col("text")).alias("words")
+    )
+    n_words = F.size("words")
+    mean_wlen = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")) / n_words
+    n_alpha_words = F.size(F.filter(F.col("words"), lambda w: w.rlike("[a-zA-Z]")))
+    n_stop = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|and|is)\b"))
+    symbol_ratio = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.")) / n_words
+    rules = toks.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        (n_words.between(10, 1000)).alias("rule_word_count"),
+        ((mean_wlen >= 3) & (mean_wlen <= 10)).alias("rule_mean_word_len"),
+        ((n_alpha_words / n_words) > 0.8).alias("rule_alpha_words"),
+        (n_stop >= 2).alias("rule_stopwords"),
+        (symbol_ratio < 0.1).alias("rule_symbol_ratio"),
+    )
+    return rules.withColumn(
+        "keep",
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_alpha_words")
+        & F.col("rule_stopwords")
+        & F.col("rule_symbol_ratio"),
+    ).orderBy("doc_id")
+
+
+TEXT_GOPHER_RULES_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(text), '\s+') AS words,
+         length(regexp_replace(trim(text), '\s+', '', 'g')) AS alpha_chars,
+         len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS n_stop,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, len(words) AS n_words,
+         len(words) BETWEEN 10 AND 1000 AS rule_word_count,
+         (alpha_chars * 1.0 / len(words)) BETWEEN 3 AND 10 AS rule_mean_word_len,
+         (len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0
+            / len(words)) > 0.8 AS rule_alpha_words,
+         n_stop >= 2 AS rule_stopwords,
+         (n_symbols * 1.0 / len(words)) < 0.1 AS rule_symbol_ratio
+  FROM d
+)
+SELECT doc_id, lang, n_words, rule_word_count, rule_mean_word_len,
+       rule_alpha_words, rule_stopwords, rule_symbol_ratio,
+       rule_word_count AND rule_mean_word_len AND rule_alpha_words
+         AND rule_stopwords AND rule_symbol_ratio AS keep
+FROM r ORDER BY doc_id
+"""
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character-entropy per document — a cheap gibberish /
+    low-diversity signal (near-zero entropy = repeated characters).
+
+    Fully ROW-LOCAL: letters are extracted once into an array column,
+    per-letter counts come from a higher-order ``filter`` over the
+    distinct (sorted) alphabet, and the entropy is a LEFT FOLD
+    (``F.aggregate``) over alphabet-sorted terms — a deterministic
+    summation order both engines reproduce, so the double hashes
+    bit-stable (plus a round(6) belt).  Zero shuffles, no Python; the
+    per-row work is bounded by alphabet_size × doc_length.
+    """
+    docs = load(spark, sf_dir, "documents")
+    with_chars = docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]"), 0).alias("chars"),
+    ).select(
+        "doc_id",
+        "lang",
+        "chars",
+        F.array_sort(F.array_distinct(F.col("chars"))).alias("alphabet"),
+    )
+    n = F.size("chars")
+    p_of = lambda c: F.size(F.filter(F.col("chars"), lambda x: x == c)) / n
+    terms = F.transform(
+        F.col("alphabet"), lambda c: -(p_of(c) * F.log2(p_of(c)))
+    )
+    entropy = F.aggregate(
+        terms, F.lit(0.0).cast("double"), lambda acc, x: acc + x
+    )
+    return with_chars.select(
+        "doc_id",
+        "lang",
+        n.alias("n_letters"),
+        F.size("alphabet").alias("n_distinct"),
+        F.round(entropy, 6).alias("entropy_bits"),
+    ).orderBy("doc_id")
+
+
+TEXT_CHAR_ENTROPY_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(text), '[a-z]') AS chars
+  FROM documents
+), a AS (
+  SELECT doc_id, lang, chars,
+         list_sort(list_distinct(chars)) AS alphabet
+  FROM d
+)
+SELECT doc_id, lang,
+       len(chars) AS n_letters,
+       len(alphabet) AS n_distinct,
+       ROUND(list_aggregate(
+         list_transform(alphabet, c ->
+           -((len(list_filter(chars, x -> x = c)) * 1.0 / len(chars))
+             * log2(len(list_filter(chars, x -> x = c)) * 1.0 / len(chars)))),
+         'sum'), 6) AS entropy_bits
+FROM a ORDER BY doc_id
+"""
+
+
+def text_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report: doc/char volume, language diversity,
+    and corpus share — the triage view before setting mixture weights.
+
+    Two-stage: a grouped aggregate (one shuffle on ``source``) then a
+    whole-set window for the share denominators over the tiny grouped
+    result — the window never sees row-level data.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.sum("n_chars") / F.count("*")).alias("mean_chars"),
+    )
+    w = W.partitionBy()
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "n_langs",
+        F.round("mean_chars", 6).alias("mean_chars"),
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+        F.round(F.col("total_chars") / F.sum("total_chars").over(w), 6).alias(
+            "char_share"
+        ),
+    ).orderBy("source")
+
+
+TEXT_SOURCE_STATS_ORACLE = """
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         COUNT(DISTINCT lang) AS n_langs,
+         SUM(n_chars) * 1.0 / COUNT(*) AS mean_chars
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, total_chars, n_langs,
+       ROUND(mean_chars, 6) AS mean_chars,
+       ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS doc_share,
+       ROUND(total_chars * 1.0 / SUM(total_chars) OVER (), 6) AS char_share
+FROM s ORDER BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -510,6 +684,9 @@ QUERIES = {
     "text_token_frequency": text_token_frequency,
     "text_tfidf": text_tfidf,
     "text_pii_scrub": text_pii_scrub,
+    "text_gopher_rules": text_gopher_rules,
+    "text_char_entropy": text_char_entropy,
+    "text_source_stats": text_source_stats,
 }
 
 ORACLES = {
@@ -522,4 +699,7 @@ ORACLES = {
     "text_token_frequency": TEXT_TOKEN_FREQUENCY_ORACLE,
     "text_tfidf": TEXT_TFIDF_ORACLE,
     "text_pii_scrub": _pii_oracle(),
+    "text_gopher_rules": TEXT_GOPHER_RULES_ORACLE,
+    "text_char_entropy": TEXT_CHAR_ENTROPY_ORACLE,
+    "text_source_stats": TEXT_SOURCE_STATS_ORACLE,
 }

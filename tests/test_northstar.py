@@ -129,3 +129,54 @@ def test_pii_scrub_counts_and_cleanliness(spark):
         F.regexp_count("text", F.lit(textops.PII_SSN)).alias("s"),
     ).agg(F.sum("e"), F.sum("i"), F.sum("s")).collect()[0]
     assert tuple(leftover) == (0, 0, 0)
+
+
+def test_gopher_rules_keep_is_conjunction(spark):
+    """keep must equal the AND of all rule columns, and each rule must
+    discriminate or be constant-true on the synthetic corpus (never
+    constant-false, which would make the gate vacuous)."""
+    from mysqldatasynctool_spark.operators import textops
+
+    rows = textops.QUERIES["text_gopher_rules"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    rule_cols = [c for c in rows[0].asDict() if c.startswith("rule_")]
+    for r in rows:
+        assert r.keep == all(r[c] for c in rule_cols)
+    for c in rule_cols:
+        assert any(r[c] for r in rows), f"{c} is constant-false"
+
+
+def test_char_entropy_bounds(spark):
+    """0 <= H <= log2(n_distinct); single-char docs get exactly 0."""
+    import math
+
+    from mysqldatasynctool_spark.operators import textops
+
+    rows = textops.QUERIES["text_char_entropy"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert -1e-9 <= r.entropy_bits <= math.log2(max(r.n_distinct, 2)) + 1e-9
+        if r.n_distinct == 1:
+            assert r.entropy_bits == 0.0
+
+
+def test_source_stats_shares_sum_to_one(spark):
+    from mysqldatasynctool_spark.operators import textops
+
+    rows = textops.QUERIES["text_source_stats"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.char_share for r in rows) - 1.0) < 1e-4
+
+
+def test_anomaly_zscore_single_shuffle_and_bounds(spark):
+    """|z| > 2 for every flagged row; the plan shuffles once on
+    user_id (window partitioning) and contains no Python eval."""
+    from mysqldatasynctool_spark.operators import events
+
+    df = events.QUERIES["events_anomaly_zscore"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(abs(r.zscore) > 2 for r in rows)
