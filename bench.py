@@ -30,8 +30,12 @@ HEADLINE = [
     "q1_pricing_summary_fast",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
     "agg_distinct",
     "window_topk_per_group",
+    "text_unigram_perplexity",
     "events_sessionization",
     "events_sliding_window",
     "events_asof_join",
