@@ -679,36 +679,47 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filter (CCNet-style) with the LM trained on the corpus itself.
 
     Two shuffles total at any scale: (1) token counts (partial-agg'd),
-    (2) per-doc surprise sums. The per-token log-prob is rounded to
-    6 dp BEFORE the decimal sum (libm log2 may differ in the last ULP
-    across engines; rounding collapses it), so the per-doc fold is
-    exact and order-independent. The vocab side of the score join is
-    broadcast-able when small; at web scale it becomes a shuffle join
-    on token — both shapes are Catalyst's choice, not hand-wired.
+    (2) per-doc surprise sums. Cross-engine float discipline — a
+    QUANTIZATION LADDER: JVM and C libm log2 differ in the last ULP,
+    so any rounding of a log can flip when the true value sits within
+    ~1e-10 of a rounding boundary. Per-token surprise is rounded at
+    2 dp (boundary spacing 5e-3; at 6 dp a ULP flip DID occur at
+    sf0.1), summed decimal-exact. The per-doc average is emitted
+    UNROUNDED: both engines divide identical doubles (exact-decimal
+    total / integer count) and IEEE division is bit-deterministic —
+    whereas ROUNDING the quotient is the hazard: a 2-dp decimal over a
+    small integer lands on exact decimal halves constantly, where
+    BigDecimal HALF_UP (Spark) and double rounding (DuckDB) disagree
+    (measured: 12 of 5000 docs at sf0.1). Only the pow() output is
+    rounded (2 dp; libm pow ULP vs 5e-3 spacing ⇒ negligible).
+    Centibit resolution is ample for a perplexity FILTER. The vocab
+    side of the score join is broadcast-able when small; at web scale
+    it becomes a shuffle join on token — both shapes are Catalyst's
+    choice, not hand-wired.
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     total = F.sum("cnt").over(W.partitionBy())
     scored_vocab = vocab.select(
-        "token", F.round(-F.log2(F.col("cnt") / total), 6).alias("surprise_bits")
+        "token", F.round(-F.log2(F.col("cnt") / total), 2).alias("surprise_bits")
     )
     per_doc = (
         toks.join(scored_vocab, "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.sum(F.col("surprise_bits").cast("decimal(22,6)"))
+            F.sum(F.col("surprise_bits").cast("decimal(22,2)"))
             .cast("double")
             .alias("total_bits"),
         )
     )
-    avg_bits = F.round(F.col("total_bits") / F.col("n_tokens"), 6)
+    avg_bits = F.col("total_bits") / F.col("n_tokens")
     return per_doc.select(
         "doc_id",
         "n_tokens",
         avg_bits.alias("avg_bits"),
-        F.round(F.pow(F.lit(2.0), avg_bits), 4).alias("perplexity"),
+        F.round(F.pow(F.lit(2.0), avg_bits), 2).alias("perplexity"),
     ).orderBy("doc_id")
 
 
@@ -719,16 +730,16 @@ WITH toks AS (
 ), vocab AS (
   SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
 ), scored AS (
-  SELECT token, ROUND(-log2(cnt * 1.0 / SUM(cnt) OVER ()), 6) AS surprise_bits
+  SELECT token, ROUND(-log2(cnt * 1.0 / SUM(cnt) OVER ()), 2) AS surprise_bits
   FROM vocab
 ), per_doc AS (
   SELECT doc_id, COUNT(*) AS n_tokens,
-         CAST(SUM(CAST(surprise_bits AS DECIMAL(22,6))) AS DOUBLE) AS total_bits
+         CAST(SUM(CAST(surprise_bits AS DECIMAL(22,2))) AS DOUBLE) AS total_bits
   FROM toks JOIN scored USING (token) GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-       ROUND(total_bits / n_tokens, 6) AS avg_bits,
-       ROUND(pow(2.0, ROUND(total_bits / n_tokens, 6)), 4) AS perplexity
+       total_bits / n_tokens AS avg_bits,
+       ROUND(pow(2.0, total_bits / n_tokens), 2) AS perplexity
 FROM per_doc ORDER BY doc_id
 """
 

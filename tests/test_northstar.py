@@ -191,4 +191,4 @@ def test_unigram_perplexity_bounds(spark):
     assert len(rows) > 0
     for r in rows:
         assert r.avg_bits > 0
-        assert abs(r.perplexity - round(2 ** r.avg_bits, 4)) < 1e-3
+        assert abs(r.perplexity - 2 ** r.avg_bits) < 5.1e-3  # ppl is 2dp
