@@ -4,6 +4,7 @@ from .jobs import (
     streaming_sliding_counts,
     streaming_session_windows,
     streaming_dedup_within_watermark,
+    streaming_anomaly_zscore,
     streaming_stateful_user_counts,
     streaming_topk_transform_with_state,
     streaming_funnel_join,
@@ -18,6 +19,7 @@ __all__ = [
     "streaming_sliding_counts",
     "streaming_session_windows",
     "streaming_dedup_within_watermark",
+    "streaming_anomaly_zscore",
     "streaming_stateful_user_counts",
     "streaming_topk_transform_with_state",
     "streaming_funnel_join",

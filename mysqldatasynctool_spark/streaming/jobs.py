@@ -234,6 +234,80 @@ def streaming_stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_anomaly_zscore(
+    events: DataFrame,
+    window: int = 20,
+    min_hist: int = 10,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Streaming twin of ``events_anomaly_zscore`` (operators/events.py):
+    per-user trailing-window z-score outlier flagging as a custom
+    stateful operator — the live metric-monitor shape.
+
+    State per user is a BOUNDED deque of the last ``window`` values
+    (O(window) floats — state size is fixed by construction, the
+    property that keeps a 100 TB stream's state store finite). Each
+    micro-batch is sorted by (ts, event_id) before folding, so within
+    a batch the trailing frame matches the batch twin's window
+    ordering; across batches the time-split-file harness delivers
+    events in ts order. Mirrors the twin's moment discipline (value
+    and value² rounded at 6 dp before summation) so the parity test
+    can compare z-scores tightly rather than loosely.
+
+    The update function is a locally-defined closure (pickled by
+    value — executors don't need this package importable).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "event_id long, user_id long, ts timestamp, value double, zscore double"
+    )
+    state_schema = "hist array<double>"
+
+    def _update(key, pdf_iter, state):
+        import math as _math
+
+        import pandas as _pd
+
+        hist = list(state.get[0]) if state.exists else []
+        out = {"event_id": [], "user_id": [], "ts": [], "value": [], "zscore": []}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples():
+                v = float(r.value)
+                n = len(hist)
+                if n >= min_hist:
+                    sv = sum(round(x, 6) for x in hist)
+                    sv2 = sum(round(x * x, 6) for x in hist)
+                    var = (sv2 - sv * sv / n) / n
+                    std = _math.sqrt(max(var, 0.0))
+                    if std > 0:
+                        z = (v - sv / n) / std
+                        if abs(z) > threshold:
+                            out["event_id"].append(int(r.event_id))
+                            out["user_id"].append(key[0])
+                            out["ts"].append(r.ts)
+                            out["value"].append(v)
+                            out["zscore"].append(round(z, 6))
+                hist.append(v)
+                if len(hist) > window:
+                    hist = hist[-window:]
+        state.update((hist,))
+        yield _pd.DataFrame(out)
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_topk_transform_with_state(events: DataFrame, k: int = 3) -> DataFrame:
     """Custom stateful operator on the NEW Spark 4 API
     (``transformWithStateInPandas``): per-user running top-``k`` event

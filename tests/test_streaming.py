@@ -377,3 +377,21 @@ def test_topk_processor_math_without_transport(spark):
     )
     want = {r.user_id: tuple(r.top_values) for r in batch.collect()}
     assert out == want
+
+
+def test_streaming_anomaly_zscore_matches_batch_twin(spark):
+    """The stateful trailing z-score flags the SAME events as the
+    batch window twin, with z-scores matching to 1e-4 (float deque
+    fold vs decimal-exact frame sums; both round values at 6dp)."""
+    from mysqldatasynctool_spark.streaming import streaming_anomaly_zscore
+
+    stream = read_events_stream(spark, SF)
+    out = run_to_memory_sink(
+        streaming_anomaly_zscore(stream), "t_anomaly", output_mode="append"
+    )
+    batch = ev_ops.QUERIES["events_anomaly_zscore"](spark, SF)
+    s = {r.event_id: r.zscore for r in out.collect()}
+    b = {r.event_id: r.zscore for r in batch.collect()}
+    assert len(b) > 0
+    assert set(s) == set(b)
+    assert all(abs(s[e] - b[e]) < 1e-4 for e in b)
