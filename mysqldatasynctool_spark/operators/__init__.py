@@ -75,6 +75,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "text_source_stats",
     "events_anomaly_zscore",
     "text_unigram_perplexity",
+    "events_zorder_key",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -679,6 +679,75 @@ ORDER BY user_id, ts, event_id
 """
 
 
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleave key over (user_id, time-bucket) —
+    the multi-dimensional clustering key a 100 TB table sorts by so
+    min/max rowgroup stats prune BOTH predicates (`WHERE user_id ...`
+    AND `WHERE ts ...`), the layout trick behind Delta/Iceberg
+    Z-ordering.
+
+    Pure 64-bit integer bit-spreading (the classic magic-mask ladder)
+    — exact, engine-portable, zero shuffle to COMPUTE; the layout
+    write is then ``repartitionByRange("zkey").sortWithinPartitions(
+    "zkey")``, which adds the one range-exchange any global sort
+    costs. This query emits the key itself so the oracle can pin the
+    bit math; the write path is exercised via the parquet sink tests.
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def spread(col):  # 16-bit value -> even bit positions of 32 bits
+        v = col.bitwiseAND(F.lit(0xFFFF))
+        v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x33333333))
+        v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555))
+        return v
+
+    x = F.col("user_id").cast("long")
+    # explicit floor at every step: CAST(epoch(..)) ROUNDS in some
+    # engines while timestamp->long truncates in others
+    y = F.floor(F.col("ts").cast("long") / F.lit(60)).cast("long")
+    z = spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
+    return (
+        ev.select(
+            "event_id",
+            x.bitwiseAND(F.lit(0xFFFF)).alias("x16"),
+            y.bitwiseAND(F.lit(0xFFFF)).alias("y16"),
+            z.alias("zkey"),
+        )
+        .orderBy("zkey", "event_id")
+    )
+
+
+EVENTS_ZORDER_KEY_ORACLE = """
+WITH base AS (
+  SELECT event_id,
+         CAST(user_id AS BIGINT) & 65535 AS x16,
+         CAST(floor(floor(epoch(ts)) / 60) AS BIGINT) & 65535 AS y16
+  FROM events
+), sx AS (
+  SELECT event_id, x16, y16,
+         ((x16 | (x16 << 8)) & 16711935) AS a,
+         ((y16 | (y16 << 8)) & 16711935) AS b
+  FROM base
+), s2 AS (
+  SELECT event_id, x16, y16,
+         ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b
+  FROM sx
+), s3 AS (
+  SELECT event_id, x16, y16,
+         ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b
+  FROM s2
+), s4 AS (
+  SELECT event_id, x16, y16,
+         ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
+  FROM s3
+)
+SELECT event_id, x16, y16, (a | (b << 1)) AS zkey
+FROM s4 ORDER BY zkey, event_id
+"""
+
+
 QUERIES = {
     "events_json_extract": events_json_extract,
     "events_tumbling_window": events_tumbling_window,
@@ -693,6 +762,7 @@ QUERIES = {
     "events_asof_join_salted": events_asof_join_salted,
     "events_hypertable_rollup": events_hypertable_rollup,
     "events_anomaly_zscore": events_anomaly_zscore,
+    "events_zorder_key": events_zorder_key,
 }
 
 ORACLES = {
@@ -709,4 +779,5 @@ ORACLES = {
     "events_asof_join_salted": EVENTS_ASOF_ORACLE,
     "events_hypertable_rollup": EVENTS_HYPERTABLE_ROLLUP_ORACLE,
     "events_anomaly_zscore": EVENTS_ANOMALY_ZSCORE_ORACLE,
+    "events_zorder_key": EVENTS_ZORDER_KEY_ORACLE,
 }

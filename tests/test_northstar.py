@@ -192,3 +192,25 @@ def test_unigram_perplexity_bounds(spark):
     for r in rows:
         assert r.avg_bits > 0
         assert abs(r.perplexity - 2 ** r.avg_bits) < 5.1e-3  # ppl is 2dp
+
+
+def test_zorder_key_interleave_roundtrip(spark):
+    """zkey de-interleaves exactly back to (x16, y16) — the Morton
+    encoding is a bijection, which is what makes min/max pruning on a
+    zkey-sorted layout sound for both dimensions."""
+    from mysqldatasynctool_spark.operators import events as ev_ops
+
+    rows = ev_ops.QUERIES["events_zorder_key"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+
+    def unspread(z):
+        v = z & 0x55555555
+        v = (v | (v >> 1)) & 0x33333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF
+        return v
+
+    for r in rows[:500]:
+        assert unspread(r.zkey) == r.x16
+        assert unspread(r.zkey >> 1) == r.y16
