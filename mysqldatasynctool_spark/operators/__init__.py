@@ -69,6 +69,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
     "q21_waiting_supplier",
+    "q21_waiting_supplier_agg",
     "q22_global_sales_opportunity",
     "text_gopher_rules",
     "text_char_entropy",

@@ -600,6 +600,53 @@ LIMIT 20
 """
 
 
+def q21_waiting_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-identical aggregation rewrite of ``q21_waiting_supplier``
+    (same oracle): the EXISTS / NOT-EXISTS self-joins become ONE pass
+    of per-order supplier statistics.
+
+    Per order: S = distinct suppliers, L = distinct LATE suppliers. A
+    supplier s is "kept waiting" on exactly the orders where |S| > 1
+    and L = {s} — so numwait(s) = late-line count over orders where
+    n_supps > 1 and n_late_supps == 1 and s is the late one.
+
+    100 TB shape: groupBy(orderkey, suppkey) then groupBy(orderkey) —
+    the second agg reuses the first's hash partitioning (no new
+    exchange) — vs the original's two lineitem-sized shuffle joins.
+    Both forms are registered; the bench carries the original so the
+    rewrite's advantage stays measured, not assumed.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "is_late"
+        ),
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supps"),
+        F.sum(F.when(F.col("n_late_lines") > 0, 1).otherwise(0)).alias("n_late_supps"),
+    )
+    qualifying = (
+        per_supp.filter(F.col("n_late_lines") > 0)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+    )
+    return (
+        qualifying.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: wealthy lapsed customers, by nation — customers
     above the average positive balance with no orders since 2000
@@ -668,6 +715,7 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q21_waiting_supplier": q21_waiting_supplier,
+    "q21_waiting_supplier_agg": q21_waiting_supplier_agg,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
 }
 
@@ -685,5 +733,6 @@ ORACLES = {
     "q18_large_volume_customers": Q18_ORACLE,
     "q19_disjunctive_predicates": Q19_ORACLE,
     "q21_waiting_supplier": Q21_ORACLE,
+    "q21_waiting_supplier_agg": Q21_ORACLE,
     "q22_global_sales_opportunity": Q22_ORACLE,
 }

@@ -80,3 +80,15 @@ def test_q15_ties_included(spark):
 def test_q14_single_row_pct_bounds(spark):
     row = tpch.q14_promo_revenue(spark, SF).collect()[0]
     assert 0.0 <= row["promo_revenue_pct"] <= 100.0
+
+
+def test_q21_agg_twin_matches_and_avoids_self_joins(spark):
+    """The aggregation rewrite returns the identical result and its
+    plan contains NO lineitem-sized self-join (one semi/anti pair in
+    the original vs zero here; the per-order agg join is on the
+    already-aggregated side)."""
+    a = tpch.q21_waiting_supplier(spark, SF).collect()
+    b = tpch.q21_waiting_supplier_agg(spark, SF).collect()
+    assert [(r.s_name, r.numwait) for r in a] == [(r.s_name, r.numwait) for r in b]
+    plan = _plan(spark, tpch.q21_waiting_supplier_agg(spark, SF))
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
