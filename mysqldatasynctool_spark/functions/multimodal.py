@@ -91,6 +91,52 @@ def make_decode_batches(payload_col: str = "payload"):
     return _batches
 
 
+#: resize target (long side, pixels) — the standard vision-model prep
+RESIZE_TARGET = 224
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, new_width int, new_height int, "
+    "out_bytes long, resized_digest string"
+)
+
+
+def make_resize_batches(payload_col: str = "payload", target: int = RESIZE_TARGET):
+    """Factory for the resize mapInPandas body: aspect-preserving
+    integer resize plan (long side → ``target``) plus a deterministic
+    digest standing in for the resized pixel buffer. A real kernel
+    (PIL/opencv) swaps in at this closure — dims math and row
+    alignment stay identical. Closure-factory pattern — see
+    make_decode_batches."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        cols = [
+            "doc_id",
+            "width",
+            "height",
+            "new_width",
+            "new_height",
+            "out_bytes",
+            "resized_digest",
+        ]
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                n = len(data)
+                w, h, c = 64 + (n % 512), 64 + ((n * 7) % 512), 1 + (n % 3)
+                long_side = max(w, h)
+                tw, th = w * target // long_side, h * target // long_side
+                digest = hashlib.md5(data + f"|{tw}x{th}".encode()).hexdigest()
+                out.append((int(doc_id), w, h, tw, th, tw * th * c, digest))
+            yield _pd.DataFrame(out, columns=cols)
+
+    return _batches
+
+
 #: frame-sampling geometry: fixed-size "frames" of the binary payload,
 #: keeping every FRAME_STRIDE-th frame (a real video sampler keeps
 #: every k-th decoded frame; the byte-slice fake keeps the plumbing —

@@ -77,6 +77,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "events_anomaly_zscore",
     "text_unigram_perplexity",
     "events_zorder_key",
+    "multimodal_resize",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -14,6 +14,9 @@ from pyspark.sql import functions as F
 
 from ..functions.multimodal import (
     DECODE_SCHEMA,
+    RESIZE_SCHEMA,
+    RESIZE_TARGET,
+    make_resize_batches,
     FRAME_BYTES,
     FRAME_SCHEMA,
     FRAME_STRIDE,
@@ -140,11 +143,55 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize step: Arrow-batched mapInPandas computing the
+    aspect-preserving resize plan (long side → 224) and a digest
+    standing in for the resized buffer. Completes the
+    decode/feature/resize/frame-sample quartet; the real pixel kernel
+    swaps into make_resize_batches (functions/multimodal.py) — the
+    distributed plumbing is what this verifies.
+
+    100 TB shape: pure map-side, no shuffle; output carries dims + a
+    32-char digest, never pixel buffers."""
+    payloads = _with_payload(spark, sf_dir).select("doc_id", "payload")
+    return payloads.mapInPandas(make_resize_batches(), schema=RESIZE_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+MULTIMODAL_RESIZE_ORACLE = f"""
+-- same deterministic fake geometry as the decode oracle; digest is
+-- md5(payload || '|WxH') — ASCII fixture text makes BLOB==VARCHAR md5
+WITH p AS (
+  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents
+), dims AS (
+  SELECT doc_id, text,
+         CAST(64 + (n % 512) AS INT) AS width,
+         CAST(64 + ((n * 7) % 512) AS INT) AS height,
+         CAST(1 + (n % 3) AS INT) AS channels
+  FROM p
+)
+SELECT doc_id, width, height,
+       CAST(width * {RESIZE_TARGET} // greatest(width, height) AS INT) AS new_width,
+       CAST(height * {RESIZE_TARGET} // greatest(width, height) AS INT) AS new_height,
+       CAST(CAST(width * {RESIZE_TARGET} // greatest(width, height) AS BIGINT)
+            * CAST(height * {RESIZE_TARGET} // greatest(width, height) AS BIGINT)
+            * channels AS BIGINT) AS out_bytes,
+       md5(text || '|' ||
+           CAST(width * {RESIZE_TARGET} // greatest(width, height) AS INT) || 'x' ||
+           CAST(height * {RESIZE_TARGET} // greatest(width, height) AS INT))
+         AS resized_digest
+FROM dims
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_size_partitioned": multimodal_size_partitioned,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLES = {
@@ -152,4 +199,5 @@ ORACLES = {
     "multimodal_decode_features": MULTIMODAL_DECODE_ORACLE,
     "multimodal_size_partitioned": MULTIMODAL_SIZE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_ORACLE,
+    "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
 }

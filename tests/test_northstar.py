@@ -214,3 +214,16 @@ def test_zorder_key_interleave_roundtrip(spark):
     for r in rows[:500]:
         assert unspread(r.zkey) == r.x16
         assert unspread(r.zkey >> 1) == r.y16
+
+
+def test_resize_preserves_aspect_and_hits_target(spark):
+    """Long side == RESIZE_TARGET exactly; short side scales by the
+    same integer ratio (never exceeds target)."""
+    from mysqldatasynctool_spark.functions.multimodal import RESIZE_TARGET
+    from mysqldatasynctool_spark.operators import multimodal
+
+    rows = multimodal.QUERIES["multimodal_resize"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert max(r.new_width, r.new_height) == RESIZE_TARGET
+        assert 0 < min(r.new_width, r.new_height) <= RESIZE_TARGET
