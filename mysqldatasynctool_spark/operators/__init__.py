@@ -78,6 +78,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "text_unigram_perplexity",
     "events_zorder_key",
     "multimodal_resize",
+    "migration_schema_audit",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -194,6 +194,72 @@ ORDER BY doc_id
 """
 
 
+#: engine type name → engine-neutral class, so a schema diff compares
+#: MEANING (is this column still an integer?) rather than dialect
+#: spellings (Spark "long" vs MySQL "bigint" vs DuckDB "BIGINT")
+def _canonical_type(type_name: str) -> str:
+    t = type_name.lower()
+    if t.startswith("array") or t.endswith("[]"):
+        return "array"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "integer"
+    if t in ("float", "real", "double"):
+        return "float"
+    if t in ("string", "varchar", "text", "char"):
+        return "text"
+    if t in ("binary", "blob"):
+        return "binary"
+    return t
+
+
+def migration_schema_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit: every (table, column, position, canonical
+    type) across the catalog — the check a migration runs BEFORE
+    copying so a silently-altered source column (renamed, retyped,
+    reordered) fails loudly instead of corrupting the dest. Extends
+    the reference's compareDb (which compares only row counts,
+    root.go:600-650) to the schema plane.
+
+    Driver-side by nature: schemas are metadata (one lazy .schema probe
+    per table — the same zero-row probe as sources/jdbc.probe_schema);
+    no data is scanned. Types are canonicalized (``_canonical_type``)
+    so the comparison is dialect-neutral.
+    """
+    rows = []
+    for t in TABLES:
+        for pos, field in enumerate(load(spark, sf_dir, t).schema.fields, start=1):
+            rows.append(
+                (t, field.name, pos, _canonical_type(field.dataType.simpleString()))
+            )
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, position int, canonical_type string"
+    ).orderBy("table_name", "position")
+
+
+MIGRATION_SCHEMA_AUDIT_ORACLE = """
+SELECT table_name, column_name,
+       CAST(ordinal_position AS INT) AS position,
+       CASE
+         WHEN lower(data_type) LIKE '%[]' THEN 'array'
+         WHEN lower(data_type) LIKE 'decimal%' THEN 'decimal'
+         WHEN lower(data_type) LIKE 'timestamp%' THEN 'timestamp'
+         WHEN lower(data_type) IN ('tinyint','smallint','int','integer','bigint') THEN 'integer'
+         WHEN lower(data_type) IN ('float','real','double') THEN 'float'
+         WHEN lower(data_type) IN ('varchar','text','char') THEN 'text'
+         WHEN lower(data_type) IN ('blob','binary') THEN 'binary'
+         ELSE lower(data_type)
+       END AS canonical_type
+FROM information_schema.columns
+WHERE table_name IN ('region','nation','customer','supplier','part',
+                     'orders','lineitem','events','documents','embeddings')
+ORDER BY table_name, position
+"""
+
+
 QUERIES = {
     "migration_catalog_exclude": migration_catalog_exclude,
     "migration_pk_catalog": migration_pk_catalog,
@@ -201,6 +267,7 @@ QUERIES = {
     "migration_page_count": migration_page_count,
     "migration_pagination_page": migration_pagination_page,
     "migration_stringify": migration_stringify,
+    "migration_schema_audit": migration_schema_audit,
 }
 
 ORACLES = {
@@ -210,4 +277,5 @@ ORACLES = {
     "migration_page_count": MIGRATION_PAGE_COUNT_ORACLE,
     "migration_pagination_page": MIGRATION_PAGINATION_PAGE_ORACLE,
     "migration_stringify": MIGRATION_STRINGIFY_ORACLE,
+    "migration_schema_audit": MIGRATION_SCHEMA_AUDIT_ORACLE,
 }
