@@ -79,6 +79,8 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "events_zorder_key",
     "multimodal_resize",
     "migration_schema_audit",
+    "graph_pagerank_purchases",
+    "graph_degree_stats",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -126,6 +128,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         compare,
         dedup,
         events,
+        graph,
         migration,
         multimodal,
         pipeline,
@@ -147,6 +150,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         windows,
         setops,
         events,
+        graph,
         migration,
         compare,
         dedup,

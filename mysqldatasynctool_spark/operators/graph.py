@@ -1,0 +1,214 @@
+"""Graph operators over the derived customer→supplier purchase graph
+(iterative-algorithm capability class — ABSENT in the reference, which
+has no query engine at all; SURVEY.md §2B requires the NEW engine to
+cover iterative analytics).
+
+The graph: one directed edge per DISTINCT (customer, supplier) pair
+observed in lineitem⋈orders — a bipartite "who buys from whom" graph
+(~|customers|×avg-degree edges). Supplier node ids are offset so the
+two id spaces cannot collide.
+
+Determinism design — INTEGER-ONLY PageRank: float PageRank cannot be
+oracle-hashed (per-node sums of doubles are order-dependent, and
+rounding quotients hits decimal-half boundaries where engines disagree
+— measured on this corpus, see text_unigram_perplexity's docstring).
+Instead ranks live in fixed-point micro-units (SCALE = 1e12) and every
+step is integer arithmetic: contribution = rank DIV outdegree, damping
+= (15·base + 85·inflow) DIV 100. Integer division and 64-bit sums are
+exact and order-independent in every engine, so THREE unrolled
+iterations hash-match DuckDB bit-for-bit — an iterative algorithm with
+a full-strength oracle instead of the rows-only fallback.
+
+Scale notes (100 TB):
+- each iteration is one shuffle (edge⋈rank on src, then groupBy dst);
+  the rank frame is nodes-sized (tiny vs edges) — at production scale
+  persist/checkpoint it between iterations so the lineage doesn't
+  re-execute the whole prefix (3 unrolled iterations keep the plan
+  linear here);
+- outdegree is computed once and joined into the edge frame before
+  iterating, so the per-iteration work touches only (src, dst, outdeg);
+- the driver-side N (node count) is a 1-row aggregate, same class as
+  the PK stats probe (migrate.py) — never a data-path collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load
+
+#: fixed-point scale for integer PageRank micro-units
+PR_SCALE = 1_000_000_000_000
+#: supplier node-id offset (customer keys are ~1e5 at tested SFs)
+SUPP_OFFSET = 1_000_000
+#: damping factor 0.85 expressed as integer percent
+DAMP_PCT = 85
+ITERATIONS = 3
+
+
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration integer PageRank over the purchase graph; top-20
+    nodes by rank (node id breaks ties). See module docstring for the
+    exact fixed-point recurrence both engines replicate."""
+    edges = _purchase_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # driver-side scalar, deterministic int
+    base = PR_SCALE // n_nodes
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranked_edges = edges.join(outdeg, "src")  # (src, dst, outdeg)
+
+    rank = nodes.withColumn("rank", F.lit(base).cast("long"))
+    for _ in range(ITERATIONS):
+        inflow = (
+            ranked_edges.join(rank, ranked_edges.src == rank.node)
+            .select("dst", F.expr("rank DIV outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        rank = nodes.join(inflow, nodes.node == inflow.dst, "left").select(
+            "node",
+            F.expr(
+                f"(({100 - DAMP_PCT} * CAST({base} AS BIGINT)) + "
+                f"({DAMP_PCT} * coalesce(inflow, 0L))) DIV 100"
+            ).alias("rank"),
+        )
+    return (
+        rank.select(
+            "node",
+            F.when(F.col("node") >= SUPP_OFFSET, "supplier")
+            .otherwise("customer")
+            .alias("kind"),
+            "rank",
+        )
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
+GRAPH_PAGERANK_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                  CAST(l_suppkey AS BIGINT) + {SUPP_OFFSET} AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), params AS (
+  SELECT {PR_SCALE} // COUNT(*) AS base FROM nodes
+), outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), re AS (
+  SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o USING (src)
+), r0 AS (
+  SELECT node, (SELECT base FROM params) AS rank FROM nodes
+), i1 AS (
+  SELECT dst, SUM(rank // outdeg) AS inflow
+  FROM re JOIN r0 ON re.src = r0.node GROUP BY dst
+), r1 AS (
+  SELECT n.node,
+         (({100 - DAMP_PCT} * (SELECT base FROM params))
+          + ({DAMP_PCT} * COALESCE(i1.inflow, 0))) // 100 AS rank
+  FROM nodes n LEFT JOIN i1 ON n.node = i1.dst
+), i2 AS (
+  SELECT dst, SUM(rank // outdeg) AS inflow
+  FROM re JOIN r1 ON re.src = r1.node GROUP BY dst
+), r2 AS (
+  SELECT n.node,
+         (({100 - DAMP_PCT} * (SELECT base FROM params))
+          + ({DAMP_PCT} * COALESCE(i2.inflow, 0))) // 100 AS rank
+  FROM nodes n LEFT JOIN i2 ON n.node = i2.dst
+), i3 AS (
+  SELECT dst, SUM(rank // outdeg) AS inflow
+  FROM re JOIN r2 ON re.src = r2.node GROUP BY dst
+), r3 AS (
+  SELECT n.node,
+         (({100 - DAMP_PCT} * (SELECT base FROM params))
+          + ({DAMP_PCT} * COALESCE(i3.inflow, 0))) // 100 AS rank
+  FROM nodes n LEFT JOIN i3 ON n.node = i3.dst
+)
+SELECT node,
+       CASE WHEN node >= {SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END AS kind,
+       CAST(rank AS BIGINT) AS rank
+FROM r3
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the purchase graph per node kind — the
+    skew audit run BEFORE an iterative job (a hot node concentrates an
+    iteration's shuffle; mitigation is the same salting as
+    join_skew_salted)."""
+    edges = _purchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.select(
+            F.when(F.col("node") >= SUPP_OFFSET, "supplier")
+            .otherwise("customer")
+            .alias("kind"),
+            "degree",
+        )
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+            F.sum("degree").alias("total_degree"),
+        )
+        .orderBy("kind")
+    )
+
+
+GRAPH_DEGREE_STATS_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                  CAST(l_suppkey AS BIGINT) + {SUPP_OFFSET} AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  ) t GROUP BY node
+)
+SELECT CASE WHEN node >= {SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END AS kind,
+       COUNT(*) AS n_nodes,
+       CAST(MIN(degree) AS BIGINT) AS min_degree,
+       CAST(MAX(degree) AS BIGINT) AS max_degree,
+       CAST(SUM(degree) AS BIGINT) AS total_degree
+FROM deg
+GROUP BY kind
+ORDER BY kind
+"""
+
+
+QUERIES = {
+    "graph_pagerank_purchases": graph_pagerank_purchases,
+    "graph_degree_stats": graph_degree_stats,
+}
+
+ORACLES = {
+    "graph_pagerank_purchases": GRAPH_PAGERANK_ORACLE,
+    "graph_degree_stats": GRAPH_DEGREE_STATS_ORACLE,
+}

@@ -227,3 +227,24 @@ def test_resize_preserves_aspect_and_hits_target(spark):
     for r in rows:
         assert max(r.new_width, r.new_height) == RESIZE_TARGET
         assert 0 < min(r.new_width, r.new_height) <= RESIZE_TARGET
+
+
+def test_pagerank_bipartite_invariants(spark):
+    """Customers have no in-edges in the purchase graph, so after any
+    full iteration every customer's rank is exactly (15*base) DIV 100;
+    suppliers absorb the damped mass and dominate the top-20."""
+    from mysqldatasynctool_spark.operators import graph
+
+    sf = "/root/testdata/sf0.001"
+    rows = graph.QUERIES["graph_pagerank_purchases"](spark, sf).collect()
+    assert len(rows) == 20
+    assert all(r.rank > 0 for r in rows)
+    assert rows[0].kind == "supplier"
+    edges = graph._purchase_edges(spark, sf)
+    n_nodes = (
+        edges.select("src").union(edges.select("dst")).distinct().count()
+    )
+    base = graph.PR_SCALE // n_nodes
+    cust_rank = (15 * base) // 100
+    custs = [r for r in rows if r.kind == "customer"]
+    assert all(r.rank == cust_rank for r in custs)
