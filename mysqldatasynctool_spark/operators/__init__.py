@@ -81,6 +81,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_schema_audit",
     "graph_pagerank_purchases",
     "graph_degree_stats",
+    "window_ewma_dyadic",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

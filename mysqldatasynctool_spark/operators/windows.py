@@ -288,6 +288,54 @@ ORDER BY rnk
 """
 
 
+def window_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (half-life
+    smoothing of the event value stream) — EXACT by construction.
+
+    Cross-engine float discipline: generic EWMA (alpha·x +
+    (1-alpha)·prev) accumulates engine-dependent rounding. With
+    alpha = 1/2 the weights 2^-1 … 2^-8 are dyadic, so each
+    lag(value,k)·2^-(k+1) product only shifts the double's exponent —
+    bit-exact — and the 8-term sum is evaluated in the same fixed
+    expression order by both engines. No rounding ladder needed; the
+    output hashes raw.
+
+    100 TB: one shuffle (user_id window partitioning); 8 lag columns
+    evaluate streaming over the sorted partition — no per-row frame
+    materialization.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    terms = [
+        F.coalesce(F.lag("value", k).over(w), F.lit(0.0)) * F.lit(2.0 ** -(k + 1))
+        for k in range(8)
+    ]
+    ewma = terms[0]
+    for t in terms[1:]:
+        ewma = ewma + t
+    return (
+        ev.select("event_id", "user_id", "ts", "value", ewma.alias("ewma"))
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+WINDOW_EWMA_ORACLE = """
+SELECT event_id, user_id, ts, value,
+       COALESCE(LAG(value, 0) OVER w, 0.0) * 0.5
+       + COALESCE(LAG(value, 1) OVER w, 0.0) * 0.25
+       + COALESCE(LAG(value, 2) OVER w, 0.0) * 0.125
+       + COALESCE(LAG(value, 3) OVER w, 0.0) * 0.0625
+       + COALESCE(LAG(value, 4) OVER w, 0.0) * 0.03125
+       + COALESCE(LAG(value, 5) OVER w, 0.0) * 0.015625
+       + COALESCE(LAG(value, 6) OVER w, 0.0) * 0.0078125
+       + COALESCE(LAG(value, 7) OVER w, 0.0) * 0.00390625
+       AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+"""
+
+
 QUERIES = {
     "window_value_functions": window_value_functions,
     "window_topk_per_group": window_topk_per_group,
@@ -296,6 +344,7 @@ QUERIES = {
     "window_running_sum": window_running_sum,
     "window_range_frame": window_range_frame,
     "window_pareto_cumshare": window_pareto_cumshare,
+    "window_ewma_dyadic": window_ewma_dyadic,
 }
 
 ORACLES = {
@@ -306,4 +355,5 @@ ORACLES = {
     "window_running_sum": WINDOW_RUNNING_SUM_ORACLE,
     "window_range_frame": WINDOW_RANGE_FRAME_ORACLE,
     "window_pareto_cumshare": WINDOW_PARETO_ORACLE,
+    "window_ewma_dyadic": WINDOW_EWMA_ORACLE,
 }
