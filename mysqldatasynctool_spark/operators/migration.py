@@ -254,7 +254,8 @@ SELECT table_name, column_name,
          ELSE lower(data_type)
        END AS canonical_type
 FROM information_schema.columns
-WHERE table_name IN ('region','nation','customer','supplier','part',
+WHERE table_schema = current_schema()
+  AND table_name IN ('region','nation','customer','supplier','part',
                      'orders','lineitem','events','documents','embeddings')
 ORDER BY table_name, position
 """
