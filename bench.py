@@ -95,6 +95,16 @@ def main() -> None:
                     "noop"
                 ).save()
                 runs.append(round(time.monotonic() - t0, 3))
+            # adaptive third run: a >2x spread between the two runs
+            # means at least one was contention (GC / page cache — this
+            # box swings 2-5x under load); one more sample keeps the
+            # recorded min honest without tripling every query's cost
+            if max(runs) > 2 * min(runs):
+                t0 = time.monotonic()
+                queries[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                runs.append(round(time.monotonic() - t0, 3))
         except Exception as exc:  # noqa: BLE001 — isolate per query
             failed[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
@@ -168,7 +178,12 @@ def main() -> None:
         runs = []
         run_phases = []
         jdbc_bad = 0
-        for i in range(2):
+        for i in range(3):
+            # third run only when the first two disagree >2x (observed
+            # [22s, 52s] under contention — same policy as the headline
+            # queries' adaptive re-run)
+            if i == 2 and max(runs) <= 2 * min(runs):
+                break
             dest_ep = Endpoint(
                 url_override=f"jdbc:derby:{derby_root}/dest{i};create=true", driver=drv
             )
