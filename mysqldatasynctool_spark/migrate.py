@@ -225,6 +225,7 @@ def migrate_jdbc(
     page_size: int = 20_000,
     quote: str = '"',
     resume: bool = False,
+    bulk: bool = False,
 ) -> tuple[list[TableReport], object]:
     """DB→DB migration — the reference's actual job
     (root.go:375-507): plan partitions from the source PK, read each
@@ -364,6 +365,27 @@ def migrate_jdbc(
                         F.sum(row_digest(df)), F.lit(0).cast("decimal(38,0)")
                     ).alias("checksum"),
                 )
+                from .sources.sinks import bulk_load, supports_bulk_load
+
+                if bulk and supports_bulk_load(dest, observed):
+                    # OPT-IN native bulk-load path (stage CSV + import
+                    # procedure — the LOAD DATA INFILE pattern); the
+                    # source Observation rides the staging action, and
+                    # ddl_df=df keeps the zero-row DDL write from
+                    # claiming the metrics. Content-checksum verify
+                    # below guards the format round-trip; any bulk
+                    # failure falls back to the batched-INSERT path.
+                    # Opt-in, not default: on a same-disk embedded pair
+                    # the extra CSV materialization eats the import's
+                    # win (measured ~12s vs ~10s insert path for 600k
+                    # rows); the pattern pays off when the import
+                    # procedure beats row INSERTs by more than the
+                    # staging cost (LOAD DATA against a real server).
+                    try:
+                        bulk_load(observed, dest, t, truncate=True, ddl_df=df)
+                        return obs.get["cnt"], obs.get["checksum"]
+                    except Exception:  # noqa: BLE001 — degrade to JDBC
+                        pass
                 write_jdbc(
                     observed,
                     dest,

@@ -32,15 +32,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: stable module order.
 #:
 #: ROUND-6 ROTATION (tools/correctness_union.py stale-green sweep):
-#: 1) the 3 entries with NO driver row ever (asof pair + hypertable);
+#: 1) entries with NO driver row ever — the r5 asof pair + hypertable,
+#:    then everything ADDED in r6 (cdc/pii, the extended TPC-H suite,
+#:    the text/graph/window/multimodal/migration additions);
 #: 2) similarity_ivf_pandas — rows-only until r5, oracle-backed in r6,
 #:    so a fresh row upgrades it to hash-green;
-#: 3) every STALE-GREEN entry: its module changed in git after its
-#:    newest green record landed (r6 touched events/similarity;
-#:    r2-r5 touched relational/advanced/windows after their r1/r2
-#:    rows), so the old green validates code that no longer exists.
-#:    events_funnel_join swapped in for the 51st stale entry
-#:    (events_date_functions) per the r5 verdict's explicit call-out.
+#: 3) the highest-priority STALE-GREEN entries: module changed in git
+#:    after the newest green record landed, so the old green validates
+#:    code that no longer exists. The remaining stale tail (past slot
+#:    50) rotates in next round.
 VERIFY_PRIORITY: tuple[str, ...] = (
     "events_asof_join",
     "events_asof_join_salted",

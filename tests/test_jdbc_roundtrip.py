@@ -314,3 +314,73 @@ def test_writer_parallelism_clamp():
     assert writer_parallelism(net, 30) == 30
     assert writer_parallelism(my, 30) == 30
     assert writer_parallelism(my, None) is None
+
+
+def test_bulk_load_roundtrip_tricky_values(spark, tmp_path):
+    """The CSV stage + SYSCS_IMPORT_TABLE path must round-trip the
+    values that break naive CSV: embedded commas/quotes, NULL vs empty
+    string, unicode, negative/scientific doubles, timestamps."""
+    import datetime
+
+    from mysqldatasynctool_spark.config import Endpoint
+    from mysqldatasynctool_spark.sources.sinks import (
+        bulk_load,
+        supports_bulk_load,
+        write_jdbc,
+    )
+
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    ep = Endpoint(url_override=f"jdbc:derby:{tmp_path}/bulkdb;create=true", driver=drv)
+    rows = [
+        (1, "plain", 1.5, datetime.datetime(1997, 3, 1, 12, 30, 45)),
+        (2, "with,comma", -2.25, datetime.datetime(2001, 12, 31, 23, 59, 59)),
+        (3, 'say "hi"', 1e-8, datetime.datetime(1995, 1, 1, 0, 0, 0)),
+        (4, None, None, None),
+        (5, "", 0.0, datetime.datetime(2000, 2, 29, 6, 0, 0)),
+        (6, "unié中", 12345678.901, datetime.datetime(1999, 9, 9, 9, 9, 9)),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, x double, ts timestamp")
+    assert supports_bulk_load(ep, df)
+    bulk_load(df, ep, "tricky")
+    back = spark.read.jdbc(ep.jdbc_url, "tricky", properties=ep.jdbc_properties)
+    got = {r.id: (r.s, r.x, r.ts) for r in back.collect()}
+    want = {r[0]: (r[1], r[2], r[3]) for r in rows}
+    # Documented staging-format limitation (same as LOAD DATA INFILE):
+    # unquoted empty == NULL, so a true empty string needs the quoted
+    # form — Spark's emptyValue default writes "" quoted, keeping the
+    # distinction. Assert exact equality including that case.
+    assert got == want
+    # binary columns are gated OFF the bulk path
+    bdf = spark.createDataFrame([(1, bytearray(b"\x00\x01"))], "id long, payload binary")
+    assert not supports_bulk_load(ep, bdf)
+    # networked endpoints are gated off
+    assert not supports_bulk_load(
+        Endpoint(url_override="jdbc:derby://h:1527/db", driver=drv), df
+    )
+
+
+def test_migrate_jdbc_bulk_mode_verifies(spark, tmp_path):
+    """migrate_jdbc(bulk=True) routes eligible tables through the
+    bulk-load path and the checksum verdict still comes back YES —
+    the format round-trip is guarded by content checksums, not trust."""
+    from mysqldatasynctool_spark.config import Endpoint
+    from mysqldatasynctool_spark.migrate import jsonify_nested, migrate_jdbc
+    from mysqldatasynctool_spark.sources.fixtures import load
+    from mysqldatasynctool_spark.sources.sinks import write_jdbc
+
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    src = Endpoint(url_override=f"jdbc:derby:{tmp_path}/bsrc;create=true", driver=drv)
+    dest = Endpoint(url_override=f"jdbc:derby:{tmp_path}/bdst;create=true", driver=drv)
+    write_jdbc(
+        jsonify_nested(load(spark, "/root/testdata/sf0.001", "orders")),
+        src,
+        "orders",
+        truncate=True,
+    )
+    reports, verdict = migrate_jdbc(
+        spark, src, dest, {"orders": ["o_orderkey"]}, bulk=True
+    )
+    assert all(r.ok for r in reports)
+    rows = verdict.collect()
+    assert len(rows) == 1 and rows[0].is_ok == "YES"
+    assert rows[0].src_cnt == rows[0].dest_cnt > 0
