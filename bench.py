@@ -36,6 +36,8 @@ HEADLINE = [
     "agg_distinct",
     "window_topk_per_group",
     "text_unigram_perplexity",
+    "graph_pagerank_purchases",
+    "events_anomaly_zscore",
     "events_sessionization",
     "events_sliding_window",
     "events_asof_join",

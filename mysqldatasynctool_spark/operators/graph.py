@@ -64,16 +64,21 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration integer PageRank over the purchase graph; top-20
     nodes by rank (node id breaks ties). See module docstring for the
     exact fixed-point recurrence both engines replicate."""
-    edges = _purchase_edges(spark, sf_dir)
+    # materialize the loop invariants ONCE (localCheckpoint truncates
+    # lineage): without this, every iteration's action re-executes the
+    # edge-derivation join — measured 3-4x the whole query's cost. At
+    # cluster scale this is persist(StorageLevel.DISK) + checkpoint.
+    edges = _purchase_edges(spark, sf_dir).localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n_nodes = nodes.count()  # driver-side scalar, deterministic int
     base = PR_SCALE // n_nodes
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ranked_edges = edges.join(outdeg, "src")  # (src, dst, outdeg)
+    ranked_edges = edges.join(outdeg, "src").localCheckpoint()  # (src, dst, outdeg)
 
     rank = nodes.withColumn("rank", F.lit(base).cast("long"))
     for _ in range(ITERATIONS):
