@@ -308,6 +308,60 @@ def streaming_anomaly_zscore(
     )
 
 
+def streaming_ewma(events: DataFrame, n_terms: int = 8) -> DataFrame:
+    """Streaming twin of ``window_ewma_dyadic`` (operators/windows.py):
+    per-user dyadic-weight EWMA as a stateful operator.
+
+    The batch form's lag-window becomes a BOUNDED per-user deque of the
+    last ``n_terms`` values. Because the weights are powers of two,
+    each product only shifts the double's exponent and the fixed-order
+    8-term sum is bit-exact — the parity test compares EQUALITY, not
+    tolerance, between this and the batch window twin.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "event_id long, user_id long, ts timestamp, value double, ewma double"
+    state_schema = "hist array<double>"
+
+    def _update(key, pdf_iter, state):
+        import pandas as _pd
+
+        hist = list(state.get[0]) if state.exists else []
+        out = {"event_id": [], "user_id": [], "ts": [], "value": [], "ewma": []}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples():
+                v = float(r.value)
+                window = [v] + hist[::-1][: n_terms - 1]
+                ewma = 0.0
+                # fixed evaluation order mirrors the batch expression
+                # tree: term k = lag(k) * 2^-(k+1), summed left-to-right
+                for k_i, x in enumerate(window):
+                    ewma = ewma + x * (2.0 ** -(k_i + 1))
+                out["event_id"].append(int(r.event_id))
+                out["user_id"].append(key[0])
+                out["ts"].append(r.ts)
+                out["value"].append(v)
+                out["ewma"].append(ewma)
+                hist.append(v)
+                if len(hist) > n_terms - 1:
+                    hist = hist[-(n_terms - 1):]
+        state.update((hist,))
+        yield _pd.DataFrame(out)
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_topk_transform_with_state(events: DataFrame, k: int = 3) -> DataFrame:
     """Custom stateful operator on the NEW Spark 4 API
     (``transformWithStateInPandas``): per-user running top-``k`` event

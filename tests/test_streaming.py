@@ -395,3 +395,18 @@ def test_streaming_anomaly_zscore_matches_batch_twin(spark):
     assert len(b) > 0
     assert set(s) == set(b)
     assert all(abs(s[e] - b[e]) < 1e-4 for e in b)
+
+
+def test_streaming_ewma_matches_batch_twin_exactly(spark):
+    """Dyadic weights make both forms bit-exact — compare EQUALITY of
+    every (event_id, ewma), not a tolerance."""
+    from mysqldatasynctool_spark.operators import windows as win_ops
+    from mysqldatasynctool_spark.streaming import streaming_ewma
+
+    stream = read_events_stream(spark, SF)
+    out = run_to_memory_sink(streaming_ewma(stream), "t_ewma", output_mode="append")
+    batch = win_ops.QUERIES["window_ewma_dyadic"](spark, SF)
+    s = {r.event_id: r.ewma for r in out.collect()}
+    b = {r.event_id: r.ewma for r in batch.collect()}
+    assert len(b) > 0 and set(s) == set(b)
+    assert all(s[e] == b[e] for e in b)
