@@ -687,11 +687,23 @@ def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     Z-ordering.
 
     Pure 64-bit integer bit-spreading (the classic magic-mask ladder)
-    — exact, engine-portable, zero shuffle to COMPUTE; the layout
-    write is then ``repartitionByRange("zkey").sortWithinPartitions(
-    "zkey")``, which adds the one range-exchange any global sort
-    costs. This query emits the key itself so the oracle can pin the
-    bit math; the write path is exercised via the parquet sink tests.
+    — exact, engine-portable; the layout write is then
+    ``repartitionByRange("zkey").sortWithinPartitions("zkey")``, which
+    adds the one range-exchange any global sort costs. This query
+    emits the key itself so the oracle can pin the bit math; the
+    file-stat narrowing the layout buys is verified END-TO-END against
+    real parquet footers (tests/test_northstar.py).
+
+    RANGE-NORMALIZE BEFORE INTERLEAVING (the bug the footer test
+    caught): interleaving RAW values lets the wider dimension's high
+    bits dominate the sort — here the minute bucket spans 16 bits
+    while user_id spans 8, so z-sorting degenerated to time-sorting
+    and every file still covered every user. Each dimension is first
+    scaled to the full 16-bit range from its observed min/max
+    (integer arithmetic: ``(v - min) * 65535 DIV span``) — the same
+    reason production Z-order implementations rank/range-normalize
+    their clustering columns. The min/max probe is a 1-row aggregate
+    folded in as literals (same class as the PK stats probe).
     """
     ev = load(spark, sf_dir, "events")
 
@@ -703,16 +715,29 @@ def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555))
         return v
 
-    x = F.col("user_id").cast("long")
+    x_raw = F.col("user_id").cast("long")
     # explicit floor at every step: CAST(epoch(..)) ROUNDS in some
     # engines while timestamp->long truncates in others
-    y = F.floor(F.col("ts").cast("long") / F.lit(60)).cast("long")
+    y_raw = F.floor(F.col("ts").cast("long") / F.lit(60)).cast("long")
+    b = ev.agg(
+        F.min(x_raw).alias("x_lo"),
+        F.max(x_raw).alias("x_hi"),
+        F.min(y_raw).alias("y_lo"),
+        F.max(y_raw).alias("y_hi"),
+    ).collect()[0]
+    x_span = max(int(b.x_hi) - int(b.x_lo), 1)
+    y_span = max(int(b.y_hi) - int(b.y_lo), 1)
+    x = F.expr(f"(CAST(user_id AS BIGINT) - {int(b.x_lo)}L) * 65535L DIV {x_span}L")
+    y = F.expr(
+        f"(CAST(FLOOR(CAST(ts AS BIGINT) / 60) AS BIGINT) - {int(b.y_lo)}L) "
+        f"* 65535L DIV {y_span}L"
+    )
     z = spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
     return (
         ev.select(
             "event_id",
-            x.bitwiseAND(F.lit(0xFFFF)).alias("x16"),
-            y.bitwiseAND(F.lit(0xFFFF)).alias("y16"),
+            x.alias("x16"),
+            y.alias("y16"),
             z.alias("zkey"),
         )
         .orderBy("zkey", "event_id")
@@ -720,11 +745,19 @@ def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_ZORDER_KEY_ORACLE = """
-WITH base AS (
+WITH raw AS (
   SELECT event_id,
-         CAST(user_id AS BIGINT) & 65535 AS x16,
-         CAST(floor(floor(epoch(ts)) / 60) AS BIGINT) & 65535 AS y16
+         CAST(user_id AS BIGINT) AS xr,
+         CAST(floor(floor(epoch(ts)) / 60) AS BIGINT) AS yr
   FROM events
+), b AS (
+  SELECT MIN(xr) AS x_lo, MAX(xr) AS x_hi, MIN(yr) AS y_lo, MAX(yr) AS y_hi
+  FROM raw
+), base AS (
+  SELECT event_id,
+         (xr - x_lo) * 65535 // greatest(x_hi - x_lo, 1) AS x16,
+         (yr - y_lo) * 65535 // greatest(y_hi - y_lo, 1) AS y16
+  FROM raw, b
 ), sx AS (
   SELECT event_id, x16, y16,
          ((x16 | (x16 << 8)) & 16711935) AS a,

@@ -248,3 +248,50 @@ def test_pagerank_bipartite_invariants(spark):
     cust_rank = (15 * base) // 100
     custs = [r for r in rows if r.kind == "customer"]
     assert all(r.rank == cust_rank for r in custs)
+
+
+def test_zorder_layout_narrows_file_stats(spark, tmp_path):
+    """The point of Z-ordering: files in a zkey-sorted layout cover
+    BOUNDED ranges of each interleaved dimension, so min/max pruning
+    can skip files for a user_id predicate. A ts-sorted layout spreads
+    every user across every file (no pruning possible). Verified
+    against real parquet footer stats, not the plan."""
+    import pyarrow.parquet as pq
+
+    from mysqldatasynctool_spark.operators import events as ev_ops
+
+    keyed = ev_ops.QUERIES["events_zorder_key"](spark, "/root/testdata/sf0.01")
+
+    z_dir, t_dir = f"{tmp_path}/zsorted", f"{tmp_path}/tsorted"
+    (keyed.repartitionByRange(8, "zkey").sortWithinPartitions("zkey")
+          .write.mode("overwrite").parquet(z_dir))
+    (keyed.repartitionByRange(8, "event_id").sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(t_dir))
+
+    def x16_ranges(d):
+        out = []
+        import glob
+        for f in sorted(glob.glob(f"{d}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for c in range(md.num_columns):
+                    col = md.row_group(rg).column(c)
+                    if col.path_in_schema == "x16" and col.statistics:
+                        s = col.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            out.append((lo, hi))
+        return out
+
+    def files_touched(ranges, probe):
+        return sum(1 for lo, hi in ranges if lo is not None and lo <= probe <= hi)
+
+    zr, tr = x16_ranges(z_dir), x16_ranges(t_dir)
+    assert len(zr) >= 4 and len(tr) >= 4
+    probes = [5, 25, 60, 90]
+    z_touch = sum(files_touched(zr, p) for p in probes)
+    t_touch = sum(files_touched(tr, p) for p in probes)
+    # event_id-sorted files span the whole user domain — no pruning;
+    # zkey-sorted files must allow strictly better file skipping
+    assert z_touch < t_touch, (zr, tr)
