@@ -504,7 +504,12 @@ def run_to_memory_sink(
 def foreach_batch_parquet_sink(df: DataFrame, path: str) -> None:
     """foreachBatch sink: every micro-batch reuses the engine's batch
     parquet sink (swap write_parquet for sinks.write_jdbc to stream
-    into MySQL exactly like the reference's insert loop)."""
+    into MySQL exactly like the reference's insert loop).
+
+    NOTE: append-mode foreachBatch is at-least-once under restart — a
+    replayed epoch appends its rows twice. Use
+    ``start_idempotent_parquet_stream`` when the consumer needs
+    exactly-once files."""
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("append").parquet(path)
@@ -514,3 +519,27 @@ def foreach_batch_parquet_sink(df: DataFrame, path: str) -> None:
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def start_idempotent_parquet_stream(df: DataFrame, path: str, checkpoint: str):
+    """Exactly-once foreachBatch parquet sink: each epoch OVERWRITES
+    its own ``epoch=<id>`` directory, so a batch replayed after a
+    restart lands on the same path instead of appending duplicates —
+    the standard idempotent-foreachBatch pattern for sinks without
+    transactional commit. Pair with ``checkpointLocation`` (the source
+    of the replayed epoch ids). Returns the started query; callers own
+    stop/processAllAvailable (recovery tests stop it mid-stream).
+
+    Readers take ``spark.read.parquet(path)`` — the epoch partitioning
+    is invisible to them beyond an extra ``epoch`` column to drop.
+    """
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

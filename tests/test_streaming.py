@@ -410,3 +410,62 @@ def test_streaming_ewma_matches_batch_twin_exactly(spark):
     b = {r.event_id: r.ewma for r in batch.collect()}
     assert len(b) > 0 and set(s) == set(b)
     assert all(s[e] == b[e] for e in b)
+
+
+def test_ewma_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop the stateful EWMA stream mid-run, restart from the same
+    checkpoint into the idempotent epoch-partitioned sink, drain, and
+    compare EVERY (event_id, ewma) against the batch twin bit-exactly:
+    the recovered deque state and the replayed epoch must both be
+    exact, with no duplicate or missing events."""
+    import os
+    import time as _t
+
+    from pyspark.sql import Window as W
+
+    from mysqldatasynctool_spark.operators import windows as win_ops
+    from mysqldatasynctool_spark.sources.fixtures import load
+    from mysqldatasynctool_spark.streaming import (
+        start_idempotent_parquet_stream,
+        streaming_ewma,
+    )
+
+    ev = load(spark, SF, "events")
+    sf_dir = str(tmp_path)
+    staged = f"{sf_dir}/staged"
+    os.makedirs(staged)
+    ordered = ev.orderBy("ts").withColumn("part", F.ntile(3).over(W.orderBy("ts")) - 1)
+    for i in range(3):
+        tmp_out = f"{sf_dir}/f{i}"
+        ordered.filter(F.col("part") == i).drop("part").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_out)
+        src = next(f for f in os.listdir(tmp_out) if f.endswith(".parquet"))
+        os.rename(f"{tmp_out}/{src}", f"{staged}/events-{i:03d}.parquet")
+    os.symlink(staged, f"{sf_dir}/events.parquet")
+    out_dir, ckpt = f"{sf_dir}/out", f"{sf_dir}/ckpt"
+
+    def start():
+        stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+        return start_idempotent_parquet_stream(streaming_ewma(stream), out_dir, ckpt)
+
+    q = start()
+    for _ in range(600):
+        if q.lastProgress and q.lastProgress["batchId"] >= 0:
+            break
+        _t.sleep(0.1)
+    q.stop()
+    q.awaitTermination(30)
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    out = spark.read.parquet(out_dir)
+    s = {r.event_id: r.ewma for r in out.collect()}
+    b = {
+        r.event_id: r.ewma
+        for r in win_ops.QUERIES["window_ewma_dyadic"](spark, SF).collect()
+    }
+    assert set(s) == set(b)          # no lost or duplicated events
+    assert all(s[e] == b[e] for e in b)  # recovered state is bit-exact
