@@ -82,6 +82,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "graph_pagerank_purchases",
     "graph_degree_stats",
     "window_ewma_dyadic",
+    "pipeline_incremental_dedup",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

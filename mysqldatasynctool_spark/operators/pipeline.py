@@ -510,6 +510,124 @@ FROM splits GROUP BY split ORDER BY split
 """
 
 
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: vet an INCOMING batch against a PRIOR
+    corpus snapshot — the shape ingestion pipelines run per delivery,
+    distinct from whole-corpus dedup (you never re-pair the snapshot
+    against itself).
+
+    The corpus splits at the median doc_id (prior = first half,
+    incoming = second half — a deterministic stand-in for the
+    snapshot boundary). Each incoming doc gets one verdict with
+    precedence exact > near_dup > kept:
+
+    - ``dropped_exact``: its normalized-content fingerprint already
+      exists in the snapshot (anti-join on md5 — one shuffle on
+      16-byte digests);
+    - ``dropped_near``: 3-gram Jaccard >= 0.5 against ANY snapshot doc,
+      computed via the shingle equi-join (pairs must share a shingle —
+      never incoming × prior);
+    - ``kept`` otherwise.
+
+    100 TB shape: the snapshot side only ever contributes (digest) and
+    (doc_id, shingle) projections — snapshot TEXT is never read past
+    the scan, and the shuffles carry digests/shingle hashes, not
+    documents. Jaccard compares exact integer ratios, so the 0.5
+    threshold is engine-stable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from ..functions.text import distinct_ngram_rows, normalized_text_col
+
+    split = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+    fp = F.md5(normalized_text_col(F.col("text"))).alias("fp")
+    prior = docs.filter(F.col("doc_id") < split)
+    inc = docs.filter(F.col("doc_id") >= split)
+
+    exact_ids = (
+        inc.select("doc_id", fp)
+        .join(prior.select(fp), "fp", "left_semi")
+        .select("doc_id")
+    )
+
+    sh = distinct_ngram_rows(docs, 3, out_col="sh")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_inc = sh.filter(F.col("doc_id") >= split).select(
+        F.col("doc_id").alias("ida"), "sh"
+    )
+    sh_prior = sh.filter(F.col("doc_id") < split).select(
+        F.col("doc_id").alias("idb"), "sh"
+    )
+    inter = (
+        sh_inc.join(sh_prior, "sh")
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    near_ids = (
+        inter.join(sizes.select(F.col("doc_id").alias("ida"), F.col("n_sh").alias("na")), "ida")
+        .join(sizes.select(F.col("doc_id").alias("idb"), F.col("n_sh").alias("nb")), "idb")
+        .filter(
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")) >= 0.5
+        )
+        .select(F.col("ida").alias("doc_id"))
+        .distinct()
+    )
+
+    verdict = (
+        inc.select("doc_id")
+        .join(exact_ids.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, "dropped_exact")
+            .when(F.col("is_near") == 1, "dropped_near")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )
+    return verdict.orderBy("doc_id")
+
+
+PIPELINE_INCREMENTAL_DEDUP_ORACLE = r"""
+WITH s AS (
+  SELECT (MAX(doc_id) + 1) // 2 AS split FROM documents
+), fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), exact_ids AS (
+  SELECT i.doc_id
+  FROM fp i, s
+  WHERE i.doc_id >= s.split
+    AND EXISTS (SELECT 1 FROM fp p, s WHERE p.doc_id < s.split AND p.fp = i.fp)
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]
+  )) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh, s
+  WHERE a.doc_id >= s.split AND b.doc_id < s.split
+  GROUP BY ida, idb
+), near_ids AS (
+  SELECT DISTINCT ida AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.ida
+  JOIN sizes sb ON sb.doc_id = inter.idb
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_ids) THEN 'dropped_exact'
+            WHEN d.doc_id IN (SELECT doc_id FROM near_ids) THEN 'dropped_near'
+            ELSE 'kept' END AS verdict
+FROM documents d, s
+WHERE d.doc_id >= s.split
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_pack_sequences": pipeline_pack_sequences,
@@ -519,6 +637,7 @@ QUERIES = {
     "pipeline_train_val_split": pipeline_train_val_split,
     "pipeline_global_shuffle": pipeline_global_shuffle,
     "pipeline_end_to_end": pipeline_end_to_end,
+    "pipeline_incremental_dedup": pipeline_incremental_dedup,
 }
 
 ORACLES = {
@@ -530,4 +649,5 @@ ORACLES = {
     "pipeline_train_val_split": PIPELINE_SPLIT_ORACLE,
     "pipeline_global_shuffle": PIPELINE_SHUFFLE_ORACLE,
     "pipeline_end_to_end": PIPELINE_END_TO_END_ORACLE,
+    "pipeline_incremental_dedup": PIPELINE_INCREMENTAL_DEDUP_ORACLE,
 }
