@@ -83,6 +83,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "graph_degree_stats",
     "window_ewma_dyadic",
     "pipeline_incremental_dedup",
+    "migration_column_profile",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

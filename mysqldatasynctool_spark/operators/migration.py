@@ -261,6 +261,57 @@ ORDER BY table_name, position
 """
 
 
+def migration_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of the fact table — the ATTRIBUTION
+    companion to the content checksum: when compare goes red, the
+    profile diff (null counts, distinct cardinality, min/max) says
+    WHICH column drifted (truncation, encoding, lost precision)
+    without re-reading either side twice.
+
+    One scan: the numeric columns unpivot (stack) into (column, value)
+    rows map-side, then a single grouped aggregate. Min/max stay exact
+    (doubles compared, not summed); distinct counts are exact here and
+    would flip to approx_count_distinct at 100 TB (the audited HLL
+    twin — see agg_approx_distinct).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    stack_expr = "stack({n}, {pairs}) as (col_name, value)".format(
+        n=len(cols), pairs=", ".join(f"'{c}', {c}" for c in cols)
+    )
+    return (
+        li.selectExpr(stack_expr)
+        .groupBy("col_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.countDistinct("value").alias("n_distinct"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("col_name")
+    )
+
+
+MIGRATION_COLUMN_PROFILE_ORACLE = """
+WITH unp AS (
+  SELECT 'l_quantity' AS col_name, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT col_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT value) AS n_distinct,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM unp
+GROUP BY col_name
+ORDER BY col_name
+"""
+
+
 QUERIES = {
     "migration_catalog_exclude": migration_catalog_exclude,
     "migration_pk_catalog": migration_pk_catalog,
@@ -269,6 +320,7 @@ QUERIES = {
     "migration_pagination_page": migration_pagination_page,
     "migration_stringify": migration_stringify,
     "migration_schema_audit": migration_schema_audit,
+    "migration_column_profile": migration_column_profile,
 }
 
 ORACLES = {
@@ -279,4 +331,5 @@ ORACLES = {
     "migration_pagination_page": MIGRATION_PAGINATION_PAGE_ORACLE,
     "migration_stringify": MIGRATION_STRINGIFY_ORACLE,
     "migration_schema_audit": MIGRATION_SCHEMA_AUDIT_ORACLE,
+    "migration_column_profile": MIGRATION_COLUMN_PROFILE_ORACLE,
 }
