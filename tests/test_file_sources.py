@@ -112,3 +112,33 @@ def test_corrupt_records_quarantined_not_dropped(spark, tmp_path):
     # lines — materialize first (files.py documents this)
     good = [r for r in rows if r[CORRUPT_COL] is None]
     assert len(good) == 2 and {r.n_name for r in good} == {"A", "B"}
+
+
+def test_versioned_snapshots_time_travel_and_rollback(spark, tmp_path):
+    """write -> write -> read latest / read v1 (time travel) ->
+    rollback -> read latest again; prior versions stay immutable and
+    the manifest pointer moves atomically."""
+    from mysqldatasynctool_spark.sources.files import (
+        read_manifest_version,
+        read_versioned,
+        rollback_versioned,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "snap")
+    df1 = spark.range(5).withColumnRenamed("id", "v")
+    df2 = spark.range(9).withColumnRenamed("id", "v")
+    assert write_versioned(df1, root) == 1
+    assert write_versioned(df2, root) == 2
+    assert read_manifest_version(root) == 2
+    assert read_versioned(spark, root).count() == 9
+    assert read_versioned(spark, root, version=1).count() == 5  # time travel
+    rollback_versioned(root, 1)
+    assert read_versioned(spark, root).count() == 5
+    # abandoned version still explicitly readable (immutable dirs)
+    assert read_versioned(spark, root, version=2).count() == 9
+    # next write claims v3, NOT v2: abandoned versions are immutable
+    # and must never be clobbered after a rollback
+    assert write_versioned(df2.limit(3), root) == 3
+    assert read_versioned(spark, root).count() == 3
+    assert read_versioned(spark, root, version=2).count() == 9
