@@ -92,6 +92,7 @@ def migrate_directory(
     cfg: SyncConfig | None = None,
     tables: list[str] | None = None,
     resume: bool = False,
+    versioned: bool = False,
 ) -> tuple[list[TableReport], object]:
     """Parquet→parquet migration over the fixture layout, exercising
     the same phases as the JDBC path (which swaps load/write_parquet
@@ -110,6 +111,12 @@ def migrate_directory(
     checksum compare verification runs anyway, so a fully-verified
     rerun costs two scans per table and zero writes.
 
+    ``versioned=True`` writes every table as a NEW immutable snapshot
+    version (sources/files.write_versioned: atomic manifest publish,
+    time travel, rollback) instead of overwriting in place — reruns
+    preserve every prior state, and a bad load rolls back by pointer.
+    Verification reads the freshly-published version.
+
     Returns (per-table reports, verdict DataFrame).
     """
     from pyspark.sql import functions as F
@@ -122,12 +129,19 @@ def migrate_directory(
 
     from .operators.compare import row_digest, table_summary
 
+    def _read_dest(tt: str):
+        if versioned:
+            from .sources.files import read_versioned
+
+            return read_versioned(spark, f"{dest_dir}/{tt}.parquet")
+        return load(spark, dest_dir, tt)
+
     def verdict_row(t: str) -> tuple | None:
         return _resume_verdict_row(
             spark,
             t,
             lambda tt: load(spark, src_dir, tt),
-            lambda tt: load(spark, dest_dir, tt),
+            _read_dest,
         )
 
     def copy_one(t: str) -> tuple[TableReport, tuple | None]:
@@ -162,7 +176,12 @@ def migrate_directory(
                     F.sum(row_digest(df)), F.lit(0).cast("decimal(38,0)")
                 ).alias("checksum"),
             )
-            write_parquet(observed, f"{dest_dir}/{t}.parquet")
+            if versioned:
+                from .sources.files import write_versioned
+
+                write_versioned(observed, f"{dest_dir}/{t}.parquet")
+            else:
+                write_parquet(observed, f"{dest_dir}/{t}.parquet")
             src_cnt, src_sum = obs.get["cnt"], obs.get["checksum"]
             # dest-side verify INSIDE the copy thread, one job per
             # table: each table's checksum scan overlaps the remaining
@@ -171,7 +190,7 @@ def migrate_directory(
             # regime) verification disappears into the copy
             # wall-clock. The dest count doubles as the report row
             # count (no separate count() job).
-            d = table_summary(load(spark, dest_dir, t), t).collect()[0]
+            d = table_summary(_read_dest(t), t).collect()[0]
             ok = src_cnt == d.cnt and src_sum == d.checksum
             vrow = (
                 t,

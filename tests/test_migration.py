@@ -375,3 +375,34 @@ def test_cdc_apply_row_accounting(spark):
     # every status group present and checksums non-degenerate
     assert all(int(r.content_checksum) > 0 for r in out)
     assert len(out) >= 2
+
+
+def test_migrate_directory_versioned_snapshots(spark, tmp_path):
+    """versioned=True: each run publishes a NEW verified snapshot;
+    prior versions remain time-travel readable and rollback is a
+    pointer move."""
+    from mysqldatasynctool_spark.migrate import migrate_directory
+    from mysqldatasynctool_spark.sources.files import (
+        read_manifest_version,
+        read_versioned,
+        rollback_versioned,
+    )
+
+    dest = str(tmp_path / "vdest")
+    src = "/root/testdata/sf0.001"
+    reports, verdict = migrate_directory(
+        spark, src, dest, tables=["region", "nation"], versioned=True
+    )
+    assert all(r.ok for r in reports)
+    assert all(r.is_ok == "YES" for r in verdict.collect())
+    reports2, verdict2 = migrate_directory(
+        spark, src, dest, tables=["region"], versioned=True
+    )
+    assert all(r.is_ok == "YES" for r in verdict2.collect())
+    root = f"{dest}/region.parquet"
+    assert read_manifest_version(root) == 2
+    assert read_versioned(spark, root, version=1).count() == read_versioned(
+        spark, root, version=2
+    ).count()
+    rollback_versioned(root, 1)
+    assert read_manifest_version(root) == 1
