@@ -78,6 +78,7 @@ def cmd_migrate(args) -> int:
         args.dest_dir,
         cfg=cfg,
         resume=getattr(args, "resume", False),
+        versioned=getattr(args, "versioned", False),
     )
     return _report_and_exit(reports, verdict, t0)
 
@@ -278,6 +279,12 @@ def main(argv: list[str] | None = None) -> int:
         "--resume",
         action="store_true",
         help="skip tables whose destination already checksum-matches",
+    )
+    pm.add_argument(
+        "--versioned",
+        action="store_true",
+        help="write each table as a new immutable snapshot version "
+        "(atomic manifest publish; time travel + rollback)",
     )
     pj = sub.add_parser(
         "migrateDb",
