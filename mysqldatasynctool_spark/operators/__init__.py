@@ -84,6 +84,8 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "window_ewma_dyadic",
     "pipeline_incremental_dedup",
     "migration_column_profile",
+    "setop_except_distinct",
+    "setop_intersect_all",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -117,12 +117,52 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def setop_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference, distinct semantics): urgent-order keys
+    that never appear among finished-order keys — completes the
+    set-op matrix alongside EXCEPT ALL's bag difference."""
+    return (
+        _urgent_customers(spark, sf_dir)
+        .subtract(_f_status_customers(spark, sf_dir))
+        .orderBy("custkey")
+    )
+
+
+SETOP_EXCEPT_DISTINCT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+"""
+
+
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection — min multiplicity per key),
+    re-aggregated for determinism."""
+    i = _urgent_customers(spark, sf_dir).intersectAll(
+        _f_status_customers(spark, sf_dir)
+    )
+    return i.groupBy("custkey").agg(F.count("*").alias("n")).orderBy("custkey")
+
+
+SETOP_INTERSECT_ALL_ORACLE = """
+SELECT custkey, COUNT(*) AS n FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+) t
+GROUP BY custkey ORDER BY custkey
+"""
+
+
 QUERIES = {
     "setop_union_all": setop_union_all,
     "setop_union_distinct": setop_union_distinct,
     "setop_intersect": setop_intersect,
     "setop_except_all": setop_except_all,
     "setop_distinct_rows": setop_distinct_rows,
+    "setop_except_distinct": setop_except_distinct,
+    "setop_intersect_all": setop_intersect_all,
 }
 
 ORACLES = {
@@ -131,4 +171,6 @@ ORACLES = {
     "setop_intersect": SETOP_INTERSECT_ORACLE,
     "setop_except_all": SETOP_EXCEPT_ALL_ORACLE,
     "setop_distinct_rows": SETOP_DISTINCT_ROWS_ORACLE,
+    "setop_except_distinct": SETOP_EXCEPT_DISTINCT_ORACLE,
+    "setop_intersect_all": SETOP_INTERSECT_ALL_ORACLE,
 }
