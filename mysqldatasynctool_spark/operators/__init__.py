@@ -71,6 +71,13 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "q21_waiting_supplier",
     "q21_waiting_supplier_agg",
     "q22_global_sales_opportunity",
+    # NEW in r6 (late additions): the five shapes completing the
+    # 22-query TPC-H suite
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q20_potential_promotion",
     "text_gopher_rules",
     "text_char_entropy",
     "text_source_stats",

@@ -1,4 +1,5 @@
-"""Extended TPC-H-style decision-support queries (Q4..Q22, adapted).
+"""Extended TPC-H-style decision-support queries (Q2..Q22, adapted —
+with Q1/Q3/Q5 in relational.py this completes all 22 classic shapes).
 
 The reference (a SQL-generating ETL shell, /root/reference/cmd/root.go)
 has no analytic query surface at all; SURVEY.md §2B requires the NEW
@@ -8,13 +9,15 @@ TPC-H query *shapes*, adapted to the driver's synthetic schema (no
 partsupp table; no l_commitdate/l_receiptdate/l_shipmode columns — see
 TESTDATA.md), so every classic optimizer pattern is exercised:
 
-- EXISTS / NOT-EXISTS correlation  (q4, q21)        → semi/anti joins
+- EXISTS / NOT-EXISTS correlation  (q4, q20, q21)   → semi/anti joins
 - dim self-join for nation pairs   (q7, q8)         → broadcast twice
-- conditional (CASE) aggregation   (q8, q12, q14)
-- scalar subquery thresholds       (q17, q18, q22)
+- conditional (CASE) aggregation   (q8, q12, q14, q20)
+- scalar subquery thresholds       (q11, q17, q18, q22)
 - disjunctive pushdown             (q19)
-- argmax via window over an agg    (q15)
+- pure scan-filter-agg pushdown    (q6)
+- argmax/argmin via window         (q2, q15)
 - count-distinct rollups           (q16)
+- outer join + double aggregation  (q13)
 
 Scale notes (100 TB discipline):
 - every dimension (region/nation/customer/supplier/part at TPC-H
@@ -701,37 +704,310 @@ ORDER BY n_name
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part in a region.
+
+    The synthetic schema has no partsupp, so the observed supply cost
+    for a (part, supplier) pair is MIN(l_extendedprice) over lineitem
+    — an exact DECIMAL min, so the "cost == regional minimum" equality
+    is bit-stable across engines.  The classic correlated
+    MIN-subquery becomes a window MIN over p_partkey on the already
+    part-grained aggregate (tiny relative to the fact table); region/
+    nation/supplier/part dims all broadcast; the only fact shuffle is
+    the (l_partkey, l_suppkey) aggregation.
+
+    100 TB: the window keys on p_partkey AFTER reduction to one row
+    per (part, supp in region) — cardinality ≈ |partsupp|, not
+    |lineitem| — and partitions by part, so no single-reducer window.
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 15)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec(F.col("l_extendedprice"))).alias("supply_cost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_ORACLE = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(22,2))) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), regional AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost,
+         MIN(supply_cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM cost
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size < 15
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       CAST(supply_cost AS DOUBLE) AS supply_cost
+FROM regional WHERE supply_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue change — a pure scan-filter-agg with
+    NO joins; the canonical predicate-pushdown microbenchmark.  All
+    three predicates reach the parquet scan (plan-audited); revenue is
+    the exact decimal sum of l_extendedprice * l_discount.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"), 6))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(22,6))) AS DOUBLE)
+       AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    region's supply value, HAVING-filtered against a scalar-subquery
+    threshold.
+
+    No partsupp ⇒ a part's supply value for ASIA-based suppliers is
+    the exact decimal revenue sum over their lineitems.  The global
+    threshold (total * 0.0001) is computed ONCE as a 1-row aggregate
+    and folded in as an exact-decimal literal via Python Decimal
+    arithmetic — both engines then compare exact decimals, so the
+    HAVING boundary cannot flip cross-engine; no nested-loop join.
+    """
+    from decimal import Decimal
+
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    regional = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    value = regional.groupBy("l_partkey").agg(
+        F.sum(_dec(_rev(), 6)).alias("part_value")
+    )
+    total = regional.agg(F.sum(_dec(_rev(), 6)).alias("t")).collect()[0]["t"]
+    threshold = (Decimal(total) * Decimal("0.0001")).quantize(Decimal("0.0000000001"))
+    return (
+        value.filter(F.col("part_value") > F.lit(threshold).cast("decimal(28,10)"))
+        .select(
+            "l_partkey", F.col("part_value").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_ORACLE = """
+WITH regional AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS part_value
+FROM regional
+GROUP BY l_partkey
+HAVING SUM(v) > (SELECT SUM(v) * CAST(0.0001 AS DECIMAL(8,6)) FROM regional)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count — the
+    canonical LEFT OUTER JOIN + double aggregation (customers with
+    ZERO qualifying orders must appear in the c_count=0 bucket).
+
+    The order-side filter (o_orderpriority, standing in for the
+    reference's comment NOT LIKE) is applied BEFORE the outer join so
+    filtered-out customers still survive.  Integer counts only —
+    nothing to float-drift.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+       AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers with excess activity in target parts
+    — nested IN-subqueries flattened to ONE conditional aggregation
+    plus a semi join.
+
+    Without partsupp's ps_availqty, the "excess" predicate becomes:
+    over 'small *' parts, the (supplier, part) pair sold more quantity
+    in 1996 than in all other years combined, i.e.
+    2 * qty_1996 > qty_total — compared in exact decimal (no 0.5
+    multiplier, no float boundary).  Both classic IN-subqueries
+    collapse into the single grouped pass; qualifying suppliers then
+    semi-join (broadcast) into the EUROPE supplier list.
+    """
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    qty96 = F.sum(
+        F.when(F.year("l_shipdate") == 1996, _dec(F.col("l_quantity"))).otherwise(
+            F.lit(0).cast("decimal(22,2)")
+        )
+    )
+    excess = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            qty96.alias("qty_1996"),
+            F.sum(_dec(F.col("l_quantity"))).alias("qty_total"),
+        )
+        .filter(F.lit(2) * F.col("qty_1996") > F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_ORACLE = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+    GROUP BY l_suppkey, l_partkey
+    HAVING 2 * SUM(CASE WHEN EXTRACT(YEAR FROM l_shipdate) = 1996
+                        THEN CAST(l_quantity AS DECIMAL(22,2))
+                        ELSE CAST(0 AS DECIMAL(22,2)) END)
+           > SUM(CAST(l_quantity AS DECIMAL(22,2)))
+  )
+ORDER BY s_name
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q10_returned_items": q10_returned_items,
+    "q11_important_stock": q11_important_stock,
     "q12_priority_class": q12_priority_class,
+    "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q20_potential_promotion": q20_potential_promotion,
     "q21_waiting_supplier": q21_waiting_supplier,
     "q21_waiting_supplier_agg": q21_waiting_supplier_agg,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": Q2_ORACLE,
     "q4_order_priority": Q4_ORACLE,
+    "q6_forecast_revenue": Q6_ORACLE,
     "q7_volume_shipping": Q7_ORACLE,
     "q8_market_share": Q8_ORACLE,
     "q9_product_profit": Q9_ORACLE,
     "q10_returned_items": Q10_ORACLE,
+    "q11_important_stock": Q11_ORACLE,
     "q12_priority_class": Q12_ORACLE,
+    "q13_customer_distribution": Q13_ORACLE,
     "q14_promo_revenue": Q14_ORACLE,
     "q15_top_supplier": Q15_ORACLE,
     "q16_supplier_part_counts": Q16_ORACLE,
     "q17_small_quantity_revenue": Q17_ORACLE,
     "q18_large_volume_customers": Q18_ORACLE,
     "q19_disjunctive_predicates": Q19_ORACLE,
+    "q20_potential_promotion": Q20_ORACLE,
     "q21_waiting_supplier": Q21_ORACLE,
     "q21_waiting_supplier_agg": Q21_ORACLE,
     "q22_global_sales_opportunity": Q22_ORACLE,

@@ -92,3 +92,42 @@ def test_q21_agg_twin_matches_and_avoids_self_joins(spark):
     assert [(r.s_name, r.numwait) for r in a] == [(r.s_name, r.numwait) for r in b]
     plan = _plan(spark, tpch.q21_waiting_supplier_agg(spark, SF))
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
+
+
+def test_q2_no_nested_loop_and_dims_broadcast(spark):
+    plan = _plan(spark, tpch.q2_min_cost_supplier(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # part/supplier/nation/region all broadcast onto the (part,supp) agg
+    assert plan.count("BroadcastHashJoin") >= 4
+    # window partitions by p_partkey — never a single-reducer empty-key window
+    assert "TakeOrderedAndProject" in plan  # top-100 never global-sorts
+
+
+def test_q6_pure_scan_no_join_filters_pushed(spark):
+    plan = _plan(spark, tpch.q6_forecast_revenue(spark, SF), "formatted")
+    assert "Join" not in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q11_threshold_is_literal_no_nested_loop(spark):
+    plan = _plan(spark, tpch.q11_important_stock(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Subquery" not in plan  # threshold folded as a decimal literal
+
+
+def test_q13_zero_order_customers_survive(spark):
+    # the outer join + double agg must conserve customers: every
+    # customer lands in exactly one c_count bucket
+    import duckdb
+
+    rows = tpch.q13_customer_distribution(spark, SF).collect()
+    total = sum(r["custdist"] for r in rows)
+    ncust = duckdb.sql(f"SELECT COUNT(*) FROM '{SF}/customer.parquet'").fetchone()[0]
+    assert total == ncust
+
+
+def test_q20_semi_join_no_nested_loop(spark):
+    plan = _plan(spark, tpch.q20_potential_promotion(spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
