@@ -78,6 +78,10 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q13_customer_distribution",
     "q20_potential_promotion",
+    # NEW in r6 (late additions): substring-span dedup + two-pass
+    # Misra-Gries heavy hitters
+    "dedup_substring_spans",
+    "text_heavy_hitters",
     "text_gopher_rules",
     "text_char_entropy",
     "text_source_stats",

@@ -806,6 +806,97 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+#: substring-span window width (tokens). 10 is small enough to catch
+#: real boilerplate overlap in the synthetic corpus and large enough
+#: that random token runs essentially never collide.
+SPAN_TOKENS = 10
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring (token-span) duplication report — the
+    "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., 2022) exact-substring move, bounded to fixed-width
+    spans so it runs as pure relational algebra instead of a suffix
+    array: every SPAN_TOKENS-token window of every document is
+    fingerprinted; a span instance is *cross-doc duplicated* iff the
+    identical token run also appears in at least one OTHER document.
+    Per-doc output (span counts + duplicated-span ratio) is the signal
+    a pipeline uses to strip or rewrite cloned boilerplate. Within-doc
+    repetition is deliberately excluded — that is
+    ``pipeline_repetition_score`` / ``dedup_paragraph_exact`` territory.
+
+    100 TB shape: posexplode + window-lead builds spans in ONE pass
+    (the codegen-safe n-gram formulation, functions/text.py:31 — never
+    the O(tokens²) transform-over-sequence); span text collapses to a
+    16-byte md5 BEFORE any shuffle, so the h-window moves only
+    (digest, doc_id, pos); cross-doc detection is min≠max doc_id over
+    the digest window — no self-join, no collect_list hot key; the
+    final per-doc agg is the second and last shuffle.
+    """
+    return substring_span_report(load(spark, sf_dir, "documents"))
+
+
+def substring_span_report(docs: DataFrame, width: int = SPAN_TOKENS) -> DataFrame:
+    """Core of ``dedup_substring_spans`` over any (doc_id, text) frame."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("t", k).over(w) for k in range(1, width)]
+    spans = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.col("t"), *leads)).alias("h"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    wh = W.partitionBy("h")
+    flagged = spans.withColumn(
+        "is_dup",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).cast("int"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("is_dup").alias("n_dup_spans"),
+            F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _substring_spans_oracle(width: int = SPAN_TOKENS) -> str:
+    leads = ", ".join(f"lead(t, {k}) OVER w" for k in range(1, width))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, u.t, u.pos FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  ), LATERAL (SELECT unnest(toks) AS t, generate_subscripts(toks, 1) AS pos) u
+),
+spans AS (
+  SELECT doc_id,
+         md5(concat_ws(' ', t, {leads})) AS h,
+         lead(t, {width - 1}) OVER w AS _last
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+flagged AS (
+  SELECT doc_id,
+         CASE WHEN MIN(doc_id) OVER (PARTITION BY h)
+              <> MAX(doc_id) OVER (PARTITION BY h) THEN 1 ELSE 0 END AS is_dup
+  FROM spans WHERE _last IS NOT NULL
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_spans,
+       ROUND(SUM(is_dup) * 1.0 / COUNT(*), 6) AS dup_ratio
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_subset": dedup_exact_subset,
     "dedup_exact_text": dedup_exact_text,
@@ -816,6 +907,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_clusters": dedup_clusters,
     "dedup_paragraph_exact": dedup_paragraph_exact,
+    "dedup_substring_spans": dedup_substring_spans,
     "dedup_lsh_recall_report": dedup_lsh_recall_report,
 }
 
@@ -829,5 +921,6 @@ ORACLES = {
     "dedup_embedding_lsh": _embedding_lsh_oracle(),
     "dedup_clusters": _clusters_oracle(),
     "dedup_paragraph_exact": DEDUP_PARAGRAPH_ORACLE,
+    "dedup_substring_spans": _substring_spans_oracle(),
     "dedup_lsh_recall_report": _lsh_recall_oracle(),
 }

@@ -744,6 +744,101 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+#: heavy-hitter threshold: bigrams holding more than 0.12% of all
+#: bigram occurrences (compared in exact integer space:
+#: 10000*c > 12*n) — non-degenerate at sf0.001/0.01/0.1 (325/316/79
+#: qualifying grams of ~916/931 distinct).
+_HH_NUM, _HH_DEN = 12, 10000
+#: Misra-Gries summary capacity per partition. The MG guarantee is
+#: est ≥ true − N_p/(k+1); combined with the pigeonhole argument
+#: (any gram with global share > s exceeds share s in ≥1 partition),
+#: capacity k+1 ≥ 1/s = 834 means NO global heavy hitter can be
+#: missed. 2048 gives >2x headroom.
+_MG_CAPACITY = 2048
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent token bigrams via the classic two-pass distributed
+    heavy-hitter algorithm: (1) per-partition **Misra-Gries sketches**
+    (fixed memory, mergeable — Agarwal et al., "Mergeable Summaries")
+    produce a small candidate superset that provably contains every
+    bigram with corpus share > 0.12%; (2) only the candidates are
+    exactly recounted (broadcast semi join) and threshold-filtered.
+
+    The output is therefore EXACT — identical to a full groupBy —
+    while the expensive first pass never shuffles: each partition
+    emits ≤ _MG_CAPACITY candidate rows no matter how many billions
+    of grams it scanned, and the recount aggregates a semi-join-pruned
+    stream. The threshold test is pure integer arithmetic
+    (10000·cnt > 12·N), so no float boundary can flip cross-engine.
+
+    This is the ONE textops path using Python (Arrow ``mapInPandas``,
+    vectorized value_counts + batched MG merge — never per-row); the
+    rest of the family is pure built-ins. At 100 TB the alternative
+    (full groupBy over every distinct gram) shuffles the whole gram
+    universe; this shuffles ≤ 32k candidate strings + one count.
+    """
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.select(
+            F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w)).alias("gram"),
+            F.lead("t", 1).over(w).alias("_nxt"),
+        )
+        .filter(F.col("_nxt").isNotNull())
+        .select("gram")
+    )
+    total = grams.count()
+
+    def mg_summaries(batches):
+        # batched Misra-Gries merge: add the batch's value_counts, then
+        # if over capacity subtract the (k+1)-th largest weight from
+        # everyone and drop the non-positive — the standard mergeable-
+        # summary prune, error ≤ N_p/(k+1). Vectorized per batch.
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            acc = acc.add(pdf["gram"].value_counts(), fill_value=0)
+            if len(acc) > _MG_CAPACITY:
+                cut = acc.nlargest(_MG_CAPACITY + 1).iloc[-1]
+                acc = acc[acc > cut] - cut
+        yield pd.DataFrame({"gram": acc.index.astype(str)})
+
+    candidates = grams.mapInPandas(mg_summaries, "gram string").distinct()
+    return (
+        grams.join(F.broadcast(candidates), "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.lit(_HH_DEN) * F.col("cnt") > F.lit(_HH_NUM) * F.lit(total))
+        .orderBy(F.desc("cnt"), "gram")
+    )
+
+
+TEXT_HEAVY_HITTERS_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, u.t, u.pos FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  ), LATERAL (SELECT unnest(toks) AS t, generate_subscripts(toks, 1) AS pos) u
+),
+bg AS (
+  SELECT concat_ws(' ', t, lead(t, 1) OVER w) AS gram,
+         lead(t, 1) OVER w AS nxt
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g AS (SELECT gram FROM bg WHERE nxt IS NOT NULL),
+tot AS (SELECT COUNT(*) AS n FROM g)
+SELECT gram, COUNT(*) AS cnt
+FROM g, tot
+GROUP BY gram, n
+HAVING {_HH_DEN} * COUNT(*) > {_HH_NUM} * n
+ORDER BY cnt DESC, gram
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -758,9 +853,11 @@ QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_source_stats": text_source_stats,
     "text_unigram_perplexity": text_unigram_perplexity,
+    "text_heavy_hitters": text_heavy_hitters,
 }
 
 ORACLES = {
+    "text_heavy_hitters": TEXT_HEAVY_HITTERS_ORACLE,
     "text_token_count_bpe": TEXT_TOKEN_COUNT_BPE_ORACLE,
     "text_chunking": TEXT_CHUNKING_ORACLE,
     "text_token_stats": TEXT_TOKEN_STATS_ORACLE,

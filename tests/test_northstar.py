@@ -321,3 +321,64 @@ def test_incremental_dedup_verdict_consistency(spark):
     n_near = sum(1 for v in verdicts.values() if v == "dropped_near")
     n_kept = sum(1 for v in verdicts.values() if v == "kept")
     assert n_near > 0 and n_kept > n_near
+
+
+def test_substring_spans_cross_doc_only(spark):
+    """A 10-token run shared by two docs flags BOTH; a run repeated
+    only WITHIN one doc flags neither (that's repetition_score's job)."""
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " k l m n o"),
+            (2, "z y " + shared + " q"),
+            (3, " ".join(["p"] * 20)),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.substring_span_report(docs).collect()}
+    assert rows[1]["n_spans"] == 6 and rows[1]["n_dup_spans"] == 1
+    assert rows[2]["n_spans"] == 4 and rows[2]["n_dup_spans"] == 1
+    assert rows[3]["n_spans"] == 11 and rows[3]["n_dup_spans"] == 0
+
+
+def test_heavy_hitters_exact_despite_sketch(spark):
+    """The MG candidate pass is approximate, but the two-pass output
+    must equal the exact full-groupBy answer (candidate-superset
+    guarantee + exact recount)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mysqldatasynctool_spark.functions.text import tokens_col
+    from mysqldatasynctool_spark.sources.fixtures import load
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["gram"], r["cnt"])
+        for r in textops.text_heavy_hitters(spark, sf).collect()
+    ]
+    docs = load(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.select(
+            F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w)).alias("gram"),
+            F.lead("t", 1).over(w).alias("_n"),
+        )
+        .filter(F.col("_n").isNotNull())
+        .select("gram")
+    )
+    total = grams.count()
+    want = [
+        (r["gram"], r["cnt"])
+        for r in grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(
+            F.lit(textops._HH_DEN) * F.col("cnt")
+            > F.lit(textops._HH_NUM) * F.lit(total)
+        )
+        .orderBy(F.desc("cnt"), "gram")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
