@@ -50,6 +50,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_lsh",
     "dedup_paragraph_exact",
+    "dedup_substring_spans",
+    "text_heavy_hitters",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
     "similarity_ivf_pandas",
