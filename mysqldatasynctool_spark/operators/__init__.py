@@ -82,6 +82,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     # Misra-Gries heavy hitters
     "dedup_substring_spans",
     "text_heavy_hitters",
+    "agg_key_skew_report",
     "text_gopher_rules",
     "text_char_entropy",
     "text_source_stats",

@@ -599,6 +599,76 @@ ORDER BY event_type, bucket
 """
 
 
+def agg_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle key-skew diagnosis for a prospective join/agg key —
+    the report you read BEFORE deciding between a plain shuffle join,
+    a broadcast, or the salted rewrite (``join_skew_salted`` /
+    ``events_asof_join_salted`` are the remedies this diagnoses for).
+
+    One row per candidate key column (lineitem.l_orderkey,
+    lineitem.l_suppkey, orders.o_custkey): distinct-key count, total
+    rows, the heaviest key's row count, its corpus share in exact
+    integer ppm (1e6·max/rows, integer division — no float boundary),
+    and the max/mean imbalance factor ×100. A ppm share near 1e6/P
+    (P = shuffle partitions) means one straggler task owns the stage;
+    imbalance ≈ 100 means uniform.
+
+    100 TB shape: each input is ONE count-per-key aggregation (partial
+    agg map-side) followed by a 1-row summary — never a sort or a
+    driver-side key list; the three tiny summaries union at the end.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+
+    def summarize(df: DataFrame, table: str, key: str) -> DataFrame:
+        counts = df.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").alias("c")
+        )
+        # ratios in pure INTEGER division (`div` / `//`): Spark's `/`
+        # is float division and its double→bigint cast truncates while
+        # DuckDB's rounds — integer div sidesteps the whole class
+        return counts.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(key).alias("key_name"),
+            F.count("*").alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_key_rows"),
+        ).select(
+            "*",
+            F.expr("(1000000 * max_key_rows) div n_rows").alias("max_share_ppm"),
+            F.expr("(100 * max_key_rows * n_keys) div n_rows").alias(
+                "imbalance_x100"
+            ),
+        )
+
+    return (
+        summarize(li, "lineitem", "l_orderkey")
+        .unionByName(summarize(li, "lineitem", "l_suppkey"))
+        .unionByName(summarize(orders, "orders", "o_custkey"))
+        .orderBy("table_name", "key_name")
+    )
+
+
+AGG_KEY_SKEW_ORACLE = """
+WITH s AS (
+  SELECT 'lineitem' AS table_name, 'l_orderkey' AS key_name, COUNT(*) AS c
+  FROM lineitem GROUP BY l_orderkey
+  UNION ALL
+  SELECT 'lineitem', 'l_suppkey', COUNT(*) FROM lineitem GROUP BY l_suppkey
+  UNION ALL
+  SELECT 'orders', 'o_custkey', COUNT(*) FROM orders GROUP BY o_custkey
+)
+SELECT table_name, key_name,
+       COUNT(*) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       MAX(c) AS max_key_rows,
+       CAST((1000000 * MAX(c)) // SUM(c) AS BIGINT) AS max_share_ppm,
+       CAST((100 * MAX(c) * COUNT(*)) // SUM(c) AS BIGINT) AS imbalance_x100
+FROM s GROUP BY table_name, key_name
+ORDER BY table_name, key_name
+"""
+
+
 QUERIES = {
     "date_arithmetic": date_arithmetic,
     "join_cross": join_cross,
@@ -616,9 +686,11 @@ QUERIES = {
     "null_conditional": null_conditional,
     "sql_cte_subqueries": sql_cte_subqueries,
     "agg_histogram_fixed_bins": agg_histogram_fixed_bins,
+    "agg_key_skew_report": agg_key_skew_report,
 }
 
 ORACLES = {
+    "agg_key_skew_report": AGG_KEY_SKEW_ORACLE,
     "date_arithmetic": DATE_ARITHMETIC_ORACLE,
     "join_cross": JOIN_CROSS_ORACLE,
     "pivot_status_priority": PIVOT_ORACLE,
