@@ -83,6 +83,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_substring_spans",
     "text_heavy_hitters",
     "agg_key_skew_report",
+    "similarity_kmeans_step",
     "text_gopher_rules",
     "text_char_entropy",
     "text_source_stats",

@@ -261,6 +261,63 @@ ORDER BY label, dim
 """
 
 
+def _assign_cells(
+    spark: SparkSession, emb: DataFrame, probes: int = 1
+) -> tuple[DataFrame, list]:
+    """IVF coarse-cell assignment shared by ``similarity_ivf_pandas``
+    and ``similarity_kmeans_step``: centroids are every 100th vector
+    (collected in vec_id order so numpy's stable argsort tie-break ==
+    ascending centroid id — deterministic AND SQL-expressible); each
+    Arrow batch assigns with ONE numpy matmul and also emits the
+    vector norm so it is never recomputed downstream.
+
+    Returns (frame with ``vec_id, v, vnorm, cells`` where ``cells``
+    is nearest-first probe targets, collected centroid rows).
+    """
+    import numpy as np
+
+    cents = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cent_ids = [r.vec_id for r in cents]
+    cent_mat = np.array([r.v for r in cents], dtype=np.float64)
+    cent_norms = np.linalg.norm(cent_mat, axis=1)
+    b_ids = spark.sparkContext.broadcast(cent_ids)
+    b_mat = spark.sparkContext.broadcast(cent_mat)
+    b_norms = spark.sparkContext.broadcast(cent_norms)
+    n_probe = max(1, min(probes, len(cent_ids)))
+
+    def _assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        mat, norms, ids = b_mat.value, b_norms.value, b_ids.value
+        for pdf in batches:
+            vecs = _np.stack(pdf["v"].to_numpy())
+            vnorms = _np.linalg.norm(vecs, axis=1)
+            sims = (vecs @ mat.T) / (vnorms[:, None] * norms[None, :])
+            # top-probes cells per vector, nearest first (cells[0]
+            # is the assignment cell; the rest are probe targets)
+            top = _np.argsort(-sims, axis=1)[:, :n_probe]
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "v": pdf["v"].values,
+                    "vnorm": vnorms,
+                    "cells": [[ids[i] for i in row] for row in top],
+                }
+            )
+
+    with_cells = emb.select("vec_id", "v").mapInPandas(
+        _assign,
+        schema="vec_id long, v array<double>, vnorm double, cells array<long>",
+    )
+    return with_cells, cents
+
+
 def similarity_ivf_pandas(
     spark: SparkSession, sf_dir: str, probes: int = 1
 ) -> DataFrame:
@@ -294,54 +351,7 @@ def similarity_ivf_pandas(
     verifies assignments against an in-Spark argmin, recall > 0 vs
     brute force, and that probes=2 recall >= probes=1 recall.
     """
-    import numpy as np
-
-    emb = _vecs(spark, sf_dir)
-    # vec_id-ordered collect: centroid INDEX order (numpy's stable
-    # argsort tie-break) == ascending centroid id, so the assignment
-    # is deterministic across runs and expressible as a SQL window
-    cents = (
-        emb.filter(F.col("vec_id") % 100 == 0)
-        .select("vec_id", "v")
-        .orderBy("vec_id")
-        .collect()
-    )
-    cent_ids = [r.vec_id for r in cents]
-    cent_mat = np.array([r.v for r in cents], dtype=np.float64)
-    cent_norms = np.linalg.norm(cent_mat, axis=1)
-    b_ids = spark.sparkContext.broadcast(cent_ids)
-    b_mat = spark.sparkContext.broadcast(cent_mat)
-    b_norms = spark.sparkContext.broadcast(cent_norms)
-    n_probe = max(1, min(probes, len(cent_ids)))
-
-    def make_assign():
-        def _assign(batches):
-            import numpy as _np
-            import pandas as _pd
-
-            mat, norms, ids = b_mat.value, b_norms.value, b_ids.value
-            for pdf in batches:
-                vecs = _np.stack(pdf["v"].to_numpy())
-                vnorms = _np.linalg.norm(vecs, axis=1)
-                sims = (vecs @ mat.T) / (vnorms[:, None] * norms[None, :])
-                # top-probes cells per vector, nearest first (cells[0]
-                # is the assignment cell; the rest are probe targets)
-                top = _np.argsort(-sims, axis=1)[:, :n_probe]
-                yield _pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].values,
-                        "v": pdf["v"].values,
-                        "vnorm": vnorms,
-                        "cells": [[ids[i] for i in row] for row in top],
-                    }
-                )
-
-        return _assign
-
-    with_cells = emb.select("vec_id", "v").mapInPandas(
-        make_assign(),
-        schema="vec_id long, v array<double>, vnorm double, cells array<long>",
-    )
+    with_cells, _cents = _assign_cells(spark, _vecs(spark, sf_dir), probes)
     # corpus vectors live in their single assignment cell; query rows
     # fan out to every probed cell. The query side is re-aliased
     # (fresh expression ids) because both cogroup inputs derive from
@@ -456,6 +466,137 @@ ORDER BY qid, rank
 """
 
 
+#: embedding dimensionality of the fixture corpus (constant across
+#: scales; asserted at runtime by the componentwise-mean construction)
+EMB_DIM = 64
+
+
+def similarity_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical k-means (cosine Lloyd) refinement step over the
+    IVF coarse cells — the iterative-clustering representative of the
+    similarity family (PageRank plays that role for graphs).
+
+    Starting from the shared IVF seeding/assignment
+    (``_assign_cells``), each cell's centroid is re-estimated as the
+    componentwise mean of its UNIT vectors — the spherical k-means
+    update, which for a fixed assignment provably maximizes the mean
+    cosine (cosine is scale-invariant, so Σᵢ cos(xᵢ,c) = u·c/|c| with
+    u = Σ xᵢ/|xᵢ|, maximized at c ∥ u). The per-cell report therefore
+    carries a mathematically guaranteed invariant the oracle checks
+    as a hard boolean: ``improved`` (mean cosine to the new centroid
+    ≥ mean cosine to the seed centroid, to 1e-6).
+
+    Numeric discipline: per-vector cosines round to 6 dp, means are
+    exact DECIMAL sums of the rounded values / count (both engines),
+    and the update itself is rounding-robust — double-sum order drift
+    between Spark's avg and DuckDB's is ~1e-13, five orders below the
+    rounding quantum.
+
+    100 TB shape: assignment is the IVF matmul scan; the update is ONE
+    groupBy(cell) with 64 avg aggregates (partial map-side, k×64
+    doubles total); new centroids broadcast back (k rows) for the
+    scoring pass; final agg is k rows. Iterating = looping this step
+    with the new centroids fed back in — each step is shuffle-bounded
+    by k×(dim+2) values, independent of corpus size.
+    """
+    emb = _vecs(spark, sf_dir)
+    with_cells, cents = _assign_cells(spark, emb, probes=1)
+    assigned = with_cells.select(
+        "vec_id", "v", "vnorm", F.element_at("cells", 1).alias("cell")
+    )
+    old = spark.createDataFrame(
+        [(r.vec_id, list(r.v)) for r in cents], "cell long, cv array<double>"
+    )
+    # spherical update: componentwise mean of unit vectors per cell
+    unit = [
+        (F.col("v")[i] / F.col("vnorm")).alias(f"u{i}") for i in range(EMB_DIM)
+    ]
+    newc = (
+        assigned.select("cell", *unit)
+        .groupBy("cell")
+        .agg(*[F.avg(f"u{i}").alias(f"m{i}") for i in range(EMB_DIM)])
+        .select("cell", F.array(*[F.col(f"m{i}") for i in range(EMB_DIM)]).alias("nc"))
+    )
+    scored = (
+        assigned.join(F.broadcast(old), "cell")
+        .join(F.broadcast(newc), "cell")
+        .select(
+            "cell",
+            F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("cos_old"),
+            F.round(_cosine(F.col("v"), F.col("nc")), 6).alias("cos_new"),
+        )
+    )
+    mean6 = lambda c: F.round(  # noqa: E731 — exact decimal mean, 6 dp
+        F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+    )
+    return (
+        scored.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            mean6("cos_old").alias("mean_cos_old"),
+            mean6("cos_new").alias("mean_cos_new"),
+        )
+        .select(
+            "*",
+            (F.col("mean_cos_new") >= F.col("mean_cos_old") - F.lit(1e-6)).alias(
+                "improved"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+SIMILARITY_KMEANS_STEP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv, vnorm AS cnorm FROM e WHERE vec_id % 100 = 0),
+aff AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, c.cv) / (e.vnorm * c.cnorm) AS sim
+  FROM e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM aff
+  ) WHERE rn = 1
+),
+corpus AS (
+  SELECT e.vec_id, e.v, e.vnorm, a.cell FROM e JOIN assign a USING (vec_id)
+),
+comp AS (
+  SELECT cell, u.ord, AVG(u.val / vnorm) AS m
+  FROM corpus,
+       LATERAL (SELECT unnest(v) AS val, generate_subscripts(v, 1) AS ord) u
+  GROUP BY cell, u.ord
+),
+newc AS (SELECT cell, list(m ORDER BY ord) AS nc FROM comp GROUP BY cell),
+scored AS (
+  SELECT cor.cell,
+         ROUND(list_dot_product(cor.v, c.cv)
+               / (cor.vnorm * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_old,
+         ROUND(list_dot_product(cor.v, n.nc)
+               / (cor.vnorm * sqrt(list_dot_product(n.nc, n.nc))), 6) AS cos_new
+  FROM corpus cor
+  JOIN c ON c.cid = cor.cell
+  JOIN newc n ON n.cell = cor.cell
+)
+SELECT cell, COUNT(*) AS n_assigned,
+       ROUND(CAST(SUM(CAST(cos_old AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_cos_old,
+       ROUND(CAST(SUM(CAST(cos_new AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_cos_new,
+       ROUND(CAST(SUM(CAST(cos_new AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         >= ROUND(CAST(SUM(CAST(cos_old AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+            - 0.000001 AS improved
+FROM scored GROUP BY cell ORDER BY cell
+"""
+
+
 def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization audit for the embedding store —
     the compression step a 100 TB vector corpus runs before ANN
@@ -536,6 +677,7 @@ QUERIES = {
     "similarity_lsh_bucketed": similarity_lsh_bucketed,
     "similarity_label_centroids": similarity_label_centroids,
     "similarity_ivf_pandas": similarity_ivf_pandas,
+    "similarity_kmeans_step": similarity_kmeans_step,
 }
 
 ORACLES = {
@@ -544,4 +686,5 @@ ORACLES = {
     "similarity_lsh_bucketed": _lsh_oracle(),
     "similarity_label_centroids": SIMILARITY_CENTROIDS_ORACLE,
     "similarity_ivf_pandas": SIMILARITY_IVF_ORACLE,
+    "similarity_kmeans_step": SIMILARITY_KMEANS_STEP_ORACLE,
 }

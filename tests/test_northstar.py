@@ -382,3 +382,15 @@ def test_heavy_hitters_exact_despite_sketch(spark):
         .collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_kmeans_step_invariants(spark):
+    """Spherical update must (a) conserve vectors across cells and
+    (b) never decrease any cell's mean cosine — the Lloyd guarantee."""
+    rows = similarity.similarity_kmeans_step(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert sum(r["n_assigned"] for r in rows) == 500
+    assert all(r["improved"] for r in rows)
+    # the step should do real work: at least one cell strictly improves
+    assert any(r["mean_cos_new"] > r["mean_cos_old"] for r in rows)
