@@ -84,6 +84,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "text_heavy_hitters",
     "agg_key_skew_report",
     "similarity_kmeans_step",
+    "events_interval_overlap_join",
     "text_gopher_rules",
     "text_char_entropy",
     "text_source_stats",

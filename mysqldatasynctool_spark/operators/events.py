@@ -781,6 +781,101 @@ FROM s4 ORDER BY zkey, event_id
 """
 
 
+#: interval-overlap join bucket width (seconds)
+_OVERLAP_BUCKET_SEC = 3600
+
+
+def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large **interval-overlap join** via time bucketing — the
+    scalable rewrite of ``a.start <= b.end AND b.start <= a.end``,
+    which Spark would otherwise execute as a nested-loop product
+    (``join_range_nonequi`` shows the broadcast small-dim case; this
+    is the case where BOTH interval sets are fact-sized).
+
+    Intervals: per-(user, day) activity spans vs per-(event_type, day)
+    activity spans. Each interval fans out to the hour buckets it
+    covers; the join becomes an EQUI-join on bucket + exact overlap
+    refinement. The classic double-count problem (a pair sharing many
+    buckets) is solved credit-assignment-style, not with DISTINCT:
+    a pair counts only in the bucket containing the later of the two
+    starts — every overlapping pair has exactly one such bucket, so
+    no dedup shuffle exists at all.
+
+    Output is integer overlap seconds (unix-truncated; exact in both
+    engines — the oracle floors epoch() explicitly because DuckDB's
+    double→bigint cast ROUNDS while unix_timestamp truncates).
+
+    100 TB: fan-out factor = interval span / bucket width (bounded by
+    24 here); the only shuffles are the two grouped interval builds
+    and one equi-join keyed on (bucket) with AQE-handled skew; the
+    quadratic inequality join never appears — the plan audit's
+    no-BNLJ rule holds.
+    """
+    ev = load(spark, sf_dir, "events")
+    a = ev.groupBy("user_id", F.to_date("ts").alias("a_day")).agg(
+        F.min(F.unix_timestamp("ts")).alias("a_start"),
+        F.max(F.unix_timestamp("ts")).alias("a_end"),
+    )
+    b = ev.groupBy("event_type", F.to_date("ts").alias("b_day")).agg(
+        F.min(F.unix_timestamp("ts")).alias("b_start"),
+        F.max(F.unix_timestamp("ts")).alias("b_end"),
+    )
+    bk = _OVERLAP_BUCKET_SEC
+    ae = a.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(F.floor(F.col("a_start") / bk), F.floor(F.col("a_end") / bk))
+        ),
+    )
+    be = b.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(F.floor(F.col("b_start") / bk), F.floor(F.col("b_end") / bk))
+        ),
+    )
+    return (
+        ae.join(be, "bucket")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+            & (
+                F.col("bucket")
+                == F.floor(F.greatest("a_start", "b_start") / bk)
+            )
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum(
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).alias("overlap_sec"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+EVENTS_INTERVAL_OVERLAP_ORACLE = """
+WITH a AS (
+  SELECT user_id,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS a_start,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS a_end
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+b AS (
+  SELECT event_type,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS b_start,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS b_end
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT user_id, event_type, COUNT(*) AS n_overlaps,
+       CAST(SUM(LEAST(a_end, b_end) - GREATEST(a_start, b_start)) AS BIGINT)
+         AS overlap_sec
+FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
 QUERIES = {
     "events_json_extract": events_json_extract,
     "events_tumbling_window": events_tumbling_window,
@@ -796,6 +891,7 @@ QUERIES = {
     "events_hypertable_rollup": events_hypertable_rollup,
     "events_anomaly_zscore": events_anomaly_zscore,
     "events_zorder_key": events_zorder_key,
+    "events_interval_overlap_join": events_interval_overlap_join,
 }
 
 ORACLES = {
@@ -813,4 +909,5 @@ ORACLES = {
     "events_hypertable_rollup": EVENTS_HYPERTABLE_ROLLUP_ORACLE,
     "events_anomaly_zscore": EVENTS_ANOMALY_ZSCORE_ORACLE,
     "events_zorder_key": EVENTS_ZORDER_KEY_ORACLE,
+    "events_interval_overlap_join": EVENTS_INTERVAL_OVERLAP_ORACLE,
 }

@@ -207,3 +207,20 @@ def test_asof_join_salted_partitions_by_user_and_bucket(spark):
     assert hash_parts, "expected hash exchanges"
     for keys in hash_parts:
         assert "user_id" in keys and "bucket" in keys, keys
+
+
+def test_interval_overlap_join_is_equi_bucketed(spark):
+    """The large-large interval-overlap join must execute as an
+    EQUI-join on the hour bucket (hash/sort-merge), never the
+    nested-loop product the raw inequality predicate would plan;
+    the credit-assignment bucket filter means no dedup shuffle."""
+    from mysqldatasynctool_spark.operators import events
+
+    plan = _plan(spark, events.events_interval_overlap_join(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    # no distinct-dedup of pair hits anywhere in the plan
+    assert "Deduplicate" not in plan
