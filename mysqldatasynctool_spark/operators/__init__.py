@@ -85,6 +85,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_key_skew_report",
     "similarity_kmeans_step",
     "events_interval_overlap_join",
+    "join_fuzzy_ed1",
     "text_gopher_rules",
     "text_char_entropy",
     "text_source_stats",

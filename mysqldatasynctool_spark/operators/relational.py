@@ -580,6 +580,91 @@ ORDER BY o.o_orderpriority
 """
 
 
+def join_fuzzy_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join at edit distance ≤ 1 via **deletion
+    neighborhoods** (the SymSpell blocking scheme) — the scalable
+    entity-resolution alternative to a quadratic
+    ``levenshtein(a,b) <= 1`` theta join, which Spark could only plan
+    as a nested-loop product.
+
+    Every name emits itself plus its |name| single-deletion variants
+    as join keys; two strings within edit distance 1 (one sub, one
+    ins, one del, or equal) are GUARANTEED to share ≥ 1 key, so an
+    EQUI-join on the key finds a candidate superset, verified by the
+    real ``levenshtein``. Per-customer output: the count of distinct
+    ed≤1 neighbors.
+
+    100 TB shape: fan-out = |name|+1 keys/row (~19 here); the key
+    join shuffles (key, id, name) only; candidate verification is a
+    cheap JVM levenshtein on matched rows; the only extra shuffle is
+    the pair-level DISTINCT (a pair can match on several shared
+    keys). Hot deletion keys (very common names) are ordinary
+    groupBy skew — AQE splits them; nothing is ever all-pairs.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    keys = cust.select(
+        "id",
+        "name",
+        F.explode(
+            F.concat(
+                F.array(F.col("name")),
+                F.expr(
+                    "transform(sequence(1, length(name)),"
+                    " i -> concat(substr(name, 1, i - 1), substr(name, i + 1)))"
+                ),
+            )
+        ).alias("key"),
+    )
+    a = keys.select(
+        F.col("id").alias("ida"), F.col("name").alias("na"), "key"
+    )
+    b = keys.select(
+        F.col("id").alias("idb"), F.col("name").alias("nb"), "key"
+    )
+    pairs = (
+        a.join(b, "key")
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "na", "idb", "nb")
+        .distinct()
+        .filter(F.levenshtein("na", "nb") <= 1)
+    )
+    sides = pairs.select(
+        F.col("ida").alias("id"), F.col("na").alias("name")
+    ).unionAll(pairs.select(F.col("idb").alias("id"), F.col("nb").alias("name")))
+    return (
+        sides.groupBy("id", "name")
+        .agg(F.count("*").alias("n_neighbors"))
+        .orderBy("id")
+    )
+
+
+JOIN_FUZZY_ED1_ORACLE = """
+WITH n AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+keys AS (
+  SELECT id, name, name AS key FROM n
+  UNION ALL
+  SELECT id, name,
+         substr(name, 1, CAST(i AS INT) - 1) || substr(name, CAST(i AS INT) + 1)
+           AS key
+  FROM n, LATERAL (SELECT unnest(generate_series(1, length(name))) AS i) g
+),
+cand AS (
+  SELECT DISTINCT a.id AS ida, a.name AS na, b.id AS idb, b.name AS nb
+  FROM keys a JOIN keys b ON a.key = b.key AND a.id < b.id
+),
+pairs AS (SELECT * FROM cand WHERE levenshtein(na, nb) <= 1),
+sides AS (
+  SELECT ida AS id, na AS name FROM pairs
+  UNION ALL
+  SELECT idb, nb FROM pairs
+)
+SELECT id, name, COUNT(*) AS n_neighbors
+FROM sides GROUP BY id, name ORDER BY id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q1_pricing_summary_fast": q1_pricing_summary_fast,
@@ -598,6 +683,7 @@ QUERIES = {
     "scalar_functions": scalar_functions,
     "sort_limit_topk": sort_limit_topk,
     "join_skew_salted": join_skew_salted,
+    "join_fuzzy_ed1": join_fuzzy_ed1,
 }
 
 ORACLES = {
@@ -619,4 +705,5 @@ ORACLES = {
     "scalar_functions": SCALAR_FUNCTIONS_ORACLE,
     "sort_limit_topk": SORT_LIMIT_TOPK_ORACLE,
     "join_skew_salted": JOIN_SKEW_SALTED_ORACLE,
+    "join_fuzzy_ed1": JOIN_FUZZY_ED1_ORACLE,
 }

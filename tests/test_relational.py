@@ -46,3 +46,75 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_fuzzy_ed1_blocking_has_full_recall(spark):
+    """Deletion-neighborhood blocking must find EVERY true ed<=1 pair
+    (substitution, insertion, deletion, plus near-miss ed=2 excluded)
+    — verified against a brute-force levenshtein sweep on a crafted
+    set, through the same join machinery but a tiny in-memory frame."""
+    from pyspark.sql import functions as F
+
+    names = [
+        (1, "alpha"),   # sub of 2 ("alpho"), del of 4 ("alpha"->"alph")
+        (2, "alpho"),
+        (3, "alph"),
+        (4, "aalpha"),  # insertion
+        (5, "beta"),    # isolated
+        (6, "alpXa"),   # substitution mid-string
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    keys = df.select(
+        "id",
+        "name",
+        F.explode(
+            F.concat(
+                F.array(F.col("name")),
+                F.expr(
+                    "transform(sequence(1, length(name)),"
+                    " i -> concat(substr(name, 1, i - 1), substr(name, i + 1)))"
+                ),
+            )
+        ).alias("key"),
+    )
+    a = keys.select(F.col("id").alias("ida"), F.col("name").alias("na"), "key")
+    b = keys.select(F.col("id").alias("idb"), F.col("name").alias("nb"), "key")
+    got = {
+        (r["ida"], r["idb"])
+        for r in a.join(b, "key")
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "na", "idb", "nb")
+        .distinct()
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .collect()
+    }
+    import itertools
+
+    def lev(s, t):
+        d = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, d[0] = d[0], i
+            for j, ct in enumerate(t, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cs != ct))
+        return d[-1]
+
+    want = {
+        (x[0], y[0])
+        for x, y in itertools.combinations(names, 2)
+        if lev(x[1], y[1]) <= 1
+    }
+    assert got == want and len(want) >= 4
+
+
+def test_fuzzy_ed1_plan_no_nested_loop(spark):
+    plan = (
+        relational.join_fuzzy_ed1(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
