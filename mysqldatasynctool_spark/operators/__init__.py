@@ -86,6 +86,8 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_kmeans_step",
     "events_interval_overlap_join",
     "join_fuzzy_ed1",
+    "events_session_window_builtin",
+    "events_sliding_distinct_users",
     "text_gopher_rules",
     "text_char_entropy",
     "text_source_stats",

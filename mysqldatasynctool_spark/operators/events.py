@@ -781,6 +781,117 @@ FROM s4 ORDER BY zkey, event_id
 """
 
 
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window``
+    (the same operator Structured Streaming uses for stateful session
+    aggregation, here in batch) — the built-in twin of the manual
+    lag + cumulative-flag formulation in ``events_sessionization``.
+
+    Semantics differ from the manual twin at the boundary ON PURPOSE
+    and the oracle replicates them exactly: session_window merges an
+    event into the previous session iff ts − prev_ts < gap at FULL
+    microsecond precision (the manual twin compares truncated seconds
+    with strict >), and the reported ``session_end`` is last-event
+    + gap, not last-event. The oracle therefore compares native
+    interval arithmetic (int64 micros in both engines — no float
+    epoch) and adds the gap to MAX(ts).
+
+    100 TB: one shuffle on (user_id, merged windows); Spark plans
+    batch session_window as sort + merge within partitions — same
+    cost class as the manual window formulation, but directly
+    portable to the streaming job (streaming/jobs.py session path).
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec(F.col("value"), 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+EVENTS_SESSION_WINDOW_BUILTIN_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT-user counts over sliding windows (1 h window,
+    15 min slide) — each event lands in 4 overlapping windows via the
+    built-in ``window()`` fan-out, then ``countDistinct`` per window.
+
+    The existing ``events_sliding_window`` counts EVENTS (algebraic,
+    partial-agg); distinct users are the non-algebraic case — Spark
+    plans countDistinct as the two-level expand/agg rewrite, i.e. the
+    (window, user) dedup happens map-side-partial first, so the
+    shuffle carries at most one row per (window, user), never the raw
+    event stream. At 100 TB the exact form is the baseline the
+    HLL-sketch variant (`approx_count_distinct`) would be judged
+    against — same pattern as agg_approx_distinct's bound column.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_users",
+        )
+        .orderBy("win_start")
+    )
+
+
+EVENTS_SLIDING_DISTINCT_ORACLE = """
+WITH fan AS (
+  -- width 3600 = 4 x slide 900: every event is in exactly 4 windows,
+  -- starts aligned to epoch multiples of the slide (Spark's window()
+  -- alignment). make_timestamp (NOT to_timestamp: that returns
+  -- TIMESTAMPTZ) rebuilds the naive timestamp from micros.
+  SELECT user_id,
+         make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - k.k) * 900
+                        * 1000000) AS win_start
+  FROM events,
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT win_start,
+       win_start + INTERVAL 1 HOUR AS win_end,
+       COUNT(DISTINCT user_id) AS n_users
+FROM fan
+GROUP BY win_start
+ORDER BY win_start
+"""
+
+
 #: interval-overlap join bucket width (seconds)
 _OVERLAP_BUCKET_SEC = 3600
 
@@ -892,6 +1003,8 @@ QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "events_zorder_key": events_zorder_key,
     "events_interval_overlap_join": events_interval_overlap_join,
+    "events_session_window_builtin": events_session_window_builtin,
+    "events_sliding_distinct_users": events_sliding_distinct_users,
 }
 
 ORACLES = {
@@ -910,4 +1023,6 @@ ORACLES = {
     "events_anomaly_zscore": EVENTS_ANOMALY_ZSCORE_ORACLE,
     "events_zorder_key": EVENTS_ZORDER_KEY_ORACLE,
     "events_interval_overlap_join": EVENTS_INTERVAL_OVERLAP_ORACLE,
+    "events_session_window_builtin": EVENTS_SESSION_WINDOW_BUILTIN_ORACLE,
+    "events_sliding_distinct_users": EVENTS_SLIDING_DISTINCT_ORACLE,
 }

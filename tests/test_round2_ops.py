@@ -213,3 +213,21 @@ def test_asof_salted_equals_single_exchange_form(spark):
     # tolerance path was never exercised
     assert any(r.click_ts is None for r in base)
     assert any(r.click_ts is not None for r in base)
+
+
+def test_session_window_builtin_sessions_disjoint(spark):
+    """Native session_window sessions must be disjoint per user and
+    each span >= the 30-min gap (end = last event + gap)."""
+    from mysqldatasynctool_spark.operators import events as ev_ops
+
+    rows = ev_ops.events_session_window_builtin(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    prev_end, prev_user = None, None
+    for r in rows:
+        assert (r["session_end"] - r["session_start"]).total_seconds() >= 1800
+        if r["user_id"] == prev_user:
+            # next session starts at/after the previous session's end
+            assert r["session_start"] >= prev_end
+        prev_user, prev_end = r["user_id"], r["session_end"]
