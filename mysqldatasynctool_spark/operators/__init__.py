@@ -88,6 +88,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "join_fuzzy_ed1",
     "events_session_window_builtin",
     "events_sliding_distinct_users",
+    "join_bloom_pruned_semi",
     "text_gopher_rules",
     "text_char_entropy",
     "text_source_stats",

@@ -640,6 +640,132 @@ def join_fuzzy_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_prefilter(
+    spark: SparkSession,
+    dim_keys: DataFrame,
+    fact: DataFrame,
+    fact_key: str,
+    bits_per_key: int = 16,
+) -> DataFrame:
+    """Filter ``fact`` to rows whose ``fact_key`` MIGHT be in the
+    single-column ``dim_keys`` frame, via a distributed-built bloom
+    filter (k=2 xxhash64 seeds, m = next-pow2 of bits_per_key·n —
+    fp ≈ 0.7% at 16 bits/key). See ``join_bloom_pruned_semi`` for the
+    scale rationale. Guarantees NO false negatives; callers follow
+    with an exact join to kill the false positives.
+    """
+    import math
+
+    n = max(dim_keys.count(), 1)
+    m = 1 << max(10, math.ceil(math.log2(n * bits_per_key)))
+    n_words = m // 64
+    key_col = dim_keys.columns[0]
+
+    def _h(col, seed: int):
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m))
+
+    # dynamic shift amounts need SQL shiftleft/shiftright — the
+    # PySpark wrappers only accept Python-int bit counts
+    _bit_set = (
+        "shiftright(element_at(__bloom_words, CAST(__h{i} DIV 64 AS INT) + 1),"
+        " CAST(__h{i} % 64 AS INT)) & 1 = 1"
+    )
+    bits = dim_keys.select(
+        F.explode(
+            F.array(_h(F.col(key_col), 1), _h(F.col(key_col), 2))
+        ).alias("pos")
+    )
+    words_df = (
+        bits.select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    present = {r["word"]: r["bits"] for r in words_df.collect()}
+    bitmap = spark.createDataFrame(
+        [(1, [present.get(i, 0) for i in range(n_words)])],
+        "__bloom_k int, __bloom_words array<bigint>",
+    )
+    return (
+        fact.withColumn("__bloom_k", F.lit(1))
+        .join(F.broadcast(bitmap), "__bloom_k")
+        .withColumn("__h1", _h(F.col(fact_key), 1))
+        .withColumn("__h2", _h(F.col(fact_key), 2))
+        .filter(F.expr(f"({_bit_set.format(i=1)}) AND ({_bit_set.format(i=2)})"))
+        .drop("__bloom_k", "__bloom_words", "__h1", "__h2")
+    )
+
+
+def join_bloom_pruned_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with an explicit **distributed bloom-filter prefilter**
+    — the compact-filter pushdown Spark's runtime row-level filtering
+    applies automatically when its thresholds trigger, here built as a
+    first-class deterministic operator (usable across stages, sessions
+    or pipeline steps, e.g. shipping a dim's key filter to a separate
+    fact-scan job).
+
+    Build (fully distributed, NEVER collects the key set): each dim
+    key emits k=2 hash bit positions; a groupBy(word) + bit_or
+    aggregation reduces them to the m/64-long bitmap words — shuffle
+    and collect are bounded by the BITMAP size (m/64 rows), not the
+    dim cardinality. m is sized 16 bits/key (fp ≈ 0.7%) from a 1-row
+    count. The bitmap rides into the fact scan as a SINGLE broadcast
+    row (never a literal array — a 16k-element literal would bloat
+    every serialized plan); Catalyst pushes the probe predicate into
+    the join condition, so the physical node is a 1-row-build
+    BroadcastNestedLoopJoin — i.e. exactly a broadcast map-side
+    filter (allowlisted as such in the plan audit). The probe is pure
+    JVM bit arithmetic: element_at(words, h div 64) >> (h mod 64) & 1
+    for both xxhash64 seeds. False positives are killed by the exact
+    semi join on the survivors, so the RESULT is identical to the
+    plain semi join — which is exactly what the oracle states.
+
+    100 TB: the fact side drops ~(1-fp) of non-matching rows BEFORE
+    the semi-join exchange; the bloom build reads the (already
+    filtered, small) dim once. Runtime test asserts no false
+    negatives and that survivors ≈ true matches, not the fact table.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-03-08").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    survivors = bloom_prefilter(
+        spark, orders.select("o_orderkey"), li, "l_orderkey"
+    )
+    return (
+        survivors.join(
+            F.broadcast(orders.select("o_orderkey")),
+            survivors.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+JOIN_BLOOM_PRUNED_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+    AND o_orderdate <  TIMESTAMP '1997-03-08'
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 JOIN_FUZZY_ED1_ORACLE = """
 WITH n AS (SELECT c_custkey AS id, c_name AS name FROM customer),
 keys AS (
@@ -684,6 +810,7 @@ QUERIES = {
     "sort_limit_topk": sort_limit_topk,
     "join_skew_salted": join_skew_salted,
     "join_fuzzy_ed1": join_fuzzy_ed1,
+    "join_bloom_pruned_semi": join_bloom_pruned_semi,
 }
 
 ORACLES = {
@@ -706,4 +833,5 @@ ORACLES = {
     "sort_limit_topk": SORT_LIMIT_TOPK_ORACLE,
     "join_skew_salted": JOIN_SKEW_SALTED_ORACLE,
     "join_fuzzy_ed1": JOIN_FUZZY_ED1_ORACLE,
+    "join_bloom_pruned_semi": JOIN_BLOOM_PRUNED_ORACLE,
 }

@@ -118,3 +118,47 @@ def test_fuzzy_ed1_plan_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
+    """The bloom prefilter must pass EVERY true match (no false
+    negatives) and prune the vast majority of non-matching fact rows
+    (fp ~0.7% at 16 bits/key)."""
+    from pyspark.sql import functions as F
+
+    from mysqldatasynctool_spark.sources.fixtures import load
+
+    sf = "/root/testdata/sf0.01"
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-03-08").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem")
+    keys = orders.select("o_orderkey")
+    survivors = relational.bloom_prefilter(spark, keys, li, "l_orderkey")
+    true_matches = li.join(
+        keys, li.l_orderkey == F.col("o_orderkey"), "left_semi"
+    ).count()
+    n_surv, n_total = survivors.count(), li.count()
+    assert n_surv >= true_matches  # no false negatives
+    # pruning is real: survivors are a small fraction of the fact side
+    assert n_surv <= true_matches + max(50, int(0.02 * n_total))
+
+
+def test_bloom_join_plan_broadcast_no_nested_loop(spark):
+    plan = (
+        relational.join_bloom_pruned_semi(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    assert "CartesianProduct" not in plan
+    # the bitmap attaches as a 1-row broadcast whose probe predicate
+    # Catalyst pushes into the join condition (allowlisted BNLJ — a
+    # broadcast map-side filter); the exact semi join must be a
+    # broadcast hash join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "shiftright" in plan  # the bloom probe reached the plan

@@ -45,6 +45,11 @@ ALLOWED_CARTESIAN = {
     # single-partition sort
     "window_pareto_cumshare": "1-row grand-total broadcast (scalar subquery)",
     "migration_incremental": "1-row watermark broadcast (scalar subquery)",
+    # the bloom bitmap rides in as a single broadcast row; with the
+    # probe predicate pushed into the join condition the 1-row-build
+    # BNLJ IS the intended physical plan — a broadcast map-side filter
+    # ahead of the exact semi join (relational.bloom_prefilter)
+    "join_bloom_pruned_semi": "1-row bloom-bitmap broadcast filter",
 }
 
 #: queries allowed to contain row-at-a-time BatchEvalPython (none —
