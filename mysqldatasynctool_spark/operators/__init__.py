@@ -46,13 +46,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "events_asof_join_salted",
     "events_hypertable_rollup",
     "similarity_ivf_pandas",
-    "events_retention_cohorts",
-    "similarity_topk_bruteforce",
-    "similarity_lsh_bucketed",
-    "similarity_label_centroids",
-    "similarity_quantize_int8",
-    "events_sessionization",
-    "events_funnel_join",
     # NEW in r6 — need a first driver row
     "migration_cdc_apply",
     "text_pii_scrub",
@@ -104,6 +97,17 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_column_profile",
     "setop_except_distinct",
     "setop_intersect_all",
+    # the 49 entries above + IVF exactly fill the driver's 50-slot
+    # window with every never-checked query; stale-green re-checks
+    # (code changed after their newest green row) start here and
+    # rotate in across following rounds
+    "events_retention_cohorts",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "similarity_label_centroids",
+    "similarity_quantize_int8",
+    "events_sessionization",
+    "events_funnel_join",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
