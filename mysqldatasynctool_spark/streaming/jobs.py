@@ -166,6 +166,35 @@ def streaming_sliding_counts(events: DataFrame, watermark: str = "1 hour") -> Da
     )
 
 
+def streaming_sliding_distinct_users(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exact distinct users per sliding 1h/15m window — streaming twin
+    of operators/events.events_sliding_distinct_users.
+
+    Streaming state can't hold a per-window user SET via
+    countDistinct (not supported on streams); the incremental
+    formulation dedups first — dropDuplicates on (window, user_id)
+    keeps at most ONE state row per pair inside the watermark horizon
+    — then counts rows per window. Same two-level shape Spark plans
+    for batch countDistinct, expressed as composable streaming ops.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id", "ts"
+        )
+        .dropDuplicates(["w", "user_id"])
+        .groupBy("w")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_users",
+        )
+    )
+
+
 def streaming_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session windows (30-minute gap) per user — the
     streaming counterpart of the batch lag/cumsum sessionization

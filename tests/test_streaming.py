@@ -16,6 +16,7 @@ from mysqldatasynctool_spark.streaming import (
     streaming_dedup_within_watermark,
     streaming_session_windows,
     streaming_sliding_counts,
+    streaming_sliding_distinct_users,
     streaming_stateful_user_counts,
     streaming_tumbling_counts,
 )
@@ -58,6 +59,21 @@ def test_streaming_sliding_matches_batch_twin(spark):
     )
     batch = ev_ops.events_sliding_window(spark, SF)
     assert _rows(out, ["window_start", "n"]) == _rows(batch, ["window_start", "n"])
+
+
+def test_streaming_sliding_distinct_matches_batch_twin(spark):
+    """Incremental dedup-then-count must equal batch countDistinct
+    exactly (same windows, same exact user sets)."""
+    stream = read_events_stream(spark, SF)
+    out = run_to_memory_sink(
+        streaming_sliding_distinct_users(stream),
+        "t_sliding_distinct",
+        output_mode="complete",
+    )
+    batch = ev_ops.events_sliding_distinct_users(spark, SF)
+    assert _rows(out, ["win_start", "win_end", "n_users"]) == _rows(
+        batch, ["win_start", "win_end", "n_users"]
+    )
 
 
 def test_streaming_session_windows(spark):
