@@ -82,6 +82,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "events_session_window_builtin",
     "events_sliding_distinct_users",
     "join_bloom_pruned_semi",
+    "window_time_range_frame",
     "text_gopher_rules",
     "text_char_entropy",
     "text_source_stats",

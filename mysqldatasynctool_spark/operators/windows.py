@@ -336,6 +336,51 @@ ORDER BY user_id, ts, event_id
 """
 
 
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval RANGE frame: for each event, the count and exact
+    decimal sum of the same user's events in the trailing hour —
+    value-based framing on unix SECONDS (window_range_frame is the
+    numeric-value sibling on price). Equal-timestamp peers share the
+    frame in both engines (RANGE semantics), so ties are
+    deterministic without an id tiebreaker.
+
+    100 TB: one shuffle on user_id; the frame is evaluated by a
+    per-partition sliding accumulator, never a per-row rescan. The
+    epoch column is floor-truncated once (unix_timestamp) — same
+    discipline as the interval-overlap join (DuckDB's double→bigint
+    cast rounds, so the oracle floors explicitly).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count("*").over(w).alias("n_last_hour"),
+            F.sum(_dec(F.col("value"), 6)).over(w).cast("double").alias(
+                "sum_last_hour"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+WINDOW_TIME_RANGE_ORACLE = """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "window_value_functions": window_value_functions,
     "window_topk_per_group": window_topk_per_group,
@@ -345,6 +390,7 @@ QUERIES = {
     "window_range_frame": window_range_frame,
     "window_pareto_cumshare": window_pareto_cumshare,
     "window_ewma_dyadic": window_ewma_dyadic,
+    "window_time_range_frame": window_time_range_frame,
 }
 
 ORACLES = {
@@ -356,4 +402,5 @@ ORACLES = {
     "window_range_frame": WINDOW_RANGE_FRAME_ORACLE,
     "window_pareto_cumshare": WINDOW_PARETO_ORACLE,
     "window_ewma_dyadic": WINDOW_EWMA_ORACLE,
+    "window_time_range_frame": WINDOW_TIME_RANGE_ORACLE,
 }

@@ -162,3 +162,80 @@ def test_bloom_join_plan_broadcast_no_nested_loop(spark):
     # broadcast hash join
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "shiftright" in plan  # the bloom probe reached the plan
+
+
+def test_bloom_prefilter_random_keys_property(spark):
+    """Seeded randomized property: for arbitrary bigint key sets the
+    bloom prefilter NEVER drops a true match."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    dim_keys = sorted(rng.sample(range(10**12), 200))
+    fact_keys = dim_keys + [rng.randrange(10**12) for _ in range(5000)]
+    rng.shuffle(fact_keys)
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "key bigint")
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "fkey bigint")
+    surv = {
+        r["fkey"]
+        for r in relational.bloom_prefilter(spark, dim, fact, "fkey").collect()
+    }
+    assert set(dim_keys) <= surv  # zero false negatives, any key set
+
+
+def test_fuzzy_ed1_blocking_random_strings_property(spark):
+    """Seeded randomized property: blocking == brute force on random
+    short strings over a dense alphabet (worst case for collisions)."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    names = list(
+        {"".join(rng.choice("ab") for _ in range(rng.randint(2, 5))) for _ in range(60)}
+    )
+    rows = [(i, n) for i, n in enumerate(sorted(names))]
+    df = spark.createDataFrame(rows, "id long, name string")
+    keys = df.select(
+        "id",
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("name")),
+                    F.expr(
+                        "transform(sequence(1, length(name)),"
+                        " i -> concat(substr(name, 1, i - 1), substr(name, i + 1)))"
+                    ),
+                )
+            )
+        ).alias("key"),
+    )
+    a = keys.select(F.col("id").alias("ida"), F.col("name").alias("na"), "key")
+    b = keys.select(F.col("id").alias("idb"), F.col("name").alias("nb"), "key")
+    got = {
+        (r["ida"], r["idb"])
+        for r in a.join(b, "key")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .select("ida", "idb")
+        .distinct()
+        .collect()
+    }
+
+    def lev(s, t):
+        d = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, d[0] = d[0], i
+            for j, ct in enumerate(t, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cs != ct))
+        return d[-1]
+
+    want = {
+        (x[0], y[0])
+        for x, y in itertools.combinations(rows, 2)
+        if lev(x[1], y[1]) <= 1
+    }
+    assert got == want and len(want) > 10
