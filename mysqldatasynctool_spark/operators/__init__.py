@@ -83,6 +83,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "events_sliding_distinct_users",
     "join_bloom_pruned_semi",
     "window_time_range_frame",
+    "dedup_semantic_cells",
     "text_gopher_rules",
     "text_char_entropy",
     "text_source_stats",

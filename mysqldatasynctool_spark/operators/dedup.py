@@ -806,6 +806,97 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space into k-means cells, then WITHIN each cell drop
+    every vector that has a high-cosine (≥ 0.4) neighbor with a lower
+    vec_id — one deterministic representative survives per duplicate
+    neighborhood. The data-adaptive complement of
+    ``dedup_embedding_lsh`` (random-hyperplane buckets): cells follow
+    the corpus's own density, which is the paper's point.
+
+    Reuses the IVF/k-means cell assignment (``similarity._assign_cells``
+    — one numpy matmul per Arrow batch against broadcast centroids,
+    deterministic argmax tie-breaks, the construction whose SQL twin
+    is already oracle-proven). Candidate pairs are restricted to the
+    cell — the cell id is the ONLY shuffle key; O(Σ cell²), never N².
+    Output: every vector with its cell and a keep/drop verdict.
+    """
+    from .similarity import _assign_cells, _dot as dot
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    with_cells, _ = _assign_cells(spark, emb, probes=1)
+    corpus = with_cells.select(
+        "vec_id", "v", "vnorm", F.element_at("cells", 1).alias("cell")
+    )
+    a = corpus.select(
+        "cell",
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    b = corpus.select(
+        "cell",
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .select(F.col("idb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        corpus.join(dropped.withColumn("dropped", F.lit(1)), "vec_id", "left_outer")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dropped").isNull().alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_cells_oracle() -> str:
+    return """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv, vnorm AS cnorm FROM e WHERE vec_id % 100 = 0),
+aff AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, c.cv) / (e.vnorm * c.cnorm) AS sim
+  FROM e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM aff
+  ) WHERE rn = 1
+),
+corpus AS (SELECT e.vec_id, e.v, e.vnorm, a.cell FROM e JOIN assign a USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) / (a.vnorm * b.vnorm), 6) >= 0.4
+)
+SELECT c.vec_id, c.cell, d.vec_id IS NULL AS keep
+FROM corpus c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+ORDER BY c.vec_id
+"""
+
+
 #: substring-span window width (tokens). 10 is small enough to catch
 #: real boilerplate overlap in the synthetic corpus and large enough
 #: that random token runs essentially never collide.
@@ -908,6 +999,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_paragraph_exact": dedup_paragraph_exact,
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_semantic_cells": dedup_semantic_cells,
     "dedup_lsh_recall_report": dedup_lsh_recall_report,
 }
 
@@ -922,5 +1014,6 @@ ORACLES = {
     "dedup_clusters": _clusters_oracle(),
     "dedup_paragraph_exact": DEDUP_PARAGRAPH_ORACLE,
     "dedup_substring_spans": _substring_spans_oracle(),
+    "dedup_semantic_cells": _semantic_cells_oracle(),
     "dedup_lsh_recall_report": _lsh_recall_oracle(),
 }

@@ -394,3 +394,18 @@ def test_kmeans_step_invariants(spark):
     assert all(r["improved"] for r in rows)
     # the step should do real work: at least one cell strictly improves
     assert any(r["mean_cos_new"] > r["mean_cos_old"] for r in rows)
+
+
+def test_semantic_cells_keeps_a_representative(spark):
+    """SemDeDup drop rule (drop iff a LOWER-id near-neighbor shares
+    the cell) can never empty a neighborhood: the lowest vec_id of
+    every cell is always kept, and some vector is actually dropped on
+    the fixture's planted near-dups."""
+    rows = dedup.dedup_semantic_cells(spark, "/root/testdata/sf0.01").collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell_rows in by_cell.values():
+        lowest = min(cell_rows, key=lambda r: r["vec_id"])
+        assert lowest["keep"]
+    assert any(not r["keep"] for r in rows)
