@@ -84,6 +84,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "join_bloom_pruned_semi",
     "window_time_range_frame",
     "dedup_semantic_cells",
+    "events_json_variant",
     "text_gopher_rules",
     "text_char_entropy",
     "text_source_stats",

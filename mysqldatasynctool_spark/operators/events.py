@@ -55,6 +55,52 @@ ORDER BY event_type
 """
 
 
+def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-LESS JSON via Spark 4's VARIANT type — the twin of
+    ``events_json_extract`` (which declares a from_json schema up
+    front): ``parse_json`` ingests arbitrary JSON into a binary
+    variant, ``variant_get`` extracts typed paths lazily, and
+    ``schema_of_variant`` recovers the per-row physical schema. The
+    variant never leaves the executors (the output is typed scalars),
+    so the binary encoding stays JVM-side.
+
+    100 TB: variant is the right call when the props schema drifts
+    across producers — one parse, many lazy typed reads; the
+    aggregation itself is the same partial-agg shape as the
+    schema-declared twin.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.schema_of_variant(v).alias("sch"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.bool_and(F.col("sch").contains("k")).alias("schema_has_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_VARIANT_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       TRUE AS schema_has_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day window aggregate per event_type (F.window)."""
     ev = load(spark, sf_dir, "events")
@@ -1005,6 +1051,7 @@ QUERIES = {
     "events_interval_overlap_join": events_interval_overlap_join,
     "events_session_window_builtin": events_session_window_builtin,
     "events_sliding_distinct_users": events_sliding_distinct_users,
+    "events_json_variant": events_json_variant,
 }
 
 ORACLES = {
@@ -1025,4 +1072,5 @@ ORACLES = {
     "events_interval_overlap_join": EVENTS_INTERVAL_OVERLAP_ORACLE,
     "events_session_window_builtin": EVENTS_SESSION_WINDOW_BUILTIN_ORACLE,
     "events_sliding_distinct_users": EVENTS_SLIDING_DISTINCT_ORACLE,
+    "events_json_variant": EVENTS_JSON_VARIANT_ORACLE,
 }
