@@ -97,13 +97,13 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "graph_degree_stats",
     "window_ewma_dyadic",
     "pipeline_incremental_dedup",
+    # ---- driver window boundary: the driver records exactly the
+    # first 50 entries. The 49 entries above + IVF fill the window;
+    # everything below — the 3 simplest never-checked r6 ops first,
+    # then the stale-green re-checks — rotates in next round.
     "migration_column_profile",
     "setop_except_distinct",
     "setop_intersect_all",
-    # the 49 entries above + IVF exactly fill the driver's 50-slot
-    # window with every never-checked query; stale-green re-checks
-    # (code changed after their newest green row) start here and
-    # rotate in across following rounds
     "events_retention_cohorts",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",

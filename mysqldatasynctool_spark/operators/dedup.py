@@ -822,12 +822,9 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell — the cell id is the ONLY shuffle key; O(Σ cell²), never N².
     Output: every vector with its cell and a keep/drop verdict.
     """
-    from .similarity import _assign_cells, _dot as dot
+    from .similarity import _assign_cells, _dot as dot, _vecs
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    with_cells, _ = _assign_cells(spark, emb, probes=1)
+    with_cells, _ = _assign_cells(spark, _vecs(spark, sf_dir), probes=1)
     corpus = with_cells.select(
         "vec_id", "v", "vnorm", F.element_at("cells", 1).alias("cell")
     )

@@ -59,10 +59,11 @@ def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-LESS JSON via Spark 4's VARIANT type — the twin of
     ``events_json_extract`` (which declares a from_json schema up
     front): ``parse_json`` ingests arbitrary JSON into a binary
-    variant, ``variant_get`` extracts typed paths lazily, and
-    ``schema_of_variant`` recovers the per-row physical schema. The
-    variant never leaves the executors (the output is typed scalars),
-    so the binary encoding stays JVM-side.
+    variant and ``variant_get`` extracts typed paths lazily (a
+    missing path reads as NULL — the presence aggregate uses exactly
+    that, never a schema-string substring match). The variant never
+    leaves the executors (the output is typed scalars), so the binary
+    encoding stays JVM-side.
 
     100 TB: variant is the right call when the props schema drifts
     across producers — one parse, many lazy typed reads; the
@@ -75,7 +76,6 @@ def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_type",
             F.variant_get(v, "$.k", "bigint").alias("k"),
-            F.schema_of_variant(v).alias("sch"),
         )
         .groupBy("event_type")
         .agg(
@@ -83,7 +83,10 @@ def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
             F.sum("k").alias("sum_k"),
-            F.bool_and(F.col("sch").contains("k")).alias("schema_has_k"),
+            # honest presence check (NOT a schema-string substring
+            # match, which would hit any key containing the letter):
+            # path-missing variant_get returns null
+            F.bool_and(F.col("k").isNotNull()).alias("all_have_k"),
         )
         .orderBy("event_type")
     )
@@ -94,7 +97,7 @@ SELECT event_type, COUNT(*) AS n,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       TRUE AS schema_has_k
+       bool_and(json_extract_string(props, '$.k') IS NOT NULL) AS all_have_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type

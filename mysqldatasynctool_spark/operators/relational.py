@@ -667,10 +667,24 @@ def bloom_prefilter(
     """
     import math
 
-    n = max(dim_keys.count(), 1)
-    m = 1 << max(10, math.ceil(math.log2(n * bits_per_key)))
-    n_words = m // 64
     key_col = dim_keys.columns[0]
+    # xxhash64 is TYPE-sensitive (xxhash64(INT 5) != xxhash64(BIGINT
+    # 5)); a silent type mismatch between build and probe would drop
+    # every true match — fail loudly instead
+    dim_t = dim_keys.schema[0].dataType
+    fact_t = fact.schema[fact_key].dataType
+    if dim_t != fact_t:
+        raise ValueError(
+            f"bloom_prefilter: dim key type {dim_t} != fact key type "
+            f"{fact_t}; xxhash64 is type-sensitive — cast one side first"
+        )
+    n = max(dim_keys.count(), 1)
+    # bitmap is Θ(n) BITS by design (16n — still ~128x smaller than
+    # collecting the keys); the cap bounds driver/broadcast memory at
+    # 2^24 bits = 2 MB, beyond which fp rises gracefully (the exact
+    # join downstream keeps the result correct regardless)
+    m = 1 << min(24, max(10, math.ceil(math.log2(n * bits_per_key))))
+    n_words = m // 64
 
     def _h(col, seed: int):
         return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m))
@@ -719,11 +733,12 @@ def join_bloom_pruned_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     or pipeline steps, e.g. shipping a dim's key filter to a separate
     fact-scan job).
 
-    Build (fully distributed, NEVER collects the key set): each dim
-    key emits k=2 hash bit positions; a groupBy(word) + bit_or
-    aggregation reduces them to the m/64-long bitmap words — shuffle
-    and collect are bounded by the BITMAP size (m/64 rows), not the
-    dim cardinality. m is sized 16 bits/key (fp ≈ 0.7%) from a 1-row
+    Build (fully distributed, never collects the key set itself):
+    each dim key emits k=2 hash bit positions; a groupBy(word) +
+    bit_or aggregation reduces them to the m/64-long bitmap words —
+    the shuffle and driver collect carry the BITMAP (m/64 rows,
+    ~128x smaller than the keys, capped at 2 MB — see
+    bloom_prefilter). m is sized 16 bits/key (fp ≈ 0.7%) from a 1-row
     count. The bitmap rides into the fact scan as a SINGLE broadcast
     row (never a literal array — a 16k-element literal would bloat
     every serialized plan); Catalyst pushes the probe predicate into

@@ -466,11 +466,6 @@ ORDER BY qid, rank
 """
 
 
-#: embedding dimensionality of the fixture corpus (constant across
-#: scales; asserted at runtime by the componentwise-mean construction)
-EMB_DIM = 64
-
-
 def similarity_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One spherical k-means (cosine Lloyd) refinement step over the
     IVF coarse cells — the iterative-clustering representative of the
@@ -509,13 +504,13 @@ def similarity_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spherical update: componentwise mean of unit vectors per cell
     unit = [
-        (F.col("v")[i] / F.col("vnorm")).alias(f"u{i}") for i in range(EMB_DIM)
+        (F.col("v")[i] / F.col("vnorm")).alias(f"u{i}") for i in range(EMBED_DIM)
     ]
     newc = (
         assigned.select("cell", *unit)
         .groupBy("cell")
-        .agg(*[F.avg(f"u{i}").alias(f"m{i}") for i in range(EMB_DIM)])
-        .select("cell", F.array(*[F.col(f"m{i}") for i in range(EMB_DIM)]).alias("nc"))
+        .agg(*[F.avg(f"u{i}").alias(f"m{i}") for i in range(EMBED_DIM)])
+        .select("cell", F.array(*[F.col(f"m{i}") for i in range(EMBED_DIM)]).alias("nc"))
     )
     scored = (
         assigned.join(F.broadcast(old), "cell")

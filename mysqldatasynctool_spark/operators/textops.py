@@ -793,6 +793,10 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_nxt").isNotNull())
         .select("gram")
     )
+    # the gram build (tokenize + posexplode + per-doc window) is the
+    # expensive part and three consumers need it (total count, MG
+    # sketch pass, exact recount) — persist so it runs ONCE
+    grams = grams.persist()
     total = grams.count()
 
     def mg_summaries(batches):
@@ -813,7 +817,13 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.join(F.broadcast(candidates), "gram", "left_semi")
         .groupBy("gram")
         .agg(F.count("*").alias("cnt"))
-        .filter(F.lit(_HH_DEN) * F.col("cnt") > F.lit(_HH_NUM) * F.lit(total))
+        # bigint casts: cnt is already bigint, but _HH_NUM * total is
+        # int32 x int32 and overflows past ~179M grams (ANSI throw or
+        # silent wrap) — cast before multiplying
+        .filter(
+            F.lit(_HH_DEN).cast("bigint") * F.col("cnt")
+            > F.lit(_HH_NUM).cast("bigint") * F.lit(total).cast("bigint")
+        )
         .orderBy(F.desc("cnt"), "gram")
     )
 

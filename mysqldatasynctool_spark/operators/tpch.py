@@ -832,7 +832,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     value = regional.groupBy("l_partkey").agg(
         F.sum(_dec(_rev(), 6)).alias("part_value")
     )
-    total = regional.agg(F.sum(_dec(_rev(), 6)).alias("t")).collect()[0]["t"]
+    # total = exact-decimal sum of the per-part aggregate — one fact
+    # scan total, not a second scan+join just for the threshold
+    total = value.agg(F.sum("part_value").alias("t")).collect()[0]["t"]
     threshold = (Decimal(total) * Decimal("0.0001")).quantize(Decimal("0.0000000001"))
     return (
         value.filter(F.col("part_value") > F.lit(threshold).cast("decimal(28,10)"))
@@ -937,8 +939,9 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec(F.col("l_quantity"))).alias("qty_total"),
         )
         .filter(F.lit(2) * F.col("qty_1996") > F.col("qty_total"))
+        # no .distinct(): left_semi dedups by construction — an extra
+        # exchange over the qualifying keys buys nothing
         .select("l_suppkey")
-        .distinct()
     )
     return (
         supp.join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
