@@ -104,6 +104,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_column_profile",
     "setop_except_distinct",
     "setop_intersect_all",
+    "text_bpe_merge_step",
     "events_retention_cohorts",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",

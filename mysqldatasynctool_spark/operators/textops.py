@@ -849,6 +849,67 @@ ORDER BY cnt DESC, gram
 """
 
 
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE BPE-training iteration's pair-count + argmax step, the
+    distributed way tokenizer trainers actually do it: aggregate the
+    corpus to a (word, frequency) table FIRST — pair counting then
+    costs O(distinct words × word length), not O(corpus tokens) —
+    and weight each adjacent symbol pair by its word's frequency.
+    Output: the top-20 merge candidates (deterministic ties by pair).
+
+    Iterating = apply the winning merge to the symbol sequences and
+    re-run; every iteration shuffles only the (pair, freq) partial
+    aggregates. The word-frequency table is the classic sublinear
+    trick — at 100 TB the distinct-word table is orders of magnitude
+    smaller than the token stream (Zipf), and it is the ONLY thing
+    the per-iteration loop touches.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = words.select(
+        "w", "freq", F.posexplode(F.split(F.col("w"), "")).alias("pos", "c")
+    )
+    win = W.partitionBy("w").orderBy("pos")
+    pairs = chars.select(
+        "freq",
+        F.concat_ws(" ", F.col("c"), F.lead("c", 1).over(win)).alias("pair"),
+        F.lead("c", 1).over(win).alias("_nxt"),
+    ).filter(F.col("_nxt").isNotNull())
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
+TEXT_BPE_MERGE_STEP_ORACLE = r"""
+WITH words AS (
+  SELECT u.t AS w, COUNT(*) AS freq FROM (
+    SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+  ), LATERAL (SELECT unnest(toks) AS t) u GROUP BY u.t
+),
+chars AS (
+  SELECT w, freq, u.c, u.pos FROM words,
+       LATERAL (SELECT unnest(string_split(w, '')) AS c,
+                       generate_subscripts(string_split(w, ''), 1) AS pos) u
+),
+pairs AS (
+  SELECT freq,
+         c || ' ' || lead(c) OVER (PARTITION BY w ORDER BY pos) AS pair,
+         lead(c) OVER (PARTITION BY w ORDER BY pos) AS nxt
+  FROM chars
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM pairs WHERE nxt IS NOT NULL
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -864,10 +925,12 @@ QUERIES = {
     "text_source_stats": text_source_stats,
     "text_unigram_perplexity": text_unigram_perplexity,
     "text_heavy_hitters": text_heavy_hitters,
+    "text_bpe_merge_step": text_bpe_merge_step,
 }
 
 ORACLES = {
     "text_heavy_hitters": TEXT_HEAVY_HITTERS_ORACLE,
+    "text_bpe_merge_step": TEXT_BPE_MERGE_STEP_ORACLE,
     "text_token_count_bpe": TEXT_TOKEN_COUNT_BPE_ORACLE,
     "text_chunking": TEXT_CHUNKING_ORACLE,
     "text_token_stats": TEXT_TOKEN_STATS_ORACLE,
