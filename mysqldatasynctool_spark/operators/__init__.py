@@ -105,6 +105,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "setop_except_distinct",
     "setop_intersect_all",
     "text_bpe_merge_step",
+    "migration_scd2_history",
     "events_retention_cohorts",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",

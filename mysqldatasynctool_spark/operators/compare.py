@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duck_md5_low60, md5_low60
@@ -485,15 +485,110 @@ ORDER BY o_orderstatus
 """
 
 
+#: SCD2 change cadence: every 7th customer re-segments at T1, every
+#: 13th re-prices at T2 (keys divisible by 91 get both, stacked)
+SCD2_SEG_MOD = 7
+SCD2_BAL_MOD = 13
+
+
+def migration_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension **Type 2**: maintain full attribute
+    HISTORY with validity intervals — the warehouse-side complement of
+    ``migration_cdc_apply`` (which is latest-wins, i.e. SCD1). Given
+    the base customer dimension plus two deterministic change waves
+    (segment change at T1 for every 7th key, balance change at T2 for
+    every 13th — keys divisible by 91 accrue both, cumulatively), emit
+    one row per VERSION with ``effective_from`` / ``effective_to`` /
+    ``is_current``, where effective_to = the next version's
+    effective_from (open interval for the current row).
+
+    Spark-first shape: versions are generated map-side as filtered
+    projections of the base scan and unioned; ONE shuffle on
+    c_custkey drives the lead() window that closes the intervals.
+    At 100 TB the change waves arrive as actual CDC batches; the
+    interval-closing window is unchanged — this is the standard
+    history-rebuild plan (never a self-join per version).
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    seg2 = F.concat(F.col("c_mktsegment"), F.lit("_V2"))
+    bal2 = F.round(
+        F.col("c_acctbal").cast("decimal(24,2)") * F.lit("1.1").cast("decimal(2,1)"),
+        2,
+    ).cast("double")
+    v0 = cust.withColumn("effective_from", F.lit("2024-01-01").cast("timestamp"))
+    v1 = (
+        cust.filter(F.col("c_custkey") % SCD2_SEG_MOD == 0)
+        .withColumn("c_mktsegment", seg2)
+        .withColumn("effective_from", F.lit("2024-06-01").cast("timestamp"))
+    )
+    v2 = (
+        cust.filter(F.col("c_custkey") % SCD2_BAL_MOD == 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % SCD2_SEG_MOD == 0, seg2).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .withColumn("c_acctbal", bal2)
+        .withColumn("effective_from", F.lit("2024-09-01").cast("timestamp"))
+    )
+    versions = v0.unionByName(v1).unionByName(v2)
+    w = W.partitionBy("c_custkey").orderBy("effective_from")
+    return (
+        versions.withColumn("effective_to", F.lead("effective_from", 1).over(w))
+        .withColumn("is_current", F.col("effective_to").isNull())
+        .orderBy("c_custkey", "effective_from")
+    )
+
+
+def _scd2_oracle() -> str:
+    return f"""
+WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+v0 AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '2024-01-01' AS effective_from
+  FROM base
+),
+v1 AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment || '_V2' AS c_mktsegment,
+         TIMESTAMP '2024-06-01' AS effective_from
+  FROM base WHERE c_custkey % {SCD2_SEG_MOD} = 0
+),
+v2 AS (
+  SELECT c_custkey,
+         CAST(ROUND(CAST(c_acctbal AS DECIMAL(24,2))
+                    * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS c_acctbal,
+         CASE WHEN c_custkey % {SCD2_SEG_MOD} = 0
+              THEN c_mktsegment || '_V2' ELSE c_mktsegment END AS c_mktsegment,
+         TIMESTAMP '2024-09-01' AS effective_from
+  FROM base WHERE c_custkey % {SCD2_BAL_MOD} = 0
+),
+versions AS (
+  SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT c_custkey, c_acctbal, c_mktsegment, effective_from,
+       LEAD(effective_from) OVER (PARTITION BY c_custkey
+                                  ORDER BY effective_from) AS effective_to,
+       LEAD(effective_from) OVER (PARTITION BY c_custkey
+                                  ORDER BY effective_from) IS NULL AS is_current
+FROM versions
+ORDER BY c_custkey, effective_from
+"""
+
+
 QUERIES = {
     "migration_compare_checksums": migration_compare_checksums,
     "migration_row_diff": migration_row_diff,
     "migration_incremental": migration_incremental,
     "migration_cdc_apply": migration_cdc_apply,
+    "migration_scd2_history": migration_scd2_history,
 }
 ORACLES = {
     "migration_compare_checksums": _compare_oracle(),
     "migration_row_diff": _row_diff_oracle(),
     "migration_incremental": _incremental_oracle(),
     "migration_cdc_apply": _cdc_apply_oracle(),
+    "migration_scd2_history": _scd2_oracle(),
 }

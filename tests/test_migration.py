@@ -406,3 +406,27 @@ def test_migrate_directory_versioned_snapshots(spark, tmp_path):
     ).count()
     rollback_versioned(root, 1)
     assert read_manifest_version(root) == 1
+
+
+def test_scd2_intervals_tile_and_one_current(spark):
+    """SCD2 invariants: per key the validity intervals tile with no
+    gap (effective_to == next effective_from), exactly ONE current
+    row exists, and multi-change keys accumulate BOTH changes."""
+    from mysqldatasynctool_spark.operators import compare as cmp_ops
+
+    rows = cmp_ops.migration_scd2_history(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r["effective_from"])
+        assert sum(1 for r in versions if r["is_current"]) == 1
+        assert versions[-1]["is_current"]
+        for a, b in zip(versions, versions[1:]):
+            assert a["effective_to"] == b["effective_from"]
+    both = by_key[91]  # 91 = 7*13 → segment change AND balance change
+    assert len(both) == 3
+    assert both[2]["c_mktsegment"].endswith("_V2")
+    assert abs(both[2]["c_acctbal"] - round(both[0]["c_acctbal"] * 1.1, 2)) < 0.011
