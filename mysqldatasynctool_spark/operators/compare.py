@@ -361,6 +361,25 @@ CDC_INSERT_MOD = 211      # op='I': brand-new key
 CDC_INSERT_OFFSET = 20_000_000
 
 
+def apply_cdc(base: DataFrame, changes: DataFrame, pk: str) -> DataFrame:
+    """Latest-wins CDC compaction core, shared by the batch
+    ``migration_cdc_apply`` query and the streaming merge sink
+    (streaming/jobs.start_cdc_merge_stream): union base rows (seq 0)
+    with change rows carrying an ``op`` column ∈ I/U/D (seq 1), one
+    shuffle on ``pk``, keep the newest version per key, drop 'D'
+    survivors. Never a full-outer join; extends to multi-version
+    feeds by replacing seq with the change LSN."""
+    stacked = base.withColumn("op", F.lit(None).cast("string")).withColumn(
+        "seq", F.lit(0)
+    ).unionByName(changes.withColumn("seq", F.lit(1)))
+    w = W.partitionBy(pk).orderBy(F.col("seq").desc())
+    return (
+        stacked.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ((F.col("op").isNull()) | (F.col("op") != "D")))
+        .drop("rn", "seq", "op")
+    )
+
+
 def migration_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert — apply a CDC change-set (op ∈ I/U/D keyed by pk)
     onto a base table, the incremental-sync completion of
@@ -417,17 +436,7 @@ def migration_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("op", F.lit("I"))
         )
     )
-    from pyspark.sql import Window as W
-
-    stacked = base.withColumn("op", F.lit(None).cast("string")).withColumn(
-        "seq", F.lit(0)
-    ).unionByName(changes.withColumn("seq", F.lit(1)))
-    w = W.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
-    merged = (
-        stacked.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & ((F.col("op").isNull()) | (F.col("op") != "D")))
-        .drop("rn", "seq", "op")
-    )
+    merged = apply_cdc(base, changes, pk="o_orderkey")
     digest = row_digest(merged.select(*[c for c, _ in cols]))
     return (
         merged.groupBy("o_orderstatus")

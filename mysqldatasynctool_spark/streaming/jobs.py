@@ -550,6 +550,57 @@ def foreach_batch_parquet_sink(df: DataFrame, path: str) -> None:
         q.stop()
 
 
+def start_cdc_merge_stream(
+    changes: DataFrame, snapshot_root: str, pk: str, checkpoint: str
+):
+    """Streaming CDC upsert sink — the end-to-end incremental-sync
+    composition: each micro-batch of change rows (columns = base
+    schema + ``op`` ∈ I/U/D) merges into the currently-published
+    snapshot via the shared latest-wins compaction
+    (operators/compare.apply_cdc) and publishes a NEW immutable
+    version through the atomic-manifest sink (files.write_versioned).
+    The destination therefore time-travels per micro-batch, and a
+    crash between merge and publish leaves a consistent older
+    manifest (safe replay: re-merging an already-applied change set
+    is content-idempotent under latest-wins — at worst an extra
+    version is published, never a torn or wrong state).
+
+    Requires an initial snapshot (v>=1) published under
+    ``snapshot_root`` before the stream starts. Returns the started
+    query; callers own stop/processAllAvailable.
+
+    100 TB: each merge is ONE pk-keyed shuffle over snapshot+batch —
+    at real scale you'd bucket the snapshot by pk so the merge
+    co-locates (sinks.py bucketed tables), or swap in a table format's
+    MERGE; the plan shape here is that same merge.
+    """
+    from ..operators.compare import apply_cdc
+    from ..sources.files import (
+        read_manifest_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    if read_manifest_version(snapshot_root) <= 0:
+        raise FileNotFoundError(
+            f"publish an initial snapshot under {snapshot_root} "
+            "(files.write_versioned) before starting the CDC stream"
+        )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = read_versioned(spark, snapshot_root)
+        merged = apply_cdc(base, batch_df, pk=pk)
+        write_versioned(merged, snapshot_root)
+
+    return (
+        changes.writeStream.foreachBatch(_merge)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def start_idempotent_parquet_stream(df: DataFrame, path: str, checkpoint: str):
     """Exactly-once foreachBatch parquet sink: each epoch OVERWRITES
     its own ``epoch=<id>`` directory, so a batch replayed after a

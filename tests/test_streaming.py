@@ -485,3 +485,54 @@ def test_ewma_checkpoint_recovery_exactly_once(spark, tmp_path):
     }
     assert set(s) == set(b)          # no lost or duplicated events
     assert all(s[e] == b[e] for e in b)  # recovered state is bit-exact
+
+
+def test_cdc_merge_stream_matches_batch_merge(spark, tmp_path):
+    """Streaming CDC upsert end-to-end: two change micro-batches merge
+    into a versioned snapshot one at a time; the final published
+    snapshot equals applying both batches sequentially in batch mode,
+    and the version history advanced once per micro-batch."""
+    from mysqldatasynctool_spark.operators.compare import apply_cdc
+    from mysqldatasynctool_spark.sources.files import (
+        read_manifest_version,
+        read_versioned,
+        write_versioned,
+    )
+    from mysqldatasynctool_spark.streaming import start_cdc_merge_stream
+
+    root = str(tmp_path / "snap")
+    feed = str(tmp_path / "feed")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string"
+    )
+    write_versioned(base, root)
+    c1 = spark.createDataFrame(
+        [(2, "v2x", "U"), (10, "v10", "I")], "id long, val string, op string"
+    )
+    c2 = spark.createDataFrame(
+        [(3, None, "D"), (10, "v10x", "U")], "id long, val string, op string"
+    )
+    c1.coalesce(1).write.parquet(f"{feed}/b1")
+    c2.coalesce(1).write.parquet(f"{feed}/b2")
+    stream = (
+        spark.readStream.schema("id long, val string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/*")
+    )
+    q = start_cdc_merge_stream(
+        stream, root, pk="id", checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["id"], r["val"]) for r in read_versioned(spark, root).collect()
+    )
+    # batch truth: order of the two micro-batches follows file order
+    want_df = apply_cdc(apply_cdc(base, c1, pk="id"), c2, pk="id")
+    want = sorted((r["id"], r["val"]) for r in want_df.collect())
+    assert got == want
+    assert all(i != 3 for i, _ in got)  # deleted key gone
+    assert (10, "v10x") in got  # inserted in batch 1, updated in batch 2
+    assert read_manifest_version(root) == 3  # base + one per micro-batch
