@@ -361,22 +361,38 @@ CDC_INSERT_MOD = 211      # op='I': brand-new key
 CDC_INSERT_OFFSET = 20_000_000
 
 
-def apply_cdc(base: DataFrame, changes: DataFrame, pk: str) -> DataFrame:
+def apply_cdc(
+    base: DataFrame, changes: DataFrame, pk: str, lsn_col: str | None = None
+) -> DataFrame:
     """Latest-wins CDC compaction core, shared by the batch
     ``migration_cdc_apply`` query and the streaming merge sink
     (streaming/jobs.start_cdc_merge_stream): union base rows (seq 0)
     with change rows carrying an ``op`` column ∈ I/U/D (seq 1), one
     shuffle on ``pk``, keep the newest version per key, drop 'D'
-    survivors. Never a full-outer join; extends to multi-version
-    feeds by replacing seq with the change LSN."""
-    stacked = base.withColumn("op", F.lit(None).cast("string")).withColumn(
-        "seq", F.lit(0)
-    ).unionByName(changes.withColumn("seq", F.lit(1)))
-    w = W.partitionBy(pk).orderBy(F.col("seq").desc())
+    survivors. Never a full-outer join.
+
+    Ordering contract: WITHOUT ``lsn_col`` the change set must be
+    log-compacted — at most one op per key — or the per-key winner is
+    arbitrary (seq alone can't order two same-key changes). Feeds
+    that carry multiple versions per key MUST name their sequence /
+    LSN column; the window then breaks same-key ties by the highest
+    LSN (base rows sort below every change)."""
+    if lsn_col is None:
+        changes = changes.withColumn("__lsn", F.lit(0).cast("long"))
+        lsn_col = "__lsn"
+    stacked = (
+        base.withColumn("op", F.lit(None).cast("string"))
+        .withColumn("seq", F.lit(0))
+        .withColumn(lsn_col, F.lit(None).cast(dict(changes.dtypes)[lsn_col]))
+        .unionByName(changes.withColumn("seq", F.lit(1)))
+    )
+    w = W.partitionBy(pk).orderBy(
+        F.col("seq").desc(), F.col(lsn_col).desc_nulls_last()
+    )
     return (
         stacked.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & ((F.col("op").isNull()) | (F.col("op") != "D")))
-        .drop("rn", "seq", "op")
+        .drop("rn", "seq", "op", lsn_col)
     )
 
 

@@ -551,7 +551,11 @@ def foreach_batch_parquet_sink(df: DataFrame, path: str) -> None:
 
 
 def start_cdc_merge_stream(
-    changes: DataFrame, snapshot_root: str, pk: str, checkpoint: str
+    changes: DataFrame,
+    snapshot_root: str,
+    pk: str,
+    checkpoint: str,
+    lsn_col: str | None = None,
 ):
     """Streaming CDC upsert sink — the end-to-end incremental-sync
     composition: each micro-batch of change rows (columns = base
@@ -568,6 +572,12 @@ def start_cdc_merge_stream(
     Requires an initial snapshot (v>=1) published under
     ``snapshot_root`` before the stream starts. Returns the started
     query; callers own stop/processAllAvailable.
+
+    Ordering: a micro-batch holding MULTIPLE changes for one key is
+    only deterministic if the feed names its sequence/LSN column via
+    ``lsn_col`` (apply_cdc breaks same-key ties by highest LSN);
+    without one, batches must be log-compacted — one op per key —
+    which is what real CDC log readers emit per poll.
 
     100 TB: each merge is ONE pk-keyed shuffle over snapshot+batch —
     at real scale you'd bucket the snapshot by pk so the merge
@@ -590,7 +600,7 @@ def start_cdc_merge_stream(
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         base = read_versioned(spark, snapshot_root)
-        merged = apply_cdc(base, batch_df, pk=pk)
+        merged = apply_cdc(base, batch_df, pk=pk, lsn_col=lsn_col)
         write_versioned(merged, snapshot_root)
 
     return (

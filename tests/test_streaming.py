@@ -514,6 +514,17 @@ def test_cdc_merge_stream_matches_batch_merge(spark, tmp_path):
     )
     c1.coalesce(1).write.parquet(f"{feed}/b1")
     c2.coalesce(1).write.parquet(f"{feed}/b2")
+    # FileStreamSource orders new files by MODIFICATION TIME; two
+    # back-to-back writes can share a coarse mtime, which would make
+    # b1-vs-b2 order (and the I-then-U expectation) flaky — pin it
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for sub, offset in (("b1", -10), ("b2", 10)):
+        d = f"{feed}/{sub}"
+        for fn in _os.listdir(d):
+            _os.utime(_os.path.join(d, fn), (now + offset, now + offset))
     stream = (
         spark.readStream.schema("id long, val string, op string")
         .option("maxFilesPerTrigger", 1)
@@ -536,3 +547,23 @@ def test_cdc_merge_stream_matches_batch_merge(spark, tmp_path):
     assert all(i != 3 for i, _ in got)  # deleted key gone
     assert (10, "v10x") in got  # inserted in batch 1, updated in batch 2
     assert read_manifest_version(root) == 3  # base + one per micro-batch
+
+
+def test_apply_cdc_lsn_orders_same_key_changes(spark):
+    """A batch with TWO changes for one key is deterministic iff the
+    feed names its LSN column: highest LSN wins; reversed LSNs flip
+    the winner; a same-key U-then-D pair deletes (never resurrects)."""
+    from mysqldatasynctool_spark.operators.compare import apply_cdc
+
+    base = spark.createDataFrame([(1, "old")], "id long, val string")
+    iu = spark.createDataFrame(
+        [(1, "first", "U", 100), (1, "second", "U", 200)],
+        "id long, val string, op string, lsn long",
+    )
+    got = apply_cdc(base, iu, pk="id", lsn_col="lsn").collect()
+    assert [(r["id"], r["val"]) for r in got] == [(1, "second")]
+    ud = spark.createDataFrame(
+        [(1, "upd", "U", 100), (1, None, "D", 200)],
+        "id long, val string, op string, lsn long",
+    )
+    assert apply_cdc(base, ud, pk="id", lsn_col="lsn").count() == 0
