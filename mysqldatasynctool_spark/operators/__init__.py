@@ -106,6 +106,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "setop_intersect_all",
     "text_bpe_merge_step",
     "migration_scd2_history",
+    "pipeline_sample_per_group",
     "events_retention_cohorts",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",

@@ -628,6 +628,47 @@ ORDER BY d.doc_id
 """
 
 
+#: per-group sample size for pipeline_sample_per_group
+SAMPLE_PER_GROUP_K = 20
+
+
+def pipeline_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample of EXACTLY k docs per source — the
+    balanced per-stratum subsample every corpus-triage loop needs
+    (inspect k docs from every source), as opposed to
+    ``pipeline_sample_stratified``'s proportional rate. Ranking by
+    md5(doc_id) is a uniform random order that is reproducible across
+    runs, engines and partitionings (rand() is none of those); ties
+    are impossible (doc_id unique ⇒ digest unique).
+
+    100 TB: one shuffle on `source`; per-group top-k by hash rank is
+    the window formulation here — at extreme group sizes swap in a
+    per-partition partial top-k (the TakeOrdered trick per key), same
+    semantics. Never a global sort, never rand()-nondeterminism.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_PER_GROUP_K)
+        .select("source", "rk", "doc_id", "lang", "n_chars")
+        .orderBy("source", "rk")
+    )
+
+
+PIPELINE_SAMPLE_PER_GROUP_ORACLE = f"""
+SELECT source, rk, doc_id, lang, n_chars FROM (
+  SELECT source, doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+)
+WHERE rk <= {SAMPLE_PER_GROUP_K}
+ORDER BY source, rk
+"""
+
+
 QUERIES = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_pack_sequences": pipeline_pack_sequences,
@@ -638,6 +679,7 @@ QUERIES = {
     "pipeline_global_shuffle": pipeline_global_shuffle,
     "pipeline_end_to_end": pipeline_end_to_end,
     "pipeline_incremental_dedup": pipeline_incremental_dedup,
+    "pipeline_sample_per_group": pipeline_sample_per_group,
 }
 
 ORACLES = {
@@ -650,4 +692,5 @@ ORACLES = {
     "pipeline_global_shuffle": PIPELINE_SHUFFLE_ORACLE,
     "pipeline_end_to_end": PIPELINE_END_TO_END_ORACLE,
     "pipeline_incremental_dedup": PIPELINE_INCREMENTAL_DEDUP_ORACLE,
+    "pipeline_sample_per_group": PIPELINE_SAMPLE_PER_GROUP_ORACLE,
 }
