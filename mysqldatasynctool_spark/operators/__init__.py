@@ -107,6 +107,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "text_bpe_merge_step",
     "migration_scd2_history",
     "pipeline_sample_per_group",
+    "events_sliding_distinct_approx",
     "events_retention_cohorts",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
