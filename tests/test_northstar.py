@@ -409,3 +409,42 @@ def test_semantic_cells_keeps_a_representative(spark):
         lowest = min(cell_rows, key=lambda r: r["vec_id"])
         assert lowest["keep"]
     assert any(not r["keep"] for r in rows)
+
+
+def test_substring_spans_random_corpus_vs_python(spark):
+    """Seeded random corpus: the Spark span report must equal a direct
+    Python computation of cross-doc duplicated spans."""
+    import random
+
+    rng = random.Random(7)
+    boiler = " ".join(rng.choice("abcd") for _ in range(12))  # shared run
+    docs = []
+    for i in range(30):
+        body = " ".join(rng.choice("abcd") for _ in range(rng.randint(5, 30)))
+        # every 5th doc embeds the same 12-token boilerplate run
+        docs.append((i, f"{body} {boiler}" if i % 5 == 0 else body))
+    W = 10
+    spans = {}  # span text -> set of doc ids
+    per_doc = {}
+    for did, text in docs:
+        toks = text.split()
+        windows = [
+            " ".join(toks[i : i + W]) for i in range(len(toks) - W + 1)
+        ]
+        per_doc[did] = windows
+        for s in windows:
+            spans.setdefault(s, set()).add(did)
+    want = {
+        did: (
+            len(ws),
+            sum(1 for s in ws if len(spans[s]) > 1),
+        )
+        for did, ws in per_doc.items()
+        if ws
+    }
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in dedup.substring_span_report(df).collect()
+    }
+    assert got == want and any(d for _, d in want.values())
