@@ -384,18 +384,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = blocks.select(
         F.col("doc_id").alias("idb"), F.col("simhash").alias("hb"), "block_idx", "block_val"
     )
+    # credit assignment instead of DISTINCT: a qualifying pair joins
+    # once per IDENTICAL block (signature-equal pairs join 4x); keep
+    # it only in the FIRST matching block's bucket — a pure map-side
+    # expression over (ha, hb), so the 1.5M-pair dedup shuffle
+    # disappears entirely (same trick as events_interval_overlap_join)
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+
+    def _blk(col, i):
+        return F.shiftright(col, SIMHASH_BLOCK_BITS * i).bitwiseAND(F.lit(mask))
+
+    first_match = F.coalesce(
+        *[
+            F.when(_blk(F.col("ha"), i) == _blk(F.col("hb"), i), F.lit(i))
+            for i in range(4)
+        ]
+    )
     return (
         a.join(b, ["block_idx", "block_val"])
         .filter(F.col("ida") < F.col("idb"))
-        # hamming filter BEFORE the dedup: bit_count is a cheap
-        # map-side expression, so discarding far pairs first keeps the
-        # distinct() shuffle to qualifying pairs only (the candidate
-        # set is the near-quadratic part — don't shuffle what a scalar
-        # filter can drop)
+        # hamming filter first: bit_count is a cheap map-side
+        # expression — discard far pairs before anything else
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= 3)
+        .filter(F.col("block_idx") == first_match)
         .select("ida", "idb", "ha", "hb", "hamming")
-        .distinct()
         # no trailing orderBy: on the shared-vocab fixture corpus this
         # query is output-bound (~1.5M qualifying pairs at sf0.1) and a
         # global range-partition sort of the result would be its single
