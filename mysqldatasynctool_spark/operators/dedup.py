@@ -361,6 +361,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (block_idx, block_value) finds EVERY qualifying pair — lossless,
     # and it replaces the O(N²) cross join with a shuffle keyed by
     # 6-bit values (the production path at corpus scale)
+    n_blocks = SIMHASH_BITS // SIMHASH_BLOCK_BITS
+
+    def _blk(col, i):
+        # the ONE block-extraction definition — shared by the banding
+        # explode and the credit-assignment filter below so the two
+        # can never diverge
+        return F.shiftright(col, SIMHASH_BLOCK_BITS * i).bitwiseAND(
+            F.lit((1 << SIMHASH_BLOCK_BITS) - 1)
+        )
+
     blocks = sigs.select(
         "doc_id",
         "simhash",
@@ -369,11 +379,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(blk).alias("block_idx"),
-                        F.shiftright(F.col("simhash"), SIMHASH_BLOCK_BITS * blk)
-                        .bitwiseAND(F.lit((1 << SIMHASH_BLOCK_BITS) - 1))
-                        .alias("block_val"),
+                        _blk(F.col("simhash"), blk).alias("block_val"),
                     )
-                    for blk in range(4)
+                    for blk in range(n_blocks)
                 ]
             )
         ).alias("b"),
@@ -385,19 +393,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("idb"), F.col("simhash").alias("hb"), "block_idx", "block_val"
     )
     # credit assignment instead of DISTINCT: a qualifying pair joins
-    # once per IDENTICAL block (signature-equal pairs join 4x); keep
-    # it only in the FIRST matching block's bucket — a pure map-side
-    # expression over (ha, hb), so the 1.5M-pair dedup shuffle
-    # disappears entirely (same trick as events_interval_overlap_join)
-    mask = (1 << SIMHASH_BLOCK_BITS) - 1
-
-    def _blk(col, i):
-        return F.shiftright(col, SIMHASH_BLOCK_BITS * i).bitwiseAND(F.lit(mask))
-
+    # once per IDENTICAL block (signature-equal pairs join n_blocks
+    # times); keep it only in the FIRST matching block's bucket — a
+    # pure map-side expression over (ha, hb), so the 1.5M-pair dedup
+    # shuffle disappears entirely (same trick as
+    # events_interval_overlap_join). _blk is the same definition the
+    # banding explode used, so the two cannot diverge.
     first_match = F.coalesce(
         *[
             F.when(_blk(F.col("ha"), i) == _blk(F.col("hb"), i), F.lit(i))
-            for i in range(4)
+            for i in range(n_blocks)
         ]
     )
     return (

@@ -423,7 +423,7 @@ def test_substring_spans_random_corpus_vs_python(spark):
         body = " ".join(rng.choice("abcd") for _ in range(rng.randint(5, 30)))
         # every 5th doc embeds the same 12-token boilerplate run
         docs.append((i, f"{body} {boiler}" if i % 5 == 0 else body))
-    W = 10
+    W = dedup.SPAN_TOKENS  # pin the Python reference to the op's width
     spans = {}  # span text -> set of doc ids
     per_doc = {}
     for did, text in docs:
