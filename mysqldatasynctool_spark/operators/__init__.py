@@ -108,6 +108,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_scd2_history",
     "pipeline_sample_per_group",
     "events_sliding_distinct_approx",
+    "join_point_in_time",
     "events_retention_cohorts",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",

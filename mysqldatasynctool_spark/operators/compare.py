@@ -514,6 +514,11 @@ ORDER BY o_orderstatus
 #: 13th re-prices at T2 (keys divisible by 91 get both, stacked)
 SCD2_SEG_MOD = 7
 SCD2_BAL_MOD = 13
+#: default SCD2 effective dates (migration_scd2_history)
+SCD2_DATES = ("2024-01-01", "2024-06-01", "2024-09-01")
+#: effective dates straddling the 1995-2001 order range, so the
+#: point-in-time join maps orders onto DIFFERENT dimension versions
+PIT_DATES = ("1990-01-01", "1997-01-01", "1999-07-01")
 
 
 def migration_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,19 +539,32 @@ def migration_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval-closing window is unchanged — this is the standard
     history-rebuild plan (never a self-join per version).
     """
+    return scd2_history(spark, sf_dir, SCD2_DATES).orderBy(
+        "c_custkey", "effective_from"
+    )
+
+
+def scd2_history(
+    spark: SparkSession, sf_dir: str, dates: tuple[str, str, str]
+) -> DataFrame:
+    """Core SCD2 history build over the customer dimension at the
+    given three effective dates — shared by ``migration_scd2_history``
+    (its default epoch) and ``join_point_in_time`` (dates straddling
+    the order-date range so the temporal join is non-degenerate)."""
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
+    d0, d1, d2 = dates
     seg2 = F.concat(F.col("c_mktsegment"), F.lit("_V2"))
     bal2 = F.round(
         F.col("c_acctbal").cast("decimal(24,2)") * F.lit("1.1").cast("decimal(2,1)"),
         2,
     ).cast("double")
-    v0 = cust.withColumn("effective_from", F.lit("2024-01-01").cast("timestamp"))
+    v0 = cust.withColumn("effective_from", F.lit(d0).cast("timestamp"))
     v1 = (
         cust.filter(F.col("c_custkey") % SCD2_SEG_MOD == 0)
         .withColumn("c_mktsegment", seg2)
-        .withColumn("effective_from", F.lit("2024-06-01").cast("timestamp"))
+        .withColumn("effective_from", F.lit(d1).cast("timestamp"))
     )
     v2 = (
         cust.filter(F.col("c_custkey") % SCD2_BAL_MOD == 0)
@@ -557,15 +575,13 @@ def migration_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("c_acctbal", bal2)
-        .withColumn("effective_from", F.lit("2024-09-01").cast("timestamp"))
+        .withColumn("effective_from", F.lit(d2).cast("timestamp"))
     )
     versions = v0.unionByName(v1).unionByName(v2)
     w = W.partitionBy("c_custkey").orderBy("effective_from")
-    return (
-        versions.withColumn("effective_to", F.lead("effective_from", 1).over(w))
-        .withColumn("is_current", F.col("effective_to").isNull())
-        .orderBy("c_custkey", "effective_from")
-    )
+    return versions.withColumn(
+        "effective_to", F.lead("effective_from", 1).over(w)
+    ).withColumn("is_current", F.col("effective_to").isNull())
 
 
 def _scd2_oracle() -> str:
@@ -603,12 +619,106 @@ ORDER BY c_custkey, effective_from
 """
 
 
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the query SCD2 history exists
+    FOR: each order joins the customer-dimension VERSION that was
+    valid on its order date (``effective_from <= o_orderdate <
+    effective_to``, open-ended for the current row). Reporting
+    against the version in force at event time is the difference
+    between auditable history and silently-rewritten history.
+
+    Plan shape: EQUI-join on c_custkey with the interval predicate as
+    a residual filter — versions per key are few (≤3 here, bounded in
+    any real dimension), so the fanout is tiny and there is never a
+    nested-loop/range join. Because the SCD2 intervals tile gaplessly
+    (tested), every order matches EXACTLY one version — asserted
+    in-query by the all_matched boolean the oracle hash-checks.
+
+    Output: per (valid-at-order-time segment): order count + exact
+    decimal revenue + the conservation boolean.
+    """
+    orders = load(spark, sf_dir, "orders")
+    hist = scd2_history(spark, sf_dir, PIT_DATES)
+    n_orders = orders.count()
+    joined = orders.join(
+        hist,
+        (orders.o_custkey == hist.c_custkey)
+        & (orders.o_orderdate >= hist.effective_from)
+        & (hist.effective_to.isNull() | (orders.o_orderdate < hist.effective_to)),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            "revenue",
+            # conservation: exactly one version match per order — the
+            # grand total folds in as a literal (tiny k-row window)
+            (F.lit(n_orders) == F.sum("n_orders").over(W.partitionBy())).alias(
+                "all_matched"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _pit_oracle() -> str:
+    return f"""
+WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+v0 AS (
+  SELECT c_custkey, c_mktsegment, TIMESTAMP '{PIT_DATES[0]}' AS effective_from
+  FROM base
+),
+v1 AS (
+  SELECT c_custkey, c_mktsegment || '_V2', TIMESTAMP '{PIT_DATES[1]}'
+  FROM base WHERE c_custkey % {SCD2_SEG_MOD} = 0
+),
+v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % {SCD2_SEG_MOD} = 0
+              THEN c_mktsegment || '_V2' ELSE c_mktsegment END,
+         TIMESTAMP '{PIT_DATES[2]}'
+  FROM base WHERE c_custkey % {SCD2_BAL_MOD} = 0
+),
+versions AS (
+  SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+),
+hist AS (
+  SELECT c_custkey, c_mktsegment, effective_from,
+         LEAD(effective_from) OVER (PARTITION BY c_custkey
+                                    ORDER BY effective_from) AS effective_to
+  FROM versions
+),
+joined AS (
+  SELECT h.c_mktsegment, o.o_totalprice
+  FROM orders o JOIN hist h
+    ON o.o_custkey = h.c_custkey
+   AND o.o_orderdate >= h.effective_from
+   AND (h.effective_to IS NULL OR o.o_orderdate < h.effective_to)
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS revenue,
+       (SELECT COUNT(*) FROM orders) = SUM(COUNT(*)) OVER () AS all_matched
+FROM joined
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "migration_compare_checksums": migration_compare_checksums,
     "migration_row_diff": migration_row_diff,
     "migration_incremental": migration_incremental,
     "migration_cdc_apply": migration_cdc_apply,
     "migration_scd2_history": migration_scd2_history,
+    "join_point_in_time": join_point_in_time,
 }
 ORACLES = {
     "migration_compare_checksums": _compare_oracle(),
@@ -616,4 +726,5 @@ ORACLES = {
     "migration_incremental": _incremental_oracle(),
     "migration_cdc_apply": _cdc_apply_oracle(),
     "migration_scd2_history": _scd2_oracle(),
+    "join_point_in_time": _pit_oracle(),
 }

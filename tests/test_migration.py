@@ -430,3 +430,16 @@ def test_scd2_intervals_tile_and_one_current(spark):
     assert len(both) == 3
     assert both[2]["c_mktsegment"].endswith("_V2")
     assert abs(both[2]["c_acctbal"] - round(both[0]["c_acctbal"] * 1.1, 2)) < 0.011
+
+
+def test_point_in_time_join_conserves_orders(spark):
+    """Every order must match EXACTLY one dimension version (the SCD2
+    intervals tile), and the valid-at-order-time segments must include
+    both pre- and post-change labels (non-degenerate date straddle)."""
+    from mysqldatasynctool_spark.operators import compare as cmp_ops
+
+    rows = cmp_ops.join_point_in_time(spark, "/root/testdata/sf0.001").collect()
+    assert all(r["all_matched"] for r in rows)
+    segs = {r["c_mktsegment"] for r in rows}
+    assert any(s.endswith("_V2") for s in segs)
+    assert any(not s.endswith("_V2") for s in segs)
