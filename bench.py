@@ -43,6 +43,8 @@ HEADLINE = [
     "events_asof_join",
     "events_asof_join_salted",
     "events_hypertable_rollup",
+    "events_interval_overlap_join",
+    "join_bloom_pruned_semi",
     "migration_compare_checksums",
     "migration_cdc_apply",
     "text_pii_scrub",
