@@ -28,10 +28,14 @@ def normalized_text_col(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
-def distinct_ngram_rows(docs, n: int, out_col: str = "gram"):
-    """Distinct (doc_id, n-gram) rows via posexplode + window ``lead``
-    — THE codegen-safe n-gram formulation, shared by MinHash shingles
-    (n=3) and decontamination grams (n=4).
+def ngram_rows(docs, n: int, out_col: str = "gram", keep_pos: bool = False):
+    """ALL (doc_id, n-gram) occurrence rows via posexplode + window
+    ``lead`` — THE codegen-safe n-gram core, shared by MinHash
+    shingles (n=3, distinct), decontamination grams (n=4, distinct),
+    the substring-span dedup (n=SPAN_TOKENS, positions kept), and the
+    heavy-hitter bigram stream (n=2, multiplicities kept). One
+    definition so the lead/_last boundary semantics can never drift
+    between call sites.
 
     Why not an array-expression (``transform`` over ``sequence``): a
     higher-order transform runs interpreted (outside codegen) and
@@ -47,16 +51,19 @@ def distinct_ngram_rows(docs, n: int, out_col: str = "gram"):
     )
     w = W.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("t", k).over(w) for k in range(1, n)]
+    gram = F.concat_ws(" ", F.col("t"), *leads) if leads else F.col("t")
+    last = leads[-1] if leads else F.col("t")
+    cols = ["doc_id", "pos"] if keep_pos else ["doc_id"]
     return (
-        tok.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("t"), *leads).alias(out_col),
-            leads[-1].alias("_last"),
-        )
+        tok.select(*cols, gram.alias(out_col), last.alias("_last"))
         .filter(F.col("_last").isNotNull())
-        .select("doc_id", out_col)
-        .distinct()
+        .drop("_last")
     )
+
+
+def distinct_ngram_rows(docs, n: int, out_col: str = "gram"):
+    """Distinct (doc_id, n-gram) rows — ``ngram_rows`` + distinct."""
+    return ngram_rows(docs, n, out_col).distinct()
 
 
 def shingles_col(toks: Column, n: int = 3) -> Column:

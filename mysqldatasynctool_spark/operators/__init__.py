@@ -99,7 +99,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_incremental_dedup",
     # ---- driver window boundary: the driver records exactly the
     # first 50 entries. The 49 entries above + IVF fill the window;
-    # everything below — the 3 simplest never-checked r6 ops first,
+    # everything below — the 8 deferred never-checked r6 ops first,
     # then the stale-green re-checks — rotates in next round.
     "migration_column_profile",
     "setop_except_distinct",

@@ -375,24 +375,37 @@ def apply_cdc(
     log-compacted — at most one op per key — or the per-key winner is
     arbitrary (seq alone can't order two same-key changes). Feeds
     that carry multiple versions per key MUST name their sequence /
-    LSN column; the window then breaks same-key ties by the highest
-    LSN (base rows sort below every change)."""
-    if lsn_col is None:
-        changes = changes.withColumn("__lsn", F.lit(0).cast("long"))
+    LSN column: the window then orders by the LSN FIRST, and the
+    merged output RETAINS the column as the key's applied-LSN marker.
+    Because base rows keep their applied LSN, a REDELIVERED older
+    change batch (at-least-once delivery, checkpoint reset) can never
+    regress a newer snapshot row — exactly the replay case the
+    streaming sink meets."""
+    synthetic = lsn_col is None
+    if synthetic:
         lsn_col = "__lsn"
-    stacked = (
-        base.withColumn("op", F.lit(None).cast("string"))
-        .withColumn("seq", F.lit(0))
-        .withColumn(lsn_col, F.lit(None).cast(dict(changes.dtypes)[lsn_col]))
-        .unionByName(changes.withColumn("seq", F.lit(1)))
+        changes = changes.withColumn(lsn_col, F.lit(0).cast("long"))
+    base2 = base.withColumn("op", F.lit(None).cast("string")).withColumn(
+        "seq", F.lit(0)
     )
+    if lsn_col not in base.columns:
+        base2 = base2.withColumn(
+            lsn_col, F.lit(None).cast(dict(changes.dtypes)[lsn_col])
+        )
+    stacked = base2.unionByName(changes.withColumn("seq", F.lit(1)))
+    # LSN primary (an already-applied newer state beats a replayed
+    # older change), seq as the equal-LSN tiebreak (an exact replay of
+    # the applied change is idempotent either way)
     w = W.partitionBy(pk).orderBy(
-        F.col("seq").desc(), F.col(lsn_col).desc_nulls_last()
+        F.col(lsn_col).desc_nulls_last(), F.col("seq").desc()
     )
+    drop_cols = ["rn", "seq", "op"]
+    if synthetic:
+        drop_cols.append(lsn_col)
     return (
         stacked.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & ((F.col("op").isNull()) | (F.col("op") != "D")))
-        .drop("rn", "seq", "op", lsn_col)
+        .drop(*drop_cols)
     )
 
 

@@ -944,20 +944,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def substring_span_report(docs: DataFrame, width: int = SPAN_TOKENS) -> DataFrame:
     """Core of ``dedup_substring_spans`` over any (doc_id, text) frame."""
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("t", k).over(w) for k in range(1, width)]
-    spans = (
-        tok.select(
-            "doc_id",
-            "pos",
-            F.md5(F.concat_ws(" ", F.col("t"), *leads)).alias("h"),
-            leads[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+    from ..functions.text import ngram_rows
+
+    spans = ngram_rows(docs, width, out_col="_span", keep_pos=True).select(
+        "doc_id", "pos", F.md5(F.col("_span")).alias("h")
     )
     wh = W.partitionBy("h")
     flagged = spans.withColumn(

@@ -780,22 +780,17 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
+    from ..functions.text import ngram_rows
+
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        tok.select(
-            F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w)).alias("gram"),
-            F.lead("t", 1).over(w).alias("_nxt"),
-        )
-        .filter(F.col("_nxt").isNotNull())
-        .select("gram")
-    )
+    grams = ngram_rows(docs, 2, out_col="gram").select("gram")
     # the gram build (tokenize + posexplode + per-doc window) is the
     # expensive part and three consumers need it (total count, MG
-    # sketch pass, exact recount) — persist so it runs ONCE
+    # sketch pass, exact recount). Persist for the two DRIVER-side
+    # consumers, then UNPERSIST before returning — the recount plan
+    # rebuilds grams once, so the op costs 2 builds total instead of
+    # 3, without leaking executor cache across invocations (bench and
+    # the driver call this repeatedly in one session).
     grams = grams.persist()
     total = grams.count()
 
@@ -812,7 +807,12 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 acc = acc[acc > cut] - cut
         yield pd.DataFrame({"gram": acc.index.astype(str)})
 
-    candidates = grams.mapInPandas(mg_summaries, "gram string").distinct()
+    cand_rows = [
+        (r["gram"],)
+        for r in grams.mapInPandas(mg_summaries, "gram string").distinct().collect()
+    ]
+    grams.unpersist()
+    candidates = spark.createDataFrame(cand_rows, "gram string")
     return (
         grams.join(F.broadcast(candidates), "gram", "left_semi")
         .groupBy("gram")

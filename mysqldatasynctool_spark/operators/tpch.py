@@ -829,9 +829,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     regional = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    # persist the tiny per-part aggregate (|parts| rows, KBs): the
+    # threshold collect AND the returned plan both consume it, so the
+    # fact scan+join truly runs once per execution
     value = regional.groupBy("l_partkey").agg(
         F.sum(_dec(_rev(), 6)).alias("part_value")
-    )
+    ).persist()
     # total = exact-decimal sum of the per-part aggregate — one fact
     # scan total, not a second scan+join just for the threshold
     total = value.agg(F.sum("part_value").alias("t")).collect()[0]["t"]

@@ -639,3 +639,26 @@ def test_cdc_merge_stream_checkpoint_recovery(spark, tmp_path):
     want = sorted((r["id"], r["val"]) for r in want_df.collect())
     assert got == want
     assert (8, "b2") in got and all(i != 2 for i, _ in got)
+
+
+def test_apply_cdc_replayed_older_batch_cannot_regress(spark):
+    """With an LSN column, the merged snapshot RETAINS each key's
+    applied LSN, so a redelivered OLDER change batch (at-least-once
+    delivery / checkpoint reset) can never regress a newer row."""
+    from mysqldatasynctool_spark.operators.compare import apply_cdc
+
+    base = spark.createDataFrame([(1, "old", None)], "id long, val string, lsn long")
+    newer = spark.createDataFrame(
+        [(1, "new", "U", 500)], "id long, val string, op string, lsn long"
+    )
+    snap1 = apply_cdc(base, newer, pk="id", lsn_col="lsn")
+    assert [(r["id"], r["val"], r["lsn"]) for r in snap1.collect()] == [
+        (1, "new", 500)
+    ]
+    stale = spark.createDataFrame(
+        [(1, "stale", "U", 100)], "id long, val string, op string, lsn long"
+    )
+    snap2 = apply_cdc(snap1, stale, pk="id", lsn_col="lsn")
+    assert [(r["id"], r["val"], r["lsn"]) for r in snap2.collect()] == [
+        (1, "new", 500)
+    ]
