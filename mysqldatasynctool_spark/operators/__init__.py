@@ -29,78 +29,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: exactly the first 50 entries), so the entries that most need a
 #: fresh correctness record go first; everything else keeps its
 #: cumulative green row from an earlier round and comes after in
-#: stable module order.
+#: stable order.
 #:
-#: ROUND-6 ROTATION (tools/correctness_union.py stale-green sweep):
-#: 1) entries with NO driver row ever — the r5 asof pair + hypertable,
-#:    then everything ADDED in r6 (cdc/pii, the extended TPC-H suite,
-#:    the text/graph/window/multimodal/migration additions);
-#: 2) similarity_ivf_pandas — rows-only until r5, oracle-backed in r6,
-#:    so a fresh row upgrades it to hash-green;
-#: 3) the highest-priority STALE-GREEN entries: module changed in git
-#:    after the newest green record landed, so the old green validates
-#:    code that no longer exists. The remaining stale tail (past slot
-#:    50) rotates in next round.
+#: ROUND-7 ROTATION (tools/correctness_union.py, oldest-green-first):
+#: 1) the 8 entries with NO driver row ever (deferred past r6's
+#:    50-slot boundary; all tri-scale local-green);
+#: 2) any queries ADDED in r7 are inserted here as they land, so they
+#:    get a first row immediately;
+#: 3) STALE-GREEN re-checks ordered by the AGE of their newest green
+#:    record — an r01 green has survived five rounds of unvalidated
+#:    module edits and is the riskiest row, so q1/q3/q5 and the
+#:    round-1 relational/window surface go before the r05 greens.
+#: The driver window cuts at 50; the tail rotates in r8.
 VERIFY_PRIORITY: tuple[str, ...] = (
-    "events_asof_join",
-    "events_asof_join_salted",
-    "events_hypertable_rollup",
-    "similarity_ivf_pandas",
-    # NEW in r6 — need a first driver row
-    "migration_cdc_apply",
-    "text_pii_scrub",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q21_waiting_supplier",
-    "q21_waiting_supplier_agg",
-    "q22_global_sales_opportunity",
-    # NEW in r6 (late additions): the five shapes completing the
-    # 22-query TPC-H suite
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q20_potential_promotion",
-    # NEW in r6 (late additions): substring-span dedup + two-pass
-    # Misra-Gries heavy hitters
-    "dedup_substring_spans",
-    "text_heavy_hitters",
-    "agg_key_skew_report",
-    "similarity_kmeans_step",
-    "events_interval_overlap_join",
-    "join_fuzzy_ed1",
-    "events_session_window_builtin",
-    "events_sliding_distinct_users",
-    "join_bloom_pruned_semi",
-    "window_time_range_frame",
-    "dedup_semantic_cells",
-    "events_json_variant",
-    "text_gopher_rules",
-    "text_char_entropy",
-    "text_source_stats",
-    "events_anomaly_zscore",
-    "text_unigram_perplexity",
-    "events_zorder_key",
-    "multimodal_resize",
-    "migration_schema_audit",
-    "graph_pagerank_purchases",
-    "graph_degree_stats",
-    "window_ewma_dyadic",
-    "pipeline_incremental_dedup",
-    # ---- driver window boundary: the driver records exactly the
-    # first 50 entries. The 49 entries above + IVF fill the window;
-    # everything below — the 8 deferred never-checked r6 ops first,
-    # then the stale-green re-checks — rotates in next round.
     "migration_column_profile",
     "setop_except_distinct",
     "setop_intersect_all",
@@ -109,13 +50,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_sample_per_group",
     "events_sliding_distinct_approx",
     "join_point_in_time",
-    "events_retention_cohorts",
-    "similarity_topk_bruteforce",
-    "similarity_lsh_bucketed",
-    "similarity_label_centroids",
-    "similarity_quantize_int8",
-    "events_sessionization",
-    "events_funnel_join",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -140,7 +74,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_correlation_manual",
     "agg_percentiles_exact",
     "join_asof",
-    "array_functions",
     "string_functions2",
     "null_conditional",
     "sql_cte_subqueries",
@@ -150,9 +83,122 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "window_lag_lead",
     "window_running_sum",
     "window_range_frame",
-    "events_json_extract",
     "events_tumbling_window",
     "events_sliding_window",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except_all",
+    "setop_distinct_rows",
+    "events_gap_fill",
+    "events_date_functions",
+    "migration_catalog_exclude",
+    "events_funnel_join",
+    "array_functions",
+    "events_json_extract",
+    "events_map_functions",
+    "udf_grouped_agg_pandas",
+    "udf_udtf_windows",
+    "events_retention_cohorts",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "similarity_label_centroids",
+    "similarity_quantize_int8",
+    "events_sessionization",
+    "agg_approx_distinct",
+    "join_skew_salted",
+    "agg_percentiles",
+    "agg_histogram_fixed_bins",
+    "window_pareto_cumshare",
+    "migration_pk_catalog",
+    "migration_full_scan_fallback",
+    "migration_page_count",
+    "migration_pagination_page",
+    "migration_stringify",
+    "migration_compare_checksums",
+    "migration_row_diff",
+    "migration_incremental",
+    "dedup_exact_subset",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_clusters",
+    "dedup_paragraph_exact",
+    "dedup_lsh_recall_report",
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_token_count_bpe",
+    "text_chunking",
+    "text_fingerprint",
+    "text_token_frequency",
+    "text_tfidf",
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "multimodal_size_partitioned",
+    "multimodal_frame_sample",
+    "pipeline_decontaminate",
+    "pipeline_pack_sequences",
+    "pipeline_sample_stratified",
+    "pipeline_repetition_score",
+    "pipeline_mix_weights",
+    "pipeline_train_val_split",
+    "pipeline_global_shuffle",
+    "pipeline_end_to_end",
+    "events_asof_join",
+    "events_asof_join_salted",
+    "events_hypertable_rollup",
+    "similarity_ivf_pandas",
+    "migration_cdc_apply",
+    "text_pii_scrub",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q21_waiting_supplier",
+    "q21_waiting_supplier_agg",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q20_potential_promotion",
+    "dedup_substring_spans",
+    "text_heavy_hitters",
+    "agg_key_skew_report",
+    "similarity_kmeans_step",
+    "events_interval_overlap_join",
+    "join_fuzzy_ed1",
+    "events_session_window_builtin",
+    "events_sliding_distinct_users",
+    "join_bloom_pruned_semi",
+    "window_time_range_frame",
+    "dedup_semantic_cells",
+    "events_json_variant",
+    "text_gopher_rules",
+    "text_char_entropy",
+    "text_source_stats",
+    "events_anomaly_zscore",
+    "text_unigram_perplexity",
+    "events_zorder_key",
+    "multimodal_resize",
+    "migration_schema_audit",
+    "graph_pagerank_purchases",
+    "graph_degree_stats",
+    "window_ewma_dyadic",
+    "pipeline_incremental_dedup",
+    "q1_pricing_summary_fast",
 )
 
 

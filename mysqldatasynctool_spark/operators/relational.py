@@ -668,6 +668,17 @@ def bloom_prefilter(
     import math
 
     key_col = dim_keys.columns[0]
+    # the probe injects (and later drops) helper columns on the
+    # caller's fact frame; a fact column with one of these names would
+    # be silently overwritten and then dropped from the result — fail
+    # loudly instead (same spirit as the key-type check below)
+    reserved = {"__bloom_k", "__bloom_words", "__h1", "__h2"}
+    clash = reserved & set(fact.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_prefilter: fact frame already has reserved helper "
+            f"column(s) {sorted(clash)}; rename them before calling"
+        )
     # xxhash64 is TYPE-sensitive (xxhash64(INT 5) != xxhash64(BIGINT
     # 5)); a silent type mismatch between build and probe would drop
     # every true match — fail loudly instead

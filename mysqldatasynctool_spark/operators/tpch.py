@@ -829,15 +829,24 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     regional = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-    # persist the tiny per-part aggregate (|parts| rows, KBs): the
-    # threshold collect AND the returned plan both consume it, so the
-    # fact scan+join truly runs once per execution
+    # localCheckpoint (eager) materializes the tiny per-part aggregate
+    # (|parts| rows, KBs) ONCE: the threshold collect AND the returned
+    # plan both read the checkpointed blocks, so the fact scan+join
+    # truly runs once per execution — and unlike a bare .persist()
+    # (which leaked a cache entry per invocation in long-lived bench /
+    # driver sessions) the blocks are freed when the frame is GC'd,
+    # no explicit unpersist handle needed.
     value = regional.groupBy("l_partkey").agg(
         F.sum(_dec(_rev(), 6)).alias("part_value")
-    ).persist()
+    ).localCheckpoint(eager=True)
     # total = exact-decimal sum of the per-part aggregate — one fact
-    # scan total, not a second scan+join just for the threshold
+    # scan total, not a second scan+join just for the threshold.
+    # SUM over zero rows is NULL: on non-fixture data with no ASIA
+    # suppliers, fall through to an (exact) empty result instead of a
+    # Decimal(None) TypeError.
     total = value.agg(F.sum("part_value").alias("t")).collect()[0]["t"]
+    if total is None:
+        total = Decimal(0)
     threshold = (Decimal(total) * Decimal("0.0001")).quantize(Decimal("0.0000000001"))
     return (
         value.filter(F.col("part_value") > F.lit(threshold).cast("decimal(28,10)"))

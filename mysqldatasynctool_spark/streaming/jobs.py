@@ -579,6 +579,18 @@ def start_cdc_merge_stream(
     without one, batches must be log-compacted — one op per key —
     which is what real CDC log readers emit per poll.
 
+    Replay-safety caveat (no-LSN feeds): the "safe replay" claim
+    above covers Structured Streaming's own recovery — re-running the
+    single most-recent uncommitted epoch against the snapshot it was
+    first merged into. It does NOT extend to a checkpoint RESET over a
+    retained feed: without ``lsn_col``, change rows carry synthetic
+    lsn 0 and always outrank snapshot rows (NULL lsn), so replaying
+    old change files on top of a newer snapshot silently regresses
+    keys to stale values unless the full feed replays in its original
+    order. Any at-least-once / re-deliverable source should therefore
+    always name a real ``lsn_col`` — then replayed older changes lose
+    the tie-break and the merge is order-independent.
+
     100 TB: each merge is ONE pk-keyed shuffle over snapshot+batch —
     at real scale you'd bucket the snapshot by pk so the merge
     co-locates (sinks.py bucketed tables), or swap in a table format's

@@ -113,7 +113,13 @@ def main() -> int:
     # driver's 50-slot window
     ordered = [q for q in queries if q in never] + red
     ordered += [q for q in upgraded if q not in ordered]
-    ordered += [q for q in stale if q not in ordered]
+    # stale re-checks oldest-green-first: an r01 green has survived the
+    # most unvalidated module edits, so it is the riskiest row
+    ordered += [
+        q
+        for q in sorted(stale, key=lambda q: last_green_rec[q])
+        if q not in ordered
+    ]
     rest = sorted(
         (q for q in green if q not in ordered),
         key=lambda q: last_green_rec[q],
