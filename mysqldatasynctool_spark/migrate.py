@@ -145,14 +145,27 @@ def migrate_directory(
         )
 
     def copy_one(t: str) -> tuple[TableReport, tuple | None]:
+        # same per-phase wall-time split migrate_jdbc reports, so a
+        # slow table (or a slow ROUND — r6's bench moved +23% on this
+        # path with no code change) is attributable to the fused
+        # scan+write action vs the dest verify re-read, not one
+        # opaque number
         t0 = time.monotonic()
+        phases: dict[str, float] = {}
         try:
             if resume:
                 prior = verdict_row(t)
+                phases["resume_check"] = round(time.monotonic() - t0, 3)
                 if prior is not None and prior[-1] == "YES":
                     # already copied and verified — skip the write
                     return (
-                        TableReport(t, prior[2], time.monotonic() - t0, True),
+                        TableReport(
+                            t,
+                            prior[2],
+                            time.monotonic() - t0,
+                            True,
+                            phases=phases,
+                        ),
                         prior,
                     )
             df = load(spark, src_dir, t)
@@ -176,6 +189,7 @@ def migrate_directory(
                     F.sum(row_digest(df)), F.lit(0).cast("decimal(38,0)")
                 ).alias("checksum"),
             )
+            t_copy = time.monotonic()
             if versioned:
                 from .sources.files import write_versioned
 
@@ -183,6 +197,7 @@ def migrate_directory(
             else:
                 write_parquet(observed, f"{dest_dir}/{t}.parquet")
             src_cnt, src_sum = obs.get["cnt"], obs.get["checksum"]
+            phases["copy"] = round(time.monotonic() - t_copy, 3)
             # dest-side verify INSIDE the copy thread, one job per
             # table: each table's checksum scan overlaps the remaining
             # tables' copies instead of running as a second serial
@@ -190,7 +205,9 @@ def migrate_directory(
             # regime) verification disappears into the copy
             # wall-clock. The dest count doubles as the report row
             # count (no separate count() job).
+            t_verify = time.monotonic()
             d = table_summary(_read_dest(t), t).collect()[0]
+            phases["verify"] = round(time.monotonic() - t_verify, 3)
             ok = src_cnt == d.cnt and src_sum == d.checksum
             vrow = (
                 t,
@@ -201,9 +218,17 @@ def migrate_directory(
                 "YES",
                 "YES" if ok else "NO",
             )
-            return TableReport(t, d.cnt, time.monotonic() - t0, True), vrow
+            return (
+                TableReport(t, d.cnt, time.monotonic() - t0, True, phases=phases),
+                vrow,
+            )
         except Exception as exc:  # noqa: BLE001 — per-object failure accounting
-            return TableReport(t, 0, time.monotonic() - t0, False, str(exc)), None
+            return (
+                TableReport(
+                    t, 0, time.monotonic() - t0, False, str(exc), phases=phases
+                ),
+                None,
+            )
 
     # maxParallel bounds how many table copy+verify JOBS are in flight
     # at once (reference root.go:104-147); submission order is
