@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
+    # live-endpoint activation: point SPARK_GRAFT_JARS at a JDBC
+    # driver jar (e.g. mysql-connector-j) and the live-MySQL tests /
+    # CLI runs pick it up without code changes (README "Live-MySQL
+    # activation")
+    jars = os.environ.get("SPARK_GRAFT_JARS")
+    if jars:
+        builder = builder.config("spark.jars", jars)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

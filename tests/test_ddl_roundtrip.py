@@ -17,6 +17,7 @@ import pytest
 from pyspark.sql import types as T
 
 from mysqldatasynctool_spark.catalog import FIXTURE_PRIMARY_KEYS
+from mysqldatasynctool_spark.config import Endpoint
 from mysqldatasynctool_spark.ddl import create_table_sql, replicate_ddl
 from mysqldatasynctool_spark.sources.fixtures import load
 
@@ -24,30 +25,14 @@ SF = "/root/testdata/sf0.001"
 TABLES = sorted(FIXTURE_PRIMARY_KEYS)
 
 
-class _JavaDbapi:
-    """Minimal DB-API face over a java.sql.Connection (py4j), so
-    replicate_ddl's cursor/commit/rollback protocol drives a real
-    database without a Python driver."""
+def _connect(spark, url):
+    """The package's own PEP-249 shim (sources.jdbc.dbapi_connection)
+    pointed at embedded Derby — the same bridge the live-MySQL suite
+    uses, so its cursor/execute/commit/rollback protocol is exercised
+    in-sandbox on every run, not only behind `-m live`."""
+    from mysqldatasynctool_spark.sources.jdbc import dbapi_connection
 
-    def __init__(self, jconn):
-        self._j = jconn
-        jconn.setAutoCommit(False)
-
-    def cursor(self):
-        return self
-
-    def execute(self, sql: str) -> None:
-        st = self._j.createStatement()
-        try:
-            st.execute(sql)
-        finally:
-            st.close()
-
-    def commit(self) -> None:
-        self._j.commit()
-
-    def rollback(self) -> None:
-        self._j.rollback()
+    return dbapi_connection(spark, Endpoint(url_override=url, driver="org.apache.derby.iapi.jdbc.AutoloadedDriver"))
 
 
 @pytest.fixture(scope="module")
@@ -57,10 +42,6 @@ def derby_url(spark, tmp_path_factory):
     # force driver registration in the JVM before DriverManager use
     spark._jvm.java.lang.Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
     return url
-
-
-def _connect(spark, url):
-    return _JavaDbapi(spark._jvm.java.sql.DriverManager.getConnection(url))
 
 
 def expected_roundtrip_type(dt: T.DataType) -> T.DataType:

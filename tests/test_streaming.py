@@ -171,16 +171,17 @@ def test_foreach_batch_sink_roundtrip(spark, tmp_path):
     assert written.count() == ev_ops.load(spark, SF, "events").count()
 
 
-@pytest.mark.skipif(
-    not _HAS_PROTOBUF,
-    reason="transformWithStateInPandas needs google.protobuf (its "
-    "Python<->JVM state server protocol); not installed in this "
-    "container and installs are disallowed",
-)
+@pytest.mark.live  # transformWithStateInPandas needs google.protobuf
+# (its Python<->JVM state-server protocol); absent here and installs
+# are disallowed. The processor's state math runs everywhere via
+# test_topk_processor_math_without_transport below; this end-to-end
+# parity runs wherever protobuf exists: `pytest -m live -k topk`.
 def test_transform_with_state_topk_matches_batch(spark):
     """transformWithStateInPandas (the Spark 4 stateful API) parity:
     the per-user running top-3 values must equal the batch top-3
     (window row_number) once all input is processed."""
+    if not _HAS_PROTOBUF:
+        pytest.fail("google.protobuf missing — this live test needs it")
     from pyspark.sql import Window as W
 
     from mysqldatasynctool_spark.sources.fixtures import load
