@@ -547,6 +547,13 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi/anti self-joins keyed on l_orderkey; the late predicate for
     the anti side reuses l1's o_orderdate (same order ⇒ same date), so
     orders is joined exactly once.
+
+    Scale note: this CLASSIC form still self-joins the fact table
+    twice (three lineitem scans / up to three fact shuffles once AQE
+    stops broadcasting the projections — the 100x condition pinned by
+    tests/test_tpch.py::test_q21_classic_never_pins_fact_broadcast).
+    The result-identical PRODUCTION path is ``q21_waiting_supplier_agg``
+    below: one scan, one groupBy(l_orderkey) pass, no self-joins.
     """
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load(spark, sf_dir, "supplier")

@@ -61,6 +61,39 @@ def test_q21_semi_and_anti_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q21_classic_never_pins_fact_broadcast(spark):
+    """100 TB pin (VERDICT r6 watch-item): at sf0.01 AQE's size stats
+    let it broadcast the two lineitem self-join projections — a fine
+    runtime choice HERE, but it must stay a *choice*. With the
+    broadcast threshold forced to 'everything is too big' (the
+    100x-scale condition), the classic q21's semi/anti self-joins must
+    fall back to shuffle joins: nothing in the query may PIN a
+    fact-side broadcast. The only hinted broadcast is the supplier
+    dim, which stays cluster-small at any SF (the documented
+    production path for the full rewrite is q21_waiting_supplier_agg).
+    """
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, tpch.q21_waiting_supplier(spark, SF))
+        # the explicit supplier hint is the ONE permitted broadcast
+        assert plan.count("BroadcastHashJoin") == 1
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_q22_threshold_is_literal_no_nested_loop(spark):
     plan = _plan(spark, tpch.q22_global_sales_opportunity(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
