@@ -31,15 +31,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-7 ROTATION (tools/correctness_union.py, oldest-green-first):
+#: ROUND-7 ROTATION (tools/correctness_union.py; staleness is now
+#: FUNCTION-granular via git blame, which collapsed the stale set
+#: from 98 to 4):
 #: 1) the 8 entries with NO driver row ever (deferred past r6's
 #:    50-slot boundary; all tri-scale local-green);
-#: 2) any queries ADDED in r7 are inserted here as they land, so they
-#:    get a first row immediately;
-#: 3) STALE-GREEN re-checks ordered by the AGE of their newest green
-#:    record — an r01 green has survived five rounds of unvalidated
-#:    module edits and is the riskiest row, so q1/q3/q5 and the
-#:    round-1 relational/window surface go before the r05 greens.
+#: 2) queries ADDED in r7 are inserted here as they land, so each
+#:    gets a first driver row immediately;
+#: 3) the 4 truly-stale greens (function body edited after their
+#:    newest green record: udtf, simhash credit rewrite, q21/q11
+#:    advice fixes);
+#: 4) everything else oldest-green-record-first — r01 greens have
+#:    survived six rounds of surrounding churn, so they re-validate
+#:    before the r05/r06 rows as defense in depth.
 #: The driver window cuts at 50; the tail rotates in r8.
 VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_column_profile",
@@ -50,6 +54,10 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_sample_per_group",
     "events_sliding_distinct_approx",
     "join_point_in_time",
+    "udf_udtf_windows",
+    "dedup_simhash",
+    "q21_waiting_supplier",
+    "q11_important_stock",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -98,7 +106,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "events_json_extract",
     "events_map_functions",
     "udf_grouped_agg_pandas",
-    "udf_udtf_windows",
     "events_retention_cohorts",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
@@ -122,7 +129,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_exact_text",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_clusters",
@@ -166,12 +172,10 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
-    "q21_waiting_supplier",
     "q21_waiting_supplier_agg",
     "q22_global_sales_opportunity",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
-    "q11_important_stock",
     "q13_customer_distribution",
     "q20_potential_promotion",
     "dedup_substring_spans",

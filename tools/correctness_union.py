@@ -38,6 +38,55 @@ def _git_ts(*args: str) -> int | None:
         return None
 
 
+def _func_ts(fn) -> int | None:
+    """Newest commit timestamp touching the FUNCTION's own source
+    span (git blame), not its whole module — so editing one query in
+    a 1000-line operator file no longer marks its 18 siblings stale.
+
+    Deliberate under-approximation: a change to a shared helper
+    (fixtures.load, _dec, a module-level oracle constant) does not
+    blame into the function span. That drift is covered by the local
+    tri-scale simulator sweep after every edit session; this signal
+    decides ROTATION PRIORITY, where function-granularity is the
+    right risk ordering.
+    """
+    import inspect
+    import subprocess
+
+    try:
+        lines, start = inspect.getsourcelines(fn)
+        path = inspect.getsourcefile(fn)
+    except (OSError, TypeError):
+        return None
+    if path is None:
+        return None
+    rel = os.path.relpath(path, REPO)
+    try:
+        out = subprocess.run(
+            [
+                "git",
+                "blame",
+                "-L",
+                f"{start},{start + len(lines) - 1}",
+                "--porcelain",
+                "--",
+                rel,
+            ],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=60,
+        ).stdout
+    except Exception:  # noqa: BLE001 — no git → fall back to module ts
+        return None
+    ts = [
+        int(line.split()[1])
+        for line in out.splitlines()
+        if line.startswith("committer-time ")
+    ]
+    return max(ts) if ts else None
+
+
 def main() -> int:
     from mysqldatasynctool_spark.operators import collect_registry
 
@@ -67,11 +116,12 @@ def main() -> int:
     red = [q for q in queries if best.get(q) == "red"]
     never = [q for q in queries if q not in best]
 
-    # STALE-GREEN: the query's defining module changed in git AFTER its
-    # newest green record landed — the green row validates code that no
-    # longer exists. Module-level granularity is deliberately
-    # conservative: touching one query in a module marks its siblings
-    # stale too, which is the safe direction for a rotation decision.
+    # STALE-GREEN: the query's OWN function body changed in git AFTER
+    # its newest green record landed — the green row validates code
+    # that no longer exists. Function-granular via git blame (r7; was
+    # module-granular, which marked all 19 siblings stale on any
+    # single-query edit); falls back to the module timestamp when
+    # blame can't resolve the span.
     stale: list[str] = []
     rec_ts_cache: dict[str, int | None] = {}
     file_ts_cache: dict[str, int | None] = {}
@@ -79,11 +129,14 @@ def main() -> int:
         rnd = last_green_rec[q]
         if rnd not in rec_ts_cache:
             rec_ts_cache[rnd] = _git_ts("--", rnd)
-        mod = sys.modules[queries[q].__module__].__file__
-        rel = os.path.relpath(mod, REPO)
-        if rel not in file_ts_cache:
-            file_ts_cache[rel] = _git_ts("--", rel)
-        rts, fts = rec_ts_cache[rnd], file_ts_cache[rel]
+        fts = _func_ts(queries[q])
+        if fts is None:
+            mod = sys.modules[queries[q].__module__].__file__
+            rel = os.path.relpath(mod, REPO)
+            if rel not in file_ts_cache:
+                file_ts_cache[rel] = _git_ts("--", rel)
+            fts = file_ts_cache[rel]
+        rts = rec_ts_cache[rnd]
         if rts is not None and fts is not None and fts > rts:
             stale.append(q)
 
