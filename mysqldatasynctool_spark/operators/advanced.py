@@ -669,6 +669,128 @@ ORDER BY table_name, key_name
 """
 
 
+def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares linear trend (slope + intercept) of event value
+    over time, per event_type — the regression-as-aggregation shape
+    (SQL's REGR_SLOPE/REGR_INTERCEPT) built from exact decimal power
+    sums, same determinism discipline as ``agg_correlation_manual``:
+    x is INTEGER days-since-epoch (epoch seconds DIV 86400 — integer
+    division in both engines), value sums are decimal-exact, and the
+    closed forms
+
+        slope     = (n·sxy − sx·sy) / (n·sxx − sx²)
+        intercept = (sy·sxx − sx·sxy) / (n·sxx − sx²)
+
+    are evaluated over bit-identical doubles in the same operation
+    order cross-engine.
+
+    100 TB: one partial-aggregated shuffle on event_type — the whole
+    regression is 6 map-side-combinable sums; no window, no sort, no
+    second pass.
+    """
+    ev = load(spark, sf_dir, "events")
+    x = F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)")
+    y = F.col("value")
+    n = F.count("*")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(_dec(y, 6)).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    sxy = F.sum(_dec(y, 6) * x).cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy * sxx - sx * sxy) / denom
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n.alias("n"),
+            F.round(slope, 6).alias("slope_per_day"),
+            F.round(intercept, 6).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_LINEAR_FIT_ORACLE = """
+SELECT event_type, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
+       ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept
+FROM (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sy,
+         CAST(SUM((CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+                  * (CAST(floor(epoch(ts)) AS BIGINT) // 86400)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(value AS DECIMAL(22,6))
+                  * (CAST(floor(epoch(ts)) AS BIGINT) // 86400)) AS DOUBLE) AS sxy
+  FROM events GROUP BY event_type
+)
+GROUP BY event_type, n, sx, sy, sxx, sxy
+ORDER BY event_type
+"""
+
+
+def sql_recursive_supplier_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE — a capability class
+    the DataFrame API cannot express declaratively): walk the
+    supplier reporting tree where supplier s reports to s DIV 2 (a
+    deterministic binary hierarchy derived from the key space, the
+    standard org-chart/BOM shape), accumulating depth and the exact
+    path-summed account balance from each node up to the root.
+
+    Per depth level: node count + decimal-exact total of path sums.
+    Termination is structural (parent strictly decreases), so the
+    recursion depth is ⌈log2(max key)⌉ — the engine evaluates one
+    iteration per level, each a broadcast-friendly self-join on the
+    parent key.
+
+    100 TB: recursion with a log-depth bound and a monotone key is the
+    safe pattern (contrast unbounded graph recursion — that's what the
+    iterative operators in graph.py with explicit checkpointing are
+    for); each step's frame is nodes-at-level sized, never the whole
+    closure.
+    """
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rt")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk (s_suppkey, node, depth, path_bal) AS (
+          SELECT s_suppkey, s_suppkey AS node, 0 AS depth,
+                 CAST(s_acctbal AS DECIMAL(30,2)) AS path_bal
+          FROM supplier_rt
+          UNION ALL
+          SELECT w.s_suppkey, p.s_suppkey AS node, w.depth + 1,
+                 CAST(w.path_bal + CAST(p.s_acctbal AS DECIMAL(30,2))
+                      AS DECIMAL(30,2))
+          FROM walk w
+          JOIN supplier_rt p ON p.s_suppkey = w.node DIV 2 AND w.node > 1
+        )
+        SELECT s_suppkey, MAX(depth) AS depth_to_root,
+               CAST(MAX_BY(path_bal, depth) AS DOUBLE) AS root_path_balance
+        FROM walk
+        GROUP BY s_suppkey
+        ORDER BY s_suppkey
+        """
+    )
+
+
+SQL_RECURSIVE_TREE_ORACLE = """
+WITH RECURSIVE walk (s_suppkey, node, depth, path_bal) AS (
+  SELECT s_suppkey, s_suppkey AS node, 0 AS depth,
+         CAST(s_acctbal AS DECIMAL(30,2)) AS path_bal
+  FROM supplier
+  UNION ALL
+  SELECT w.s_suppkey, p.s_suppkey AS node, w.depth + 1,
+         CAST(w.path_bal + CAST(p.s_acctbal AS DECIMAL(30,2)) AS DECIMAL(30,2))
+  FROM walk w
+  JOIN supplier p ON p.s_suppkey = w.node // 2 AND w.node > 1
+)
+SELECT s_suppkey, MAX(depth) AS depth_to_root,
+       CAST(ARG_MAX(path_bal, depth) AS DOUBLE) AS root_path_balance
+FROM walk
+GROUP BY s_suppkey
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "date_arithmetic": date_arithmetic,
     "join_cross": join_cross,
@@ -687,10 +809,14 @@ QUERIES = {
     "sql_cte_subqueries": sql_cte_subqueries,
     "agg_histogram_fixed_bins": agg_histogram_fixed_bins,
     "agg_key_skew_report": agg_key_skew_report,
+    "agg_linear_fit": agg_linear_fit,
+    "sql_recursive_supplier_tree": sql_recursive_supplier_tree,
 }
 
 ORACLES = {
     "agg_key_skew_report": AGG_KEY_SKEW_ORACLE,
+    "agg_linear_fit": AGG_LINEAR_FIT_ORACLE,
+    "sql_recursive_supplier_tree": SQL_RECURSIVE_TREE_ORACLE,
     "date_arithmetic": DATE_ARITHMETIC_ORACLE,
     "join_cross": JOIN_CROSS_ORACLE,
     "pivot_status_priority": PIVOT_ORACLE,

@@ -1086,6 +1086,65 @@ ORDER BY user_id, event_type
 """
 
 
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars over the event value
+    stream — the time-series downsampling shape every metrics / market
+    store materializes.
+
+    open/close are picked with ``min_by``/``max_by`` over the UNIQUE
+    composite order key struct(ts, event_id) (ts alone ties at
+    microsecond collisions), so the result is deterministic and every
+    output cell is a RAW input double — no float summation anywhere,
+    the oracle hashes bit-for-bit.
+
+    100 TB: ONE hash shuffle on the hour bucket; min_by/max_by/min/max
+    all partial-aggregate map-side, so the exchange carries one
+    O(buckets) row per partition — the same economics as the
+    hypertable rollup, where the window-function formulation
+    (row_number per bucket, as the oracle writes it) would shuffle
+    every raw row into a sort. The agg formulation IS the scale
+    rewrite of that window.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return (
+        ev.groupBy("hr")
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .orderBy("hr")
+    )
+
+
+EVENTS_OHLC_ORACLE = """
+WITH e AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT hr,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS volume
+FROM e
+GROUP BY hr
+ORDER BY hr
+"""
+
+
 QUERIES = {
     "events_json_extract": events_json_extract,
     "events_tumbling_window": events_tumbling_window,
@@ -1106,6 +1165,7 @@ QUERIES = {
     "events_sliding_distinct_users": events_sliding_distinct_users,
     "events_json_variant": events_json_variant,
     "events_sliding_distinct_approx": events_sliding_distinct_approx,
+    "events_ohlc_bars": events_ohlc_bars,
 }
 
 ORACLES = {
@@ -1128,4 +1188,5 @@ ORACLES = {
     "events_sliding_distinct_users": EVENTS_SLIDING_DISTINCT_ORACLE,
     "events_json_variant": EVENTS_JSON_VARIANT_ORACLE,
     "events_sliding_distinct_approx": EVENTS_SLIDING_DISTINCT_APPROX_ORACLE,
+    "events_ohlc_bars": EVENTS_OHLC_ORACLE,
 }
