@@ -312,6 +312,189 @@ ORDER BY col_name
 """
 
 
+def migration_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key DISCOVERY by inclusion-dependency probing — the
+    pre-migration analysis the reference leaves to the operator (its
+    FK handling, tablemeta.go:18-39, assumes the keys are already
+    declared): for each candidate (child.col → parent.col) pair,
+    measure what fraction of distinct child values exist in the
+    parent. containment_ppm = 1e6 exactly ⇒ a real inclusion
+    dependency (FK candidate); the o_orderkey→c_custkey row is the
+    deliberate NEGATIVE control a discovery report needs to prove it
+    can say no.
+
+    Plan per candidate: distinct-project the child column (one
+    partial-aggregated shuffle on the key), LEFT SEMI join against the
+    parent's distinct keys (dim-sized ⇒ broadcast), count both — the
+    probe never touches non-key columns, so column pruning reduces
+    each scan to one parquet column chunk. Integer ppm keeps the
+    oracle hash exact.
+    """
+    candidates = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        # negative control: order keys are NOT customer keys
+        ("orders", "o_orderkey", "customer", "c_custkey"),
+    ]
+    out = None
+    for child_t, child_c, parent_t, parent_c in candidates:
+        child = (
+            load(spark, sf_dir, child_t)
+            .select(F.col(child_c).cast("long").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        parent = (
+            load(spark, sf_dir, parent_t)
+            .select(F.col(parent_c).cast("long").alias("k"))
+            .distinct()
+        )
+        probe = (
+            child.join(F.broadcast(parent), "k", "left_semi")
+            .agg(F.count("*").alias("n_contained"))
+            .crossJoin(child.agg(F.count("*").alias("n_child_distinct")))
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("child"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent"),
+                "n_child_distinct",
+                "n_contained",
+                F.expr("(1000000 * n_contained) DIV n_child_distinct").alias(
+                    "containment_ppm"
+                ),
+                (F.col("n_contained") == F.col("n_child_distinct")).alias(
+                    "is_inclusion"
+                ),
+            )
+        )
+        out = probe if out is None else out.unionByName(probe)
+    return out.orderBy("child", "parent")
+
+
+MIGRATION_FK_DISCOVERY_ORACLE = """
+WITH probe AS (
+  SELECT 'orders.o_custkey' AS child, 'customer.c_custkey' AS parent,
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_child_distinct,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders) c
+          WHERE EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey))
+           AS n_contained
+  UNION ALL
+  SELECT 'customer.c_nationkey', 'nation.n_nationkey',
+         (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+         (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer) c
+          WHERE EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.c_nationkey))
+  UNION ALL
+  SELECT 'supplier.s_nationkey', 'nation.n_nationkey',
+         (SELECT COUNT(DISTINCT s_nationkey) FROM supplier),
+         (SELECT COUNT(*) FROM (SELECT DISTINCT s_nationkey FROM supplier) c
+          WHERE EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.s_nationkey))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+         (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+         (SELECT COUNT(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem) c
+          WHERE EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey))
+  UNION ALL
+  SELECT 'orders.o_orderkey', 'customer.c_custkey',
+         (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+         (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders) c
+          WHERE EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_orderkey))
+)
+SELECT child, parent, n_child_distinct, n_contained,
+       CAST((1000000 * n_contained) // n_child_distinct AS BIGINT)
+         AS containment_ppm,
+       n_contained = n_child_distinct AS is_inclusion
+FROM probe
+ORDER BY child, parent
+"""
+
+
+def migration_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations evaluated pre-migration —
+    the gate a pipeline runs BEFORE copying a table so a bad source
+    fails fast instead of propagating (the Great-Expectations /
+    dbt-test shape, expressed as two Spark plans):
+
+    - scan-local expectations (pk uniqueness, null counts, range
+      checks) fold into ONE aggregate pass over the table — the
+      violation counts are map-side-combinable sums;
+    - the referential expectation is a broadcast LEFT ANTI join
+      counting orphans (same shape as the FK probe).
+
+    Output: one row per expectation with its violation count and
+    pass/fail boolean — 0 violations everywhere on healthy fixtures,
+    and the row stays green/red-stable under reordering (counts and
+    booleans only, no floats).
+    """
+    orders = load(spark, sf_dir, "orders")
+    scan = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_pk"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_cust"
+        ),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+            "neg_price"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("date_oob"),
+    )
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    orphans = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .join(F.broadcast(customer.distinct()), "k", "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    expectations = scan.crossJoin(orphans).selectExpr(
+        "stack(5, "
+        " 'pk_unique',            n_rows - n_pk,"
+        " 'custkey_not_null',     null_cust,"
+        " 'totalprice_nonneg',    neg_price,"
+        " 'orderdate_in_range',   date_oob,"
+        " 'custkey_ref_customer', n_orphans"
+        ") AS (expectation, n_violations)"
+    )
+    return expectations.select(
+        "expectation",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("ok"),
+    ).orderBy("expectation")
+
+
+MIGRATION_DQ_EXPECTATIONS_ORACLE = """
+WITH scan AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(DISTINCT o_orderkey) AS n_pk,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+         SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg_price,
+         SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                   OR o_orderdate >= TIMESTAMP '2010-01-01'
+                  THEN 1 ELSE 0 END) AS date_oob
+  FROM orders
+), orph AS (
+  SELECT COUNT(*) AS n_orphans FROM orders
+  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+), rows_ AS (
+  SELECT 'pk_unique' AS expectation, n_rows - n_pk AS n_violations FROM scan
+  UNION ALL SELECT 'custkey_not_null', null_cust FROM scan
+  UNION ALL SELECT 'totalprice_nonneg', neg_price FROM scan
+  UNION ALL SELECT 'orderdate_in_range', date_oob FROM scan
+  UNION ALL SELECT 'custkey_ref_customer', n_orphans FROM orph
+)
+SELECT expectation, CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS ok
+FROM rows_
+ORDER BY expectation
+"""
+
+
 QUERIES = {
     "migration_catalog_exclude": migration_catalog_exclude,
     "migration_pk_catalog": migration_pk_catalog,
@@ -321,6 +504,8 @@ QUERIES = {
     "migration_stringify": migration_stringify,
     "migration_schema_audit": migration_schema_audit,
     "migration_column_profile": migration_column_profile,
+    "migration_fk_discovery": migration_fk_discovery,
+    "migration_dq_expectations": migration_dq_expectations,
 }
 
 ORACLES = {
@@ -332,4 +517,6 @@ ORACLES = {
     "migration_stringify": MIGRATION_STRINGIFY_ORACLE,
     "migration_schema_audit": MIGRATION_SCHEMA_AUDIT_ORACLE,
     "migration_column_profile": MIGRATION_COLUMN_PROFILE_ORACLE,
+    "migration_fk_discovery": MIGRATION_FK_DISCOVERY_ORACLE,
+    "migration_dq_expectations": MIGRATION_DQ_EXPECTATIONS_ORACLE,
 }

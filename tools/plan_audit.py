@@ -50,6 +50,11 @@ ALLOWED_CARTESIAN = {
     # BNLJ IS the intended physical plan — a broadcast map-side filter
     # ahead of the exact semi join (relational.bloom_prefilter)
     "join_bloom_pruned_semi": "1-row bloom-bitmap broadcast filter",
+    # 1-row-aggregate x 1-row-aggregate combinations in the report
+    # builders: broadcast NLJ over single-row frames is the optimal
+    # physical plan (same scalar-subquery class as the rows above)
+    "migration_fk_discovery": "1-row containment x distinct-count aggregates",
+    "migration_dq_expectations": "1-row scan-aggregate x orphan-count join",
 }
 
 #: queries allowed to contain row-at-a-time BatchEvalPython (none —
