@@ -54,6 +54,16 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_sample_per_group",
     "events_sliding_distinct_approx",
     "join_point_in_time",
+    # ---- NEW in r7: first driver rows needed
+    "graph_triangle_count",
+    "events_ohlc_bars",
+    "agg_linear_fit",
+    "sql_recursive_supplier_tree",
+    "migration_fk_discovery",
+    "migration_dq_expectations",
+    "similarity_dim_truncation_audit",
+    "pipeline_leakage_safe_split",
+    # ---- truly-stale greens, then oldest-green-first re-checks
     "udf_udtf_windows",
     "dedup_simhash",
     "q21_waiting_supplier",

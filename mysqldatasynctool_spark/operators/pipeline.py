@@ -669,6 +669,109 @@ ORDER BY source, rk
 """
 
 
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split — the leakage-safe upgrade
+    of ``pipeline_train_val_split``: hashing RAW doc_ids scatters the
+    members of a near-duplicate cluster across splits, which is
+    exactly the train→eval contamination dedup exists to prevent.
+    Here the split key is the doc's CLUSTER id (connected-component
+    label from the verified MinHash pairs, dedup.dedup_clusters;
+    singleton docs are their own cluster), so a whole near-dup family
+    lands in ONE split by construction.
+
+    The report carries its own proof: ``cross_split_pairs`` counts
+    verified near-dup pairs whose endpoints land in different splits
+    — 0 by construction, and the oracle recomputes it independently
+    (a raw-id split on this corpus is nonzero; the planted clusters
+    make the difference visible).
+
+    100 TB: cluster labels are one CC run (already the dedup step's
+    output — production reuses that table, never recomputes); the
+    split itself is a map-side hash of the label; the audit join
+    carries (doc_id, split) pairs only.
+    """
+    from .dedup import dedup_clusters, dedup_minhash_lsh
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    assigned = (
+        docs.join(clusters, "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        )
+    )
+    bucket = _md5_mod(F.col("cluster_id"), SPLIT_BINS)
+    assigned = assigned.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test")),
+    ).localCheckpoint(eager=True)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("ida", "idb")
+    a = assigned.select(F.col("doc_id").alias("ida"), F.col("split").alias("sa"))
+    b = assigned.select(F.col("doc_id").alias("idb"), F.col("split").alias("sb"))
+    crossing = (
+        pairs.join(a, "ida")
+        .join(b, "idb")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count("*").alias("cross_split_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(crossing))
+        .orderBy("split")
+    )
+
+
+def _leakage_safe_split_oracle() -> str:
+    from .dedup import _minhash_oracle
+
+    pair_query = _minhash_oracle().replace("ORDER BY ida, idb", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pair_query}),
+edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION
+  SELECT idb, ida FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (
+  SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id
+),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+sp AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {_duck_md5_mod('cluster_id', SPLIT_BINS)} < {SPLIT_TRAIN}
+                THEN 'train'
+              WHEN {_duck_md5_mod('cluster_id', SPLIT_BINS)} < {SPLIT_VAL}
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+),
+crossing AS (
+  SELECT COUNT(*) AS n_cross
+  FROM pairs p
+  JOIN sp a ON p.ida = a.doc_id
+  JOIN sp b ON p.idb = b.doc_id
+  WHERE a.split <> b.split
+)
+SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT cluster_id) AS n_clusters,
+       (SELECT n_cross FROM crossing) AS cross_split_pairs
+FROM sp GROUP BY split ORDER BY split
+"""
+
+
 QUERIES = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_pack_sequences": pipeline_pack_sequences,
@@ -680,6 +783,7 @@ QUERIES = {
     "pipeline_end_to_end": pipeline_end_to_end,
     "pipeline_incremental_dedup": pipeline_incremental_dedup,
     "pipeline_sample_per_group": pipeline_sample_per_group,
+    "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
 }
 
 ORACLES = {
@@ -693,4 +797,5 @@ ORACLES = {
     "pipeline_end_to_end": PIPELINE_END_TO_END_ORACLE,
     "pipeline_incremental_dedup": PIPELINE_INCREMENTAL_DEDUP_ORACLE,
     "pipeline_sample_per_group": PIPELINE_SAMPLE_PER_GROUP_ORACLE,
+    "pipeline_leakage_safe_split": _leakage_safe_split_oracle(),
 }

@@ -666,6 +666,128 @@ ORDER BY label
 """
 
 
+#: prefix length for the truncation audit (Matryoshka-style)
+TRUNC_DIM = 16
+
+
+def similarity_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation retrieval audit (the Matryoshka /
+    shortening-embeddings question): how much top-k recall survives
+    when cosine runs on only the first TRUNC_DIM of EMBED_DIM
+    dimensions? Production funnels retrieve with the cheap prefix and
+    re-rank survivors with the full vector — this report measures the
+    recall cost of that first stage per query, as data, before anyone
+    flips the switch.
+
+    Per query (every 50th vector): top-K under full-dim cosine, top-K
+    under prefix cosine (both round(·,6) with vec_id tie-breaks —
+    deterministic), and their overlap as recall_ppm (integer ppm, so
+    the row hashes exactly).
+
+    Plan: the same broadcast-queries × corpus scan as the bruteforce
+    baseline, run at two widths (the prefix pass slices BEFORE the
+    join, so it scores 4x fewer multiplies), then an equi-join on
+    (qid, neighbor) to intersect the two k-sets — all tiny after the
+    windows. At 100 TB the prefix pass is the one you'd run over the
+    full corpus; the full-dim pass only over its survivors.
+    """
+    emb = _with_norm(_vecs(spark, sf_dir))
+    emb_t = _with_norm(
+        _vecs(spark, sf_dir).withColumn("v", F.slice("v", 1, TRUNC_DIM))
+    )
+
+    def topk(vectors: DataFrame) -> DataFrame:
+        queries = vectors.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("vnorm").alias("qnorm"),
+        )
+        scored = vectors.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("qid")
+        ).withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm")),
+                6,
+            ),
+        )
+        w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("qid", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    full = topk(emb)
+    trunc = topk(emb_t)
+    overlap = (
+        full.join(trunc, ["qid", "neighbor_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        full.groupBy("qid")
+        .agg(F.count("*").alias("k"))
+        .join(overlap, "qid", "left")
+        .select(
+            "qid",
+            "k",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.expr(
+                "(1000000 * coalesce(n_overlap, 0)) DIV k"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+SIMILARITY_DIM_TRUNC_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS vnorm,
+         CAST(embedding AS DOUBLE[])[1:{TRUNC_DIM}] AS tv,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[])[1:{TRUNC_DIM}],
+                               CAST(embedding AS DOUBLE[])[1:{TRUNC_DIM}])) AS tnorm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, vnorm AS qnorm, tv AS qtv, tnorm AS qtnorm
+      FROM e WHERE vec_id % 50 = 0),
+full_k AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT q.qid, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY ROUND(list_dot_product(q.qv, e.v) / (q.qnorm * e.vnorm), 6)
+                        DESC,
+                      e.vec_id ASC) AS rank
+    FROM q JOIN e ON e.vec_id <> q.qid
+  ) WHERE rank <= {TOP_K}
+),
+trunc_k AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT q.qid, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY ROUND(list_dot_product(q.qtv, e.tv) / (q.qtnorm * e.tnorm), 6)
+                        DESC,
+                      e.vec_id ASC) AS rank
+    FROM q JOIN e ON e.vec_id <> q.qid
+  ) WHERE rank <= {TOP_K}
+)
+SELECT f.qid,
+       COUNT(*) AS k,
+       CAST(COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_overlap,
+       CAST((1000000 * COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0))
+            // COUNT(*) AS BIGINT) AS recall_ppm
+FROM full_k f
+LEFT JOIN trunc_k t ON f.qid = t.qid AND f.neighbor_id = t.neighbor_id
+GROUP BY f.qid
+ORDER BY f.qid
+"""
+
+
 QUERIES = {
     "similarity_quantize_int8": similarity_quantize_int8,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
@@ -673,6 +795,7 @@ QUERIES = {
     "similarity_label_centroids": similarity_label_centroids,
     "similarity_ivf_pandas": similarity_ivf_pandas,
     "similarity_kmeans_step": similarity_kmeans_step,
+    "similarity_dim_truncation_audit": similarity_dim_truncation_audit,
 }
 
 ORACLES = {
@@ -682,4 +805,5 @@ ORACLES = {
     "similarity_label_centroids": SIMILARITY_CENTROIDS_ORACLE,
     "similarity_ivf_pandas": SIMILARITY_IVF_ORACLE,
     "similarity_kmeans_step": SIMILARITY_KMEANS_STEP_ORACLE,
+    "similarity_dim_truncation_audit": SIMILARITY_DIM_TRUNC_ORACLE,
 }

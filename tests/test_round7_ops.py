@@ -1,0 +1,97 @@
+"""Semantic invariants for the round-7 operators (their value-level
+correctness is the DuckDB oracle gate; these pin the properties the
+oracle can't state — bounds, structural laws, negative controls)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysqldatasynctool_spark.operators import advanced, events, graph, migration
+from mysqldatasynctool_spark.operators import pipeline as pl
+from mysqldatasynctool_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_triangle_count_bounds(spark):
+    row = graph.graph_triangle_count(spark, SF).collect()[0]
+    # mutual-kNN caps degree at TRI_K → edges ≤ n·k/2, and the
+    # clustering coefficient is a ratio in [0, 1e6] ppm
+    assert row.n_edges <= row.n_nodes * graph.TRI_K / 2
+    assert 0 <= row.clustering_ppm <= 1_000_000
+    # every triangle contains 3 wedges
+    assert 3 * row.n_triangles <= row.n_wedges
+    assert row.n_triangles > 0  # the fixture graph is dense enough
+
+
+def test_ohlc_bars_order_invariants(spark):
+    bars = events.events_ohlc_bars(spark, SF).collect()
+    assert bars
+    for b in bars:
+        assert b.low <= b.open <= b.high
+        assert b.low <= b.close <= b.high
+        assert b.volume > 0
+    ev_n = events.load(spark, SF, "events").count()
+    assert sum(b.volume for b in bars) == ev_n
+
+
+def test_linear_fit_passes_through_means(spark):
+    """Least squares always passes through (mean x, mean y):
+    mean_y == slope·mean_x + intercept (checked to rounding width)."""
+    ev = events.load(spark, SF, "events")
+    means = (
+        ev.groupBy("event_type")
+        .agg(
+            F.avg(F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)")).alias("mx"),
+            F.avg("value").alias("my"),
+        )
+        .collect()
+    )
+    mean_map = {r.event_type: (r.mx, r.my) for r in means}
+    for r in advanced.agg_linear_fit(spark, SF).collect():
+        mx, my = mean_map[r.event_type]
+        assert abs(r.slope_per_day * mx + r.intercept - my) < 1e-2
+
+
+def test_recursive_tree_depth_is_log2(spark):
+    """parent(k) = k DIV 2 ⇒ the path from k to root 1 has exactly
+    floor(log2(k)) hops (keys 0 and 1 are their own roots: depth 0)."""
+    rows = advanced.sql_recursive_supplier_tree(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.depth_to_root == max(0, r.s_suppkey.bit_length() - 1)
+
+
+def test_fk_discovery_negative_control(spark):
+    rows = {
+        (r.child, r.parent): r
+        for r in migration.migration_fk_discovery(spark, SF).collect()
+    }
+    assert rows[("orders.o_custkey", "customer.c_custkey")].is_inclusion
+    assert rows[("lineitem.l_suppkey", "supplier.s_suppkey")].is_inclusion
+    neg = rows[("orders.o_orderkey", "customer.c_custkey")]
+    assert not neg.is_inclusion
+    assert neg.containment_ppm < 1_000_000
+
+
+def test_dq_expectations_green_on_healthy_fixture(spark):
+    rows = migration.migration_dq_expectations(spark, SF).collect()
+    assert len(rows) == 5
+    assert all(r.ok and r.n_violations == 0 for r in rows)
+
+
+def test_dim_truncation_recall_bounded(spark):
+    rows = sim.similarity_dim_truncation_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.k == sim.TOP_K
+        assert 0 <= r.n_overlap <= r.k
+        assert r.recall_ppm == (1_000_000 * r.n_overlap) // r.k
+
+
+def test_leakage_safe_split_no_cross_split_pairs(spark):
+    rows = pl.pipeline_leakage_safe_split(spark, SF).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(r.cross_split_pairs == 0 for r in rows)
+    total = sum(r.n_docs for r in rows)
+    assert total == pl.load(spark, SF, "documents").count()

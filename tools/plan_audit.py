@@ -39,6 +39,11 @@ ALLOWED_CARTESIAN = {
     # brute-force scorer: query set is broadcast by contract (its
     # docstring labels it the correctness baseline for the LSH/IVF twins)
     "similarity_topk_bruteforce": "broadcast query set x corpus, declared baseline",
+    "similarity_dim_truncation_audit": (
+        "broadcast query set x corpus at two widths — the bruteforce "
+        "baseline run twice; its docstring names the prefix pass as "
+        "the only one run corpus-wide at scale"
+    ),
     # scalar-subquery pattern: joining a 1-row aggregate (grand total /
     # watermark) via broadcast NLJ is the OPTIMAL plan for attaching a
     # scalar to every row — the window-over-all alternative forces a
@@ -55,6 +60,7 @@ ALLOWED_CARTESIAN = {
     # physical plan (same scalar-subquery class as the rows above)
     "migration_fk_discovery": "1-row containment x distinct-count aggregates",
     "migration_dq_expectations": "1-row scan-aggregate x orphan-count join",
+    "pipeline_leakage_safe_split": "1-row cross-split-pair invariant broadcast",
 }
 
 #: queries allowed to contain row-at-a-time BatchEvalPython (none —
