@@ -731,8 +731,13 @@ def _leakage_safe_split_oracle() -> str:
     from .dedup import _minhash_oracle
 
     pair_query = _minhash_oracle().replace("ORDER BY ida, idb", "")
+    # MATERIALIZED hints matter: pairs feeds edges (x2) + the
+    # crossing audit, and sp is read by the final grouping AND both
+    # sides of the audit join — DuckDB inlines unmaterialized CTEs
+    # per reference, which re-runs the quadratic closure and OOMs at
+    # sf0.1 (measured; dedup_clusters' single-reference oracle is fine)
     return f"""
-WITH RECURSIVE pairs AS ({pair_query}),
+WITH RECURSIVE pairs AS MATERIALIZED ({pair_query}),
 edges AS (
   SELECT ida AS src, idb AS dst FROM pairs
   UNION
@@ -743,14 +748,14 @@ reach(id, r) AS (
   UNION
   SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
 ),
-comp AS (
+comp AS MATERIALIZED (
   SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id
 ),
 assigned AS (
   SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 ),
-sp AS (
+sp AS MATERIALIZED (
   SELECT doc_id, cluster_id,
          CASE WHEN {_duck_md5_mod('cluster_id', SPLIT_BINS)} < {SPLIT_TRAIN}
                 THEN 'train'
