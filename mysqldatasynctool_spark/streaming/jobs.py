@@ -156,6 +156,27 @@ def streaming_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> D
     )
 
 
+def streaming_ohlc_bars(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Hourly OHLC bars as a STREAMING aggregate — twin of
+    operators/events.events_ohlc_bars. min_by/max_by over the unique
+    struct(ts, event_id) order key are plain partial-aggregatable
+    functions, so the same one-shuffle economics carry over; the
+    watermark bounds per-window state and lets update-mode emit bars
+    incrementally as hours close."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(F.col("w.start").alias("hr"), "open", "high", "low", "close", "volume")
+    )
+
+
 def streaming_sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Sliding 1h/30m window — twin of events_sliding_window."""
     return (

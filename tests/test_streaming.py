@@ -52,6 +52,22 @@ def test_streaming_tumbling_matches_batch_twin(spark):
     ) < 1e-6
 
 
+def test_streaming_ohlc_matches_batch_twin_exactly(spark):
+    """OHLC cells are RAW input doubles (picked, never summed), so the
+    streaming and batch twins must agree EXACTLY, not approximately."""
+    from mysqldatasynctool_spark.streaming import streaming_ohlc_bars
+
+    stream = read_events_stream(spark, SF)
+    out = run_to_memory_sink(
+        streaming_ohlc_bars(stream), "t_ohlc", output_mode="complete"
+    )
+    batch = ev_ops.events_ohlc_bars(spark, SF)
+    cols = ["hr", "open", "high", "low", "close", "volume"]
+    s = _rows(out, cols)
+    b = _rows(batch.withColumnRenamed("hr", "hr"), cols)
+    assert s and s == b
+
+
 def test_streaming_sliding_matches_batch_twin(spark):
     stream = read_events_stream(spark, SF)
     out = run_to_memory_sink(
