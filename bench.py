@@ -37,6 +37,8 @@ HEADLINE = [
     "window_topk_per_group",
     "text_unigram_perplexity",
     "graph_pagerank_purchases",
+    "graph_triangle_count",
+    "events_ohlc_bars",
     "events_anomaly_zscore",
     "events_sessionization",
     "events_sliding_window",

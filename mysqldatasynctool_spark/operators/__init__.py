@@ -63,6 +63,9 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_dq_expectations",
     "similarity_dim_truncation_audit",
     "pipeline_leakage_safe_split",
+    "migration_page_checksums",
+    "events_funnel_conversion",
+    "agg_market_basket",
     # ---- truly-stale greens, then oldest-green-first re-checks
     "udf_udtf_windows",
     "dedup_simhash",

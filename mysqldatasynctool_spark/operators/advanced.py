@@ -791,6 +791,92 @@ ORDER BY s_suppkey
 """
 
 
+#: market-basket output size
+MB_TOP = 20
+
+
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over orders: for supplier pairs
+    co-occurring in an order (the basket), support / confidence / lift
+    in integer ppm — the Apriori-style 2-itemset pass every
+    co-purchase recommender starts from.
+
+    Plan: baskets come from one distinct projection of lineitem; the
+    pair generation self-joins on l_orderkey (bounded per-order
+    fanout ⇒ linear, the same discipline as graph_triangle_count);
+    per-item basket counts are a broadcast dim joined twice; the
+    basket total is a driver-side 1-row scalar (the PK-stats-probe
+    class). All ratios are integer ppm — exact, hashable.
+    top-MB_TOP by (lift, pair) keeps the output bounded at any scale
+    via TakeOrderedAndProject.
+    """
+    os_ = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_orders = os_.select("l_orderkey").distinct().count()
+    item = os_.groupBy(F.col("l_suppkey").alias("s")).agg(
+        F.count("*").alias("n_item")
+    )
+    a, b = os_.alias("a"), os_.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count("*").alias("n_pair"))
+    )
+    nu = item.select(F.col("s").alias("u"), F.col("n_item").alias("n_u"))
+    nv = item.select(F.col("s").alias("v"), F.col("n_item").alias("n_v"))
+    return (
+        pairs.join(F.broadcast(nu), "u")
+        .join(F.broadcast(nv), "v")
+        .select(
+            "u",
+            "v",
+            "n_pair",
+            "n_u",
+            "n_v",
+            F.expr(f"(1000000 * n_pair) DIV {n_orders}").alias("support_ppm"),
+            F.expr("(1000000 * n_pair) DIV n_u").alias("conf_u_v_ppm"),
+            F.expr(
+                f"(1000000 * n_pair * {n_orders}) DIV (n_u * n_v)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "u", "v")
+        .limit(MB_TOP)
+    )
+
+
+AGG_MARKET_BASKET_ORACLE = f"""
+WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM os),
+item AS (SELECT l_suppkey AS s, COUNT(*) AS n_item FROM os GROUP BY 1),
+pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS n_pair
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT u, v, n_pair, nu.n_item AS n_u, nv.n_item AS n_v,
+       CAST((1000000 * n_pair) // (SELECT n FROM n_orders) AS BIGINT)
+         AS support_ppm,
+       CAST((1000000 * n_pair) // nu.n_item AS BIGINT) AS conf_u_v_ppm,
+       CAST((1000000 * n_pair * (SELECT n FROM n_orders))
+            // (nu.n_item * nv.n_item) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN item nu ON pairs.u = nu.s
+JOIN item nv ON pairs.v = nv.s
+ORDER BY lift_ppm DESC, u, v
+LIMIT {MB_TOP}
+"""
+
+
 QUERIES = {
     "date_arithmetic": date_arithmetic,
     "join_cross": join_cross,
@@ -811,12 +897,14 @@ QUERIES = {
     "agg_key_skew_report": agg_key_skew_report,
     "agg_linear_fit": agg_linear_fit,
     "sql_recursive_supplier_tree": sql_recursive_supplier_tree,
+    "agg_market_basket": agg_market_basket,
 }
 
 ORACLES = {
     "agg_key_skew_report": AGG_KEY_SKEW_ORACLE,
     "agg_linear_fit": AGG_LINEAR_FIT_ORACLE,
     "sql_recursive_supplier_tree": SQL_RECURSIVE_TREE_ORACLE,
+    "agg_market_basket": AGG_MARKET_BASKET_ORACLE,
     "date_arithmetic": DATE_ARITHMETIC_ORACLE,
     "join_cross": JOIN_CROSS_ORACLE,
     "pivot_status_priority": PIVOT_ORACLE,

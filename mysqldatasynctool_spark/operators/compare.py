@@ -222,6 +222,29 @@ DRIFT_INSERT_OFFSET = 10_000_000
 _DIFF_COLS = [c for c, _ in _CHECK_TABLES["orders"]]
 
 
+def _drifted_orders(src: DataFrame) -> DataFrame:
+    """The deterministically-drifted 'destination' both drift
+    detectors compare against (same derivation in the oracles):
+    pk%DELETE rows missing, pk%UPDATE rows price-bumped, pk%INSERT
+    rows re-keyed as extras."""
+    bumped = F.when(
+        F.col("o_orderkey") % DRIFT_UPDATE_MOD == 0, F.col("o_totalprice") + 1.0
+    ).otherwise(F.col("o_totalprice"))
+    return (
+        src.filter(F.col("o_orderkey") % DRIFT_DELETE_MOD != 0)
+        .withColumn("o_totalprice", bumped)
+        .unionByName(
+            src.filter(F.col("o_orderkey") % DRIFT_INSERT_MOD == 3).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(DRIFT_INSERT_OFFSET)
+            )
+        )
+    )
+
+
+#: page width for corruption localization (pk DIV width)
+CHECK_PAGE_SIZE = 1_000
+
+
 def migration_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level drift detection — the incremental-sync upgrade of the
     reference's table-level compare (compare.go:102-132): instead of a
@@ -241,18 +264,7 @@ def migration_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare, but with an actionable row-level answer.
     """
     src = load(spark, sf_dir, "orders").select(*_DIFF_COLS)
-    bumped = F.when(
-        F.col("o_orderkey") % DRIFT_UPDATE_MOD == 0, F.col("o_totalprice") + 1.0
-    ).otherwise(F.col("o_totalprice"))
-    dest = (
-        src.filter(F.col("o_orderkey") % DRIFT_DELETE_MOD != 0)
-        .withColumn("o_totalprice", bumped)
-        .unionByName(
-            src.filter(F.col("o_orderkey") % DRIFT_INSERT_MOD == 3).withColumn(
-                "o_orderkey", F.col("o_orderkey") + F.lit(DRIFT_INSERT_OFFSET)
-            )
-        )
-    )
+    dest = _drifted_orders(src)
     s = src.select(F.col("o_orderkey").alias("pk"), row_digest(src).alias("sd"))
     d = dest.select(F.col("o_orderkey").alias("pk"), row_digest(dest).alias("dd"))
     status = (
@@ -295,6 +307,99 @@ SELECT COALESCE(s.pk, d.pk) AS o_orderkey,
 FROM s FULL OUTER JOIN d ON s.pk = d.pk
 WHERE sd IS NULL OR dd IS NULL OR sd <> dd
 ORDER BY o_orderkey
+"""
+
+
+def migration_page_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corruption LOCALIZATION at page granularity — the middle rung
+    between the table verdict (migration_compare_checksums: "orders is
+    red") and the row diff (migration_row_diff: full pk worklist):
+    per PK page (o_orderkey DIV CHECK_PAGE_SIZE), count + summed
+    digest on both sides, so a red table narrows to the exact pages
+    worth re-copying — the reference's own page unit (root.go pageSize)
+    reused as the verification unit.
+
+    100 TB: each side collapses map-side to (page, cnt, checksum) —
+    the shuffle carries pages, not rows — and the comparison join is
+    pages x pages. Re-sync cost then scales with corruption size, not
+    table size. Checksums travel as strings (DECIMAL(38,0) survives
+    Spark's pandas conversion exactly; DuckDB's would become lossy
+    float64).
+    """
+    src = load(spark, sf_dir, "orders").select(*_DIFF_COLS)
+    dest = _drifted_orders(src)
+    page = F.expr(f"o_orderkey DIV {CHECK_PAGE_SIZE}")
+
+    def summarize(df: DataFrame, cnt: str, chk: str) -> DataFrame:
+        return (
+            df.select(page.alias("page"), row_digest(df).alias("d"))
+            .groupBy("page")
+            .agg(
+                F.count("*").alias(cnt),
+                F.coalesce(F.sum("d"), F.lit(0).cast("decimal(38,0)")).alias(chk),
+            )
+        )
+
+    s = summarize(src, "src_cnt", "src_checksum")
+    d = summarize(dest, "dest_cnt", "dest_checksum")
+    return (
+        s.join(d, "page", "full_outer")
+        .select(
+            "page",
+            F.coalesce("src_cnt", F.lit(0)).alias("src_cnt"),
+            F.coalesce("dest_cnt", F.lit(0)).alias("dest_cnt"),
+            F.col("src_checksum").cast("string").alias("src_checksum"),
+            F.col("dest_checksum").cast("string").alias("dest_checksum"),
+            F.when(
+                F.col("src_checksum").eqNullSafe(F.col("dest_checksum"))
+                & (F.coalesce("src_cnt", F.lit(0)) == F.coalesce("dest_cnt", F.lit(0))),
+                "YES",
+            )
+            .otherwise("NO")
+            .alias("is_ok"),
+        )
+        .orderBy("page")
+    )
+
+
+def _page_checksums_oracle() -> str:
+    cols = _CHECK_TABLES["orders"]
+    rep = "concat_ws('|', " + ", ".join(_duck_norm(c, t) for c, t in cols) + ")"
+    digest = duck_md5_low60(rep)
+    col_list = ", ".join(c for c, _ in cols)
+    return f"""
+WITH src AS (SELECT {col_list} FROM orders),
+dest AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % {DRIFT_UPDATE_MOD} = 0
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM src WHERE o_orderkey % {DRIFT_DELETE_MOD} <> 0
+  UNION ALL
+  SELECT o_orderkey + {DRIFT_INSERT_OFFSET}, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM src WHERE o_orderkey % {DRIFT_INSERT_MOD} = 3
+),
+s AS (
+  SELECT o_orderkey // {CHECK_PAGE_SIZE} AS page, COUNT(*) AS src_cnt,
+         CAST(COALESCE(SUM({digest}), 0) AS DECIMAL(38,0)) AS src_checksum
+  FROM src GROUP BY 1
+),
+d AS (
+  SELECT o_orderkey // {CHECK_PAGE_SIZE} AS page, COUNT(*) AS dest_cnt,
+         CAST(COALESCE(SUM({digest}), 0) AS DECIMAL(38,0)) AS dest_checksum
+  FROM dest GROUP BY 1
+)
+SELECT COALESCE(s.page, d.page) AS page,
+       COALESCE(src_cnt, 0) AS src_cnt,
+       COALESCE(dest_cnt, 0) AS dest_cnt,
+       CAST(src_checksum AS VARCHAR) AS src_checksum,
+       CAST(dest_checksum AS VARCHAR) AS dest_checksum,
+       CASE WHEN src_checksum IS NOT DISTINCT FROM dest_checksum
+             AND COALESCE(src_cnt, 0) = COALESCE(dest_cnt, 0)
+            THEN 'YES' ELSE 'NO' END AS is_ok
+FROM s FULL OUTER JOIN d ON s.page = d.page
+ORDER BY page
 """
 
 
@@ -732,6 +837,7 @@ QUERIES = {
     "migration_cdc_apply": migration_cdc_apply,
     "migration_scd2_history": migration_scd2_history,
     "join_point_in_time": join_point_in_time,
+    "migration_page_checksums": migration_page_checksums,
 }
 ORACLES = {
     "migration_compare_checksums": _compare_oracle(),
@@ -740,4 +846,5 @@ ORACLES = {
     "migration_cdc_apply": _cdc_apply_oracle(),
     "migration_scd2_history": _scd2_oracle(),
     "join_point_in_time": _pit_oracle(),
+    "migration_page_checksums": _page_checksums_oracle(),
 }

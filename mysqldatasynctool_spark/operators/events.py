@@ -1086,6 +1086,97 @@ ORDER BY user_id, event_type
 """
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order multi-step funnel (signup → click → purchase):
+    each user advances a step only with an event strictly AFTER their
+    previous step's first completion — the product-analytics funnel
+    (distinct from ``events_funnel_join``, which lists pairs). Output:
+    one row per step with users reaching it and integer-ppm
+    conversion from the previous step and from step 1.
+
+    Plan: step k is one filtered pre-aggregation (min ts per user) +
+    an equi-join on user_id against step k-1's frame — k-1 joins on
+    an ever-shrinking user set, all partial-aggregated, no windows
+    over raw events. The final ppm math runs over a 3-row frame via a
+    lag window (single tiny partition by construction).
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None) -> DataFrame:
+        step = ev.filter(F.col("event_type") == event_type).select(
+            "user_id", F.col("ts").alias("step_ts")
+        )
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(
+                F.col("step_ts") > F.col("prev_ts")
+            )
+        return step.groupBy("user_id").agg(
+            F.min("step_ts").alias("prev_ts")
+        )
+    s1 = first_after("signup", None)
+    s2 = first_after("click", s1)
+    s3 = first_after("purchase", s2)
+    counts = None
+    for i, (name, frame) in enumerate(
+        [("1_signup", s1), ("2_click", s2), ("3_purchase", s3)], start=1
+    ):
+        row = frame.agg(
+            F.lit(i).alias("step_no"),
+            F.lit(name).alias("step"),
+            F.count("*").alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    w = W.orderBy("step_no")
+    return (
+        counts.withColumn("n_prev", F.lag("n_users").over(w))
+        .withColumn("n_first", F.first("n_users").over(w))
+        .select(
+            "step_no",
+            "step",
+            "n_users",
+            F.expr(
+                "CASE WHEN n_prev IS NULL THEN 1000000 "
+                "ELSE (1000000 * n_users) DIV n_prev END"
+            ).alias("conv_from_prev_ppm"),
+            F.expr("(1000000 * n_users) DIV n_first").alias(
+                "conv_from_start_ppm"
+            ),
+        )
+        .orderBy("step_no")
+    )
+
+
+EVENTS_FUNNEL_CONVERSION_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS prev_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS prev_ts FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.prev_ts
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS prev_ts FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.prev_ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS step_no, '1_signup' AS step, COUNT(*) AS n_users FROM s1
+  UNION ALL SELECT 2, '2_click', COUNT(*) FROM s2
+  UNION ALL SELECT 3, '3_purchase', COUNT(*) FROM s3
+)
+SELECT step_no, step, n_users,
+       CAST(CASE WHEN LAG(n_users) OVER (ORDER BY step_no) IS NULL THEN 1000000
+            ELSE (1000000 * n_users) // LAG(n_users) OVER (ORDER BY step_no) END
+            AS BIGINT) AS conv_from_prev_ppm,
+       CAST((1000000 * n_users) // FIRST_VALUE(n_users) OVER (ORDER BY step_no)
+            AS BIGINT) AS conv_from_start_ppm
+FROM counts
+ORDER BY step_no
+"""
+
+
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC (open/high/low/close) bars over the event value
     stream — the time-series downsampling shape every metrics / market
@@ -1166,6 +1257,7 @@ QUERIES = {
     "events_json_variant": events_json_variant,
     "events_sliding_distinct_approx": events_sliding_distinct_approx,
     "events_ohlc_bars": events_ohlc_bars,
+    "events_funnel_conversion": events_funnel_conversion,
 }
 
 ORACLES = {
@@ -1189,4 +1281,5 @@ ORACLES = {
     "events_json_variant": EVENTS_JSON_VARIANT_ORACLE,
     "events_sliding_distinct_approx": EVENTS_SLIDING_DISTINCT_APPROX_ORACLE,
     "events_ohlc_bars": EVENTS_OHLC_ORACLE,
+    "events_funnel_conversion": EVENTS_FUNNEL_CONVERSION_ORACLE,
 }
