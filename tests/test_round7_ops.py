@@ -89,6 +89,42 @@ def test_dim_truncation_recall_bounded(spark):
         assert r.recall_ppm == (1_000_000 * r.n_overlap) // r.k
 
 
+def test_page_checksums_localize_drift(spark):
+    """The page report must (a) go red ONLY where the planted drift
+    lands, (b) cover every src row exactly once, (c) agree with the
+    row-level diff about which pages are dirty."""
+    from mysqldatasynctool_spark.operators import compare as cmp
+
+    pages = {r.page: r for r in cmp.migration_page_checksums(spark, SF).collect()}
+    diff = cmp.migration_row_diff(spark, SF).collect()
+    dirty_from_rows = {r.o_orderkey // cmp.CHECK_PAGE_SIZE for r in diff}
+    dirty_from_pages = {p for p, r in pages.items() if r.is_ok == "NO"}
+    assert dirty_from_pages == dirty_from_rows
+    src_n = migration.load(spark, SF, "orders").count()
+    assert sum(r.src_cnt for r in pages.values()) == src_n
+
+
+def test_funnel_conversion_monotone(spark):
+    rows = events.events_funnel_conversion(spark, SF).collect()
+    assert [r.step_no for r in rows] == [1, 2, 3]
+    ns = [r.n_users for r in rows]
+    assert ns[0] >= ns[1] >= ns[2] > 0  # users can only drop out
+    assert rows[0].conv_from_prev_ppm == 1_000_000
+    for r in rows:
+        assert 0 < r.conv_from_start_ppm <= 1_000_000
+
+
+def test_market_basket_lift_math(spark):
+    rows = advanced.agg_market_basket(spark, SF).collect()
+    assert len(rows) == advanced.MB_TOP
+    lifts = [r.lift_ppm for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r.u < r.v
+        # a pair can't co-occur more often than either item occurs
+        assert r.n_pair <= min(r.n_u, r.n_v)
+
+
 def test_leakage_safe_split_no_cross_split_pairs(spark):
     rows = pl.pipeline_leakage_safe_split(spark, SF).collect()
     assert {r.split for r in rows} <= {"train", "val", "test"}
