@@ -66,6 +66,8 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_page_checksums",
     "events_funnel_conversion",
     "agg_market_basket",
+    "agg_rfm_segmentation",
+    "setop_symmetric_diff",
     # ---- truly-stale greens, then oldest-green-first re-checks
     "udf_udtf_windows",
     "dedup_simhash",

@@ -877,6 +877,74 @@ LIMIT {MB_TOP}
 """
 
 
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the standard CRM scoring pass: per customer, days since last
+    order, order count, decimal-exact spend; each dimension scored
+    into quintiles (ntile(5) with the unique custkey tie-break, so
+    both engines cut identical quintiles); output = segment sizes +
+    exact spend per (r,f,m) cell.
+
+    Plan: one groupBy(custkey) pass over orders (partial-aggregated),
+    three ntile windows over the CUSTOMER-level frame (|customers|
+    rows, not |orders| — the windows sort the small aggregate), and a
+    125-cell final aggregate. The reference date is a driver-side
+    1-row max (the PK-stats-probe class).
+    """
+    orders = load(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("m")).collect()[0]["m"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(ref), F.max("o_orderdate")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(_dec(F.col("o_totalprice"))).alias("monetary"),
+    )
+    # low recency = better → ntile ascending gives 1 to the MOST
+    # recent; frequency/monetary descending gives 1 to the biggest
+    wr = W.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    wf = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = W.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("segment_spend"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+AGG_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate),
+                   (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, monetary,
+         NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(monetary) AS DOUBLE) AS segment_spend
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""
+
+
 QUERIES = {
     "date_arithmetic": date_arithmetic,
     "join_cross": join_cross,
@@ -898,6 +966,7 @@ QUERIES = {
     "agg_linear_fit": agg_linear_fit,
     "sql_recursive_supplier_tree": sql_recursive_supplier_tree,
     "agg_market_basket": agg_market_basket,
+    "agg_rfm_segmentation": agg_rfm_segmentation,
 }
 
 ORACLES = {
@@ -905,6 +974,7 @@ ORACLES = {
     "agg_linear_fit": AGG_LINEAR_FIT_ORACLE,
     "sql_recursive_supplier_tree": SQL_RECURSIVE_TREE_ORACLE,
     "agg_market_basket": AGG_MARKET_BASKET_ORACLE,
+    "agg_rfm_segmentation": AGG_RFM_ORACLE,
     "date_arithmetic": DATE_ARITHMETIC_ORACLE,
     "join_cross": JOIN_CROSS_ORACLE,
     "pivot_status_priority": PIVOT_ORACLE,

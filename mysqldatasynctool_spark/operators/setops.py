@@ -155,6 +155,47 @@ GROUP BY custkey ORDER BY custkey
 """
 
 
+def setop_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference ((A∖B) ∪ (B∖A)) with a side marker —
+    the one set-algebra shape the matrix above didn't yet cover,
+    expressed as a single full-outer anti pattern: one distinct pass
+    per side, one full-outer join on the key, keep the rows missing a
+    side. One shuffle per distinct + one co-partitioned join — never
+    two separate subtracts (which would scan each side twice)."""
+    a = _urgent_customers(spark, sf_dir).distinct().withColumn("in_a", F.lit(1))
+    b = (
+        _f_status_customers(spark, sf_dir)
+        .distinct()
+        .withColumnRenamed("custkey", "bk")
+        .withColumn("in_b", F.lit(1))
+    )
+    j = a.join(b, a.custkey == b.bk, "full_outer")
+    return (
+        j.filter(F.col("in_a").isNull() | F.col("in_b").isNull())
+        .select(
+            F.coalesce("custkey", "bk").alias("custkey"),
+            F.when(F.col("in_a").isNotNull(), "only_urgent")
+            .otherwise("only_finished")
+            .alias("side"),
+        )
+        .orderBy("custkey")
+    )
+
+
+SETOP_SYMMETRIC_DIFF_ORACLE = """
+WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_orderstatus = 'F')
+SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+       CASE WHEN a.custkey IS NOT NULL THEN 'only_urgent'
+            ELSE 'only_finished' END AS side
+FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+WHERE a.custkey IS NULL OR b.custkey IS NULL
+ORDER BY custkey
+"""
+
+
 QUERIES = {
     "setop_union_all": setop_union_all,
     "setop_union_distinct": setop_union_distinct,
@@ -163,6 +204,7 @@ QUERIES = {
     "setop_distinct_rows": setop_distinct_rows,
     "setop_except_distinct": setop_except_distinct,
     "setop_intersect_all": setop_intersect_all,
+    "setop_symmetric_diff": setop_symmetric_diff,
 }
 
 ORACLES = {
@@ -173,4 +215,5 @@ ORACLES = {
     "setop_distinct_rows": SETOP_DISTINCT_ROWS_ORACLE,
     "setop_except_distinct": SETOP_EXCEPT_DISTINCT_ORACLE,
     "setop_intersect_all": SETOP_INTERSECT_ALL_ORACLE,
+    "setop_symmetric_diff": SETOP_SYMMETRIC_DIFF_ORACLE,
 }
