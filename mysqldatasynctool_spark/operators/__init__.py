@@ -68,6 +68,9 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_market_basket",
     "agg_rfm_segmentation",
     "setop_symmetric_diff",
+    "streaming_run_ohlc",
+    "streaming_run_session_window",
+    "streaming_run_ewma",
     # ---- truly-stale greens, then oldest-green-first re-checks
     "udf_udtf_windows",
     "dedup_simhash",
@@ -235,6 +238,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational,
         setops,
         similarity,
+        streamruns,
         textops,
         tpch,
         udfs,
@@ -259,6 +263,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal,
         pipeline,
         udfs,
+        streamruns,
     ):
         q = getattr(mod, "QUERIES", {})
         o = getattr(mod, "ORACLES", {})

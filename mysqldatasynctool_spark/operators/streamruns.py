@@ -1,0 +1,97 @@
+"""Oracle-backed STREAMING runs — registry entries that execute a real
+Structured Streaming job to completion (file source over the fixture,
+availableNow semantics via processAllAvailable, memory sink) and
+return the drained result as a batch DataFrame.
+
+Why this module exists: the streaming layer was previously verified
+only by pytest parity against its oracle-anchored batch twins. These
+entries put the STREAMING execution itself under the driver's
+hash-compare — the DuckDB oracle grades the output of an actual
+watermarked streaming job, not a batch re-formulation. That is only
+possible for jobs whose outputs are deterministic bit-for-bit:
+
+- OHLC: every cell is a picked raw input double (min_by/max_by), no
+  float summation anywhere;
+- session windows: counts + native int64-microsecond interval
+  arithmetic + a DECIMAL-exact value sum;
+- EWMA: dyadic weights (powers of two) make every term an
+  exponent-shift and the fixed-order 8-term sum bit-exact.
+
+Each run is bounded (the fixture is finite) and the memory-sink table
+is per-entry, so repeated invocations in one long-lived session
+(bench / driver) replace rather than accumulate.
+
+100 TB: these exact jobs run unbounded with the same plans — the
+watermark bounds state (session/EWMA) and complete-mode OHLC would
+flip to update-mode emission on hour close; the batch twins' scale
+notes apply verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .events import EVENTS_OHLC_ORACLE, EVENTS_SESSION_WINDOW_BUILTIN_ORACLE
+from .windows import WINDOW_EWMA_ORACLE
+
+
+def streaming_run_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the streaming hourly-OHLC job over the events fixture and
+    return the drained bars (twin: events.events_ohlc_bars; oracle
+    shared — the streaming job must produce the identical table)."""
+    from ..streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_ohlc_bars,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory_sink(
+        streaming_ohlc_bars(stream), "sr_ohlc", output_mode="complete"
+    )
+
+
+def streaming_run_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the native session_window streaming aggregation and return
+    the drained sessions (twin: events.events_session_window_builtin —
+    same gap-merge semantics, decimal-exact sums)."""
+    from ..streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_session_windows,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        streaming_session_windows(stream), "sr_session", output_mode="complete"
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+def streaming_run_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful applyInPandasWithState EWMA stream and return
+    every emitted row (twin: windows.window_ewma_dyadic — parity is
+    BIT-EXACT by dyadic-weight construction, so the SQL oracle hashes
+    the streaming output directly)."""
+    from ..streaming import read_events_stream, run_to_memory_sink, streaming_ewma
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        streaming_ewma(stream), "sr_ewma", output_mode="append"
+    )
+    return out.select("event_id", "user_id", "ts", "value", "ewma").orderBy(
+        "user_id", "ts", "event_id"
+    )
+
+
+QUERIES = {
+    "streaming_run_ohlc": streaming_run_ohlc,
+    "streaming_run_session_window": streaming_run_session_window,
+    "streaming_run_ewma": streaming_run_ewma,
+}
+
+ORACLES = {
+    "streaming_run_ohlc": EVENTS_OHLC_ORACLE,
+    "streaming_run_session_window": EVENTS_SESSION_WINDOW_BUILTIN_ORACLE,
+    "streaming_run_ewma": WINDOW_EWMA_ORACLE,
+}

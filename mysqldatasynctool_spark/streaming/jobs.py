@@ -223,7 +223,16 @@ def streaming_session_windows(events: DataFrame, gap: str = "30 minutes") -> Dat
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal-exact sum (same discipline as the batch twin):
+            # order-independent, so the oracle-backed streamrun entry
+            # (operators/streamruns.py) can hash-compare this job's
+            # output directly against the SQL oracle
+            F.sum(F.col("value").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
