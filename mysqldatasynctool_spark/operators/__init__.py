@@ -71,6 +71,8 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "streaming_run_ohlc",
     "streaming_run_session_window",
     "streaming_run_ewma",
+    "events_incremental_rollup",
+    "events_cusum_changepoint",
     # ---- truly-stale greens, then oldest-green-first re-checks
     "udf_udtf_windows",
     "dedup_simhash",

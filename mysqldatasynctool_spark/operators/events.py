@@ -1086,6 +1086,180 @@ ORDER BY user_id, event_type
 """
 
 
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance of the hourly rollup:
+    a BASE aggregate (events with event_id % 10 != 0 stands in for the
+    existing materialization) absorbs a DELTA batch (the % 10 == 0
+    rows) by recomputing ONLY the hours the delta touches — the
+    refresh shape every lakehouse rollup job runs on arrival, instead
+    of a full rescan.
+
+    Merge rule: hours absent from the delta pass through from the
+    base as-is; touched hours recompute from base+delta (counts add,
+    decimal sums add — both associative, so the merged row EQUALS the
+    full recompute, which is exactly what the oracle computes
+    directly; ``refreshed`` marks which rows the refresh had to
+    touch).
+
+    100 TB: the delta's touched-hour set is tiny and broadcast; the
+    pass-through side is a LEFT ANTI join on the rollup (bucket-sized,
+    not event-sized) frame; only touched hours re-aggregate raw rows,
+    and with the base stored hour-partitioned that recompute prunes to
+    the touched partitions. Refresh cost scales with the DELTA, not
+    the table.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "event_id",
+        "value",
+    )
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    delta = ev.filter(F.col("event_id") % 10 == 0)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("hr").agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("value"), 6)).alias("sum_dec"),
+        )
+
+    base_mv = rollup(base)
+    touched = delta.select("hr").distinct()
+    untouched = base_mv.join(F.broadcast(touched), "hr", "left_anti").select(
+        "hr", "n", "sum_dec", F.lit(False).alias("refreshed")
+    )
+    recomputed = (
+        rollup(
+            base.join(F.broadcast(touched), "hr", "left_semi").unionByName(
+                delta
+            )
+        )
+        .select("hr", "n", "sum_dec", F.lit(True).alias("refreshed"))
+    )
+    return (
+        untouched.unionByName(recomputed)
+        .select(
+            "hr",
+            "n",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            "refreshed",
+        )
+        .orderBy("hr")
+    )
+
+
+EVENTS_INCREMENTAL_ROLLUP_ORACLE = """
+WITH touched AS (
+  SELECT DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) IN (SELECT hr FROM touched)
+         AS refreshed
+FROM events
+GROUP BY 1
+ORDER BY hr
+"""
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event_type: cumulative sum of
+    (value − global mean) along time; the |cusum| maximum is the most
+    likely level-shift point. All arithmetic is DECIMAL-exact (the
+    global mean enters as an exact decimal ratio numerator·n trick:
+    cusum_n = Σ n·value − k·Σvalue over the prefix, scaled by n — all
+    integer/decimal, no float accumulation), so the argmax row hashes
+    exactly.
+
+    100 TB: one shuffle per event_type (window partitioning), one
+    pass; the global totals are a 1-row broadcast aggregate. The
+    argmax is max_by over the windowed frame — no second sort.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", _dec(F.col("value"), 6).alias("v")
+    )
+    totals = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum("v").alias("sum_total"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pre = ev.withColumn("k", F.count("*").over(w)).withColumn(
+        "prefix_sum", F.sum("v").over(w)
+    )
+    # scaled cusum: n_total·prefix_sum − k·sum_total (exact decimal;
+    # dividing by n_total would leave the decimal grid)
+    joined = pre.join(F.broadcast(totals), "event_type").withColumn(
+        "cusum_scaled",
+        (F.col("n_total") * F.col("prefix_sum") - F.col("k") * F.col("sum_total")
+         ).cast("decimal(38,6)"),
+    )
+    ordkey = F.struct(
+        F.abs(F.col("cusum_scaled")).alias("a"),
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("e"),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max_by("event_id", ordkey).alias("change_event_id"),
+            F.max_by("ts", ordkey).alias("change_ts"),
+            F.max_by("k", ordkey).alias("change_rank"),
+            F.max(F.abs(F.col("cusum_scaled")))
+            .cast("double")
+            .alias("max_abs_cusum_scaled"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CUSUM_ORACLE = """
+WITH ev AS (
+  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(22,6)) AS v
+  FROM events
+),
+totals AS (
+  SELECT event_type, COUNT(*) AS n_total, SUM(v) AS sum_total
+  FROM ev GROUP BY event_type
+),
+pre AS (
+  SELECT event_type, ts, event_id,
+         COUNT(*) OVER w AS k,
+         SUM(v) OVER w AS prefix_sum
+  FROM ev
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT p.event_type, p.ts, p.event_id, p.k,
+         CAST(t.n_total * p.prefix_sum - p.k * t.sum_total
+              AS DECIMAL(38,6)) AS cusum_scaled
+  FROM pre p JOIN totals t USING (event_type)
+),
+ranked AS (
+  SELECT event_type, ts, event_id, k, cusum_scaled,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(cusum_scaled) DESC, ts DESC,
+                                     event_id DESC) AS rn
+  FROM scored
+)
+SELECT r.event_type,
+       r.event_id AS change_event_id,
+       r.ts AS change_ts,
+       r.k AS change_rank,
+       CAST((SELECT MAX(ABS(cusum_scaled)) FROM scored s
+             WHERE s.event_type = r.event_type) AS DOUBLE)
+         AS max_abs_cusum_scaled
+FROM ranked r
+WHERE r.rn = 1
+ORDER BY r.event_type
+"""
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order multi-step funnel (signup → click → purchase):
     each user advances a step only with an event strictly AFTER their
@@ -1258,6 +1432,8 @@ QUERIES = {
     "events_sliding_distinct_approx": events_sliding_distinct_approx,
     "events_ohlc_bars": events_ohlc_bars,
     "events_funnel_conversion": events_funnel_conversion,
+    "events_incremental_rollup": events_incremental_rollup,
+    "events_cusum_changepoint": events_cusum_changepoint,
 }
 
 ORACLES = {
@@ -1282,4 +1458,6 @@ ORACLES = {
     "events_sliding_distinct_approx": EVENTS_SLIDING_DISTINCT_APPROX_ORACLE,
     "events_ohlc_bars": EVENTS_OHLC_ORACLE,
     "events_funnel_conversion": EVENTS_FUNNEL_CONVERSION_ORACLE,
+    "events_incremental_rollup": EVENTS_INCREMENTAL_ROLLUP_ORACLE,
+    "events_cusum_changepoint": EVENTS_CUSUM_ORACLE,
 }
