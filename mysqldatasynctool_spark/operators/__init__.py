@@ -73,6 +73,8 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "streaming_run_ewma",
     "events_incremental_rollup",
     "events_cusum_changepoint",
+    "window_running_drawdown",
+    "agg_cohort_ltv",
     # ---- truly-stale greens, then oldest-green-first re-checks
     "udf_udtf_windows",
     "dedup_simhash",

@@ -381,7 +381,114 @@ ORDER BY user_id, event_id
 """
 
 
+def window_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running maximum + drawdown of the cumulative spend curve per
+    customer — the peak-to-trough metric every monitoring/finance
+    stack derives from a running series. Composes two stacked window
+    passes over the SAME partition+order (Catalyst evaluates both in
+    one sort, no second exchange): the decimal running total, then the
+    running MAX of that total; drawdown = peak − current, exact in
+    decimal until the final double cast.
+
+    Determinism: spend is non-negative so drawdown is always 0 here —
+    the interesting invariant — but the decimal algebra is what the
+    oracle checks; with signed deltas (returns ledger) the identical
+    plan yields real drawdowns.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # signed ledger: returns (F status) count negative, so the curve
+    # actually draws down and the metric is non-degenerate
+    delta = F.when(
+        F.col("o_orderstatus") == "F", -_dec(F.col("o_totalprice"))
+    ).otherwise(_dec(F.col("o_totalprice")))
+    running = F.sum(delta).over(w)
+    peak = F.max(running).over(w)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            running.cast("double").alias("running_balance"),
+            peak.cast("double").alias("running_peak"),
+            (peak - running).cast("double").alias("drawdown"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+WINDOW_DRAWDOWN_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(running AS DOUBLE) AS running_balance,
+       CAST(MAX(running) OVER w2 AS DOUBLE) AS running_peak,
+       CAST(MAX(running) OVER w2 - running AS DOUBLE) AS drawdown
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         SUM(CASE WHEN o_orderstatus = 'F'
+                  THEN -CAST(o_totalprice AS DECIMAL(22,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(22,2)) END)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM orders
+)
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix over ORDERS: customers cohorted by
+    their FIRST order's year, spend accumulated by order-age-in-years
+    since that first order — the (cohort × age) LTV triangle a growth
+    team reads (the events-based sibling is
+    ``events_retention_cohorts``; this one is decimal-exact money).
+
+    Plan: first-order date is one groupBy(custkey) pass; a broadcast
+    join tags every order with its customer's cohort (customer-level
+    frame ≪ orders); the matrix is one aggregate on (cohort, age).
+    """
+    orders = load(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order")
+    )
+    tagged = orders.join(F.broadcast(first), "o_custkey").select(
+        F.year("first_order").alias("cohort_year"),
+        (F.year("o_orderdate") - F.year("first_order")).alias("age_years"),
+        _dec(F.col("o_totalprice")).alias("spend"),
+    )
+    return (
+        tagged.groupBy("cohort_year", "age_years")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("spend").cast("double").alias("cohort_spend"),
+        )
+        .orderBy("cohort_year", "age_years")
+    )
+
+
+AGG_COHORT_LTV_ORACLE = """
+WITH first AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_order
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(year(first_order) AS INT) AS cohort_year,
+       CAST(year(o_orderdate) - year(first_order) AS INT) AS age_years,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS cohort_spend
+FROM orders JOIN first USING (o_custkey)
+GROUP BY 1, 2
+ORDER BY cohort_year, age_years
+"""
+
+
 QUERIES = {
+    "window_running_drawdown": window_running_drawdown,
+    "agg_cohort_ltv": agg_cohort_ltv,
     "window_value_functions": window_value_functions,
     "window_topk_per_group": window_topk_per_group,
     "window_rank_functions": window_rank_functions,
@@ -394,6 +501,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_running_drawdown": WINDOW_DRAWDOWN_ORACLE,
+    "agg_cohort_ltv": AGG_COHORT_LTV_ORACLE,
     "window_value_functions": WINDOW_VALUE_FUNCTIONS_ORACLE,
     "window_topk_per_group": WINDOW_TOPK_ORACLE,
     "window_rank_functions": WINDOW_RANK_ORACLE,
