@@ -264,6 +264,36 @@ def cmd_version(_args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run one registered analytic query by name — the CLI face of the
+    175-entry operator registry, so the engine's query surface is
+    reachable without writing Python (the reference has no analytic
+    surface at all; this verb is pure value-add)."""
+    from .operators import collect_registry
+    from .session import get_spark
+
+    queries, _ = collect_registry()
+    if args.list:
+        for name in sorted(queries):
+            print(name)
+        return 0
+    if args.name not in queries:
+        import difflib
+
+        near = difflib.get_close_matches(args.name or "", queries, n=5)
+        hint = f"; did you mean: {', '.join(near)}" if near else ""
+        print(f"unknown query {args.name!r}{hint}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"query:{args.name}")
+    df = queries[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mysqldatasynctool_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -338,6 +368,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     pt = sub.add_parser("createTable", help="emit DDL replication statements")
     pt.add_argument("-t", "--print-only", action="store_true", help="DDL only (reference -t)")
+    pq = sub.add_parser(
+        "query", help="run a registered analytic query by name"
+    )
+    pq.add_argument("name", nargs="?", help="query name (see --list)")
+    pq.add_argument("--list", action="store_true", help="list registered queries")
+    pq.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001", help="fixture/source dir"
+    )
+    pq.add_argument("--out", default=None, help="write result parquet here instead of showing")
+    pq.add_argument("--limit", type=int, default=20, help="rows to show without --out")
     sub.add_parser("version", help="print version")
 
     for sp in (pm, pc, pt):
@@ -350,11 +390,14 @@ def main(argv: list[str] | None = None) -> int:
 
         if not os.path.isfile(args.config):
             p.error(f"config file not found: {args.config}")
+    if args.command == "query" and not (args.list or args.name):
+        p.error("query: give a NAME or --list")
     return {
         "migrate": cmd_migrate,
         "migrateDb": cmd_migrate_db,
         "compareDb": cmd_compare,
         "createTable": cmd_create_table,
+        "query": cmd_query,
         "version": cmd_version,
     }[args.command](args)
 

@@ -158,3 +158,23 @@ def test_jdbc_mode_refuses_half_specified_endpoints():
     with pytest.raises(SystemExit) as e:
         main(["compareDb", "--dest-url", "jdbc:derby:memory:x;create=true"])
     assert "--src-url" in str(e.value)
+
+
+def test_cli_query_list_and_run(spark, tmp_path, capsys):
+    from mysqldatasynctool_spark import cli
+
+    assert cli.main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names and len(names) > 170
+
+    out_dir = str(tmp_path / "q_out")
+    assert cli.main(["query", "agg_distinct", "--out", out_dir]) == 0
+    assert spark.read.parquet(out_dir).count() > 0
+
+
+def test_cli_query_unknown_suggests(capsys):
+    from mysqldatasynctool_spark import cli
+
+    assert cli.main(["query", "q1_pricing_sumary"]) == 2
+    err = capsys.readouterr().err
+    assert "did you mean" in err and "q1_pricing_summary" in err
