@@ -131,3 +131,77 @@ def test_leakage_safe_split_no_cross_split_pairs(spark):
     assert all(r.cross_split_pairs == 0 for r in rows)
     total = sum(r.n_docs for r in rows)
     assert total == pl.load(spark, SF, "documents").count()
+
+
+def test_rfm_quintiles_balanced(spark):
+    rows = advanced.agg_rfm_segmentation(spark, SF).collect()
+    n_cust = migration.load(spark, SF, "customer").count()
+    # every scored customer appears in exactly one cell
+    total = sum(r.n_customers for r in rows)
+    customers_with_orders = (
+        migration.load(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert total == customers_with_orders <= n_cust
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    """The maintained view must equal the from-scratch hourly rollup —
+    the merge rule's whole point."""
+    inc = {
+        r.hr: (r.n, round(r.sum_value, 6))
+        for r in events.events_incremental_rollup(spark, SF).collect()
+    }
+    full = (
+        events.load(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    )
+    assert inc == {r.hr: (r.n, round(r.sum_value, 6)) for r in full}
+
+
+def test_cusum_changepoint_rank_in_range(spark):
+    rows = events.events_cusum_changepoint(spark, SF).collect()
+    per_type = {
+        r.event_type: r.n
+        for r in events.load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.event_type for r in rows} == set(per_type)
+    for r in rows:
+        assert 1 <= r.change_rank <= per_type[r.event_type]
+        assert r.max_abs_cusum_scaled >= 0
+
+
+def test_drawdown_nonnegative_and_peak_monotone(spark):
+    from mysqldatasynctool_spark.operators import windows as win
+
+    rows = win.window_running_drawdown(spark, SF).collect()
+    assert rows
+    last_peak: dict = {}
+    for r in rows:
+        assert r.drawdown >= -1e-9
+        assert r.running_peak >= r.running_balance - 1e-9
+        if r.o_custkey in last_peak:
+            assert r.running_peak >= last_peak[r.o_custkey] - 1e-9
+        last_peak[r.o_custkey] = r.running_peak
+    # the signed ledger must actually draw down somewhere
+    assert any(r.drawdown > 0 for r in rows)
+
+
+def test_cohort_ltv_conserves_orders(spark):
+    from mysqldatasynctool_spark.operators import windows as win
+
+    rows = win.agg_cohort_ltv(spark, SF).collect()
+    assert sum(r.n_orders for r in rows) == migration.load(spark, SF, "orders").count()
+    for r in rows:
+        assert r.age_years >= 0
