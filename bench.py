@@ -45,6 +45,10 @@ HEADLINE = [
     "events_asof_join",
     "events_asof_join_salted",
     "events_hypertable_rollup",
+    # a REAL Structured Streaming run (file source -> watermarked agg
+    # -> memory sink) timed per round: streaming-layer throughput is a
+    # first-class number, not just its batch twin's
+    "streaming_run_ohlc",
     "events_interval_overlap_join",
     "join_bloom_pruned_semi",
     "migration_compare_checksums",
