@@ -219,3 +219,45 @@ def test_interval_overlap_join_is_equi_bucketed(spark):
     )
     # no distinct-dedup of pair hits anywhere in the plan
     assert "Deduplicate" not in plan
+
+
+def test_ohlc_bars_partial_agg_single_exchange(spark):
+    """OHLC must partial-aggregate map-side (min_by/max_by combine)
+    before ONE hash exchange on the hour bucket — the property that
+    makes it the scale rewrite of the per-bucket window formulation
+    (which would sort every raw row). The only other exchange is the
+    presentation sort's rangepartitioning."""
+    from mysqldatasynctool_spark.operators import events
+
+    plan = _plan(spark, events.QUERIES["events_ohlc_bars"](spark, SF), "simple")
+    assert "partial_" in plan, "no map-side partial aggregation for OHLC"
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_market_basket_pair_join_is_keyed(spark):
+    """The pair-generation self-join must be an equi-join on
+    l_orderkey (bounded per-order fanout), never a nested loop; the
+    item-count dims ride in as broadcasts; top-k is
+    TakeOrderedAndProject, not a global sort."""
+    from mysqldatasynctool_spark.operators import advanced
+
+    plan = _plan(spark, advanced.QUERIES["agg_market_basket"](spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_rollup_touched_set_broadcast(spark):
+    """The refresh must prune with the touched-hour set as a BROADCAST
+    semi/anti pair — never a shuffled join against the delta — so
+    refresh cost tracks the delta size."""
+    from mysqldatasynctool_spark.operators import events
+
+    plan = _plan(
+        spark, events.QUERIES["events_incremental_rollup"](spark, SF), "simple"
+    )
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+    assert "LeftSemi" in plan
