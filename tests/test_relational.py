@@ -239,3 +239,19 @@ def test_fuzzy_ed1_blocking_random_strings_property(spark):
         if lev(x[1], y[1]) <= 1
     }
     assert got == want and len(want) > 10
+
+
+def test_bloom_prefilter_rejects_reserved_column_clash(spark):
+    """A fact frame already carrying a helper-column name must fail
+    loudly (it would otherwise be silently overwritten and dropped)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mysqldatasynctool_spark.operators.relational import bloom_prefilter
+
+    dim = spark.range(5).select(F.col("id").alias("k"))
+    fact = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("__h1")
+    )
+    with _pytest.raises(ValueError, match="reserved helper"):
+        bloom_prefilter(spark, dim, fact, "k")
