@@ -52,6 +52,19 @@ def get_spark(
         .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # JDK-17 GCLocker hazard on allocation-heavy aggregates
+        # (HLL sketches, wide hash maps) under JNI-critical sections
+        # (parquet/arrow): the default 2 retries turns a transient
+        # GC-blocked allocation into a SPURIOUS OutOfMemoryError that
+        # kills the executor thread with most of the heap free
+        # (observed: sf0.1 sweep died on a 1 MB ByteBuffer with 20+ GB
+        # unused after "Retried waiting for GCLocker too often").
+        # Raising the retry budget makes the allocation wait out the
+        # critical section instead of lying about heap exhaustion.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:GCLockerRetryAllocationCount=100",
+        )
     )
     # live-endpoint activation: point SPARK_GRAFT_JARS at a JDBC
     # driver jar (e.g. mysql-connector-j) and the live-MySQL tests /
