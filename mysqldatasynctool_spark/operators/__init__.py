@@ -31,20 +31,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-7 ROTATION (tools/correctness_union.py; staleness is now
-#: FUNCTION-granular via git blame, which collapsed the stale set
-#: from 98 to 4):
-#: 1) the 8 entries with NO driver row ever (deferred past r6's
-#:    50-slot boundary; all tri-scale local-green);
-#: 2) queries ADDED in r7 are inserted here as they land, so each
-#:    gets a first driver row immediately;
-#: 3) the 4 truly-stale greens (function body edited after their
+#: ROUND-7 FINAL ROTATION (tools/correctness_union.py; staleness is
+#: FUNCTION-granular via git blame since r7 — 98 module-level stales
+#: collapsed to 5 real ones):
+#: 1) the 28 entries with NO driver row ever — the 8 deferred past
+#:    r6's boundary, then the 20 queries ADDED in r7 (graph triangle
+#:    count, OHLC + its REAL-streaming-run sibling, linear fit,
+#:    recursive CTE, FK discovery, DQ expectations, Matryoshka
+#:    truncation audit, leakage-safe split, page checksums, funnel
+#:    conversion, market basket, RFM, symmetric diff, the three
+#:    streaming runs, incremental rollup, CUSUM, drawdown, cohort
+#:    LTV);
+#: 2) the 5 truly-stale greens (function body edited after their
 #:    newest green record: udtf, simhash credit rewrite, q21/q11
-#:    advice fixes);
-#: 4) everything else oldest-green-record-first — r01 greens have
-#:    survived six rounds of surrounding churn, so they re-validate
-#:    before the r05/r06 rows as defense in depth.
-#: The driver window cuts at 50; the tail rotates in r8.
+#:    advice fixes, row_diff drift-helper refactor);
+#: 3) everything else oldest-green-record-first. The driver window
+#:    cuts at 50; the tail rotates in r8.
+#: ALL 177 entries re-verified locally THIS round at sf0.001, sf0.01
+#: and sf0.1 (full-registry sweeps: 176 pass / 0 fail / 1 rows-only
+#: at each scale).
 VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_column_profile",
     "setop_except_distinct",
@@ -54,7 +59,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_sample_per_group",
     "events_sliding_distinct_approx",
     "join_point_in_time",
-    # ---- NEW in r7: first driver rows needed
     "graph_triangle_count",
     "events_ohlc_bars",
     "agg_linear_fit",
@@ -75,9 +79,9 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "events_cusum_changepoint",
     "window_running_drawdown",
     "agg_cohort_ltv",
-    # ---- truly-stale greens, then oldest-green-first re-checks
     "udf_udtf_windows",
     "dedup_simhash",
+    "migration_row_diff",
     "q21_waiting_supplier",
     "q11_important_stock",
     "q1_pricing_summary",
@@ -145,7 +149,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_pagination_page",
     "migration_stringify",
     "migration_compare_checksums",
-    "migration_row_diff",
     "migration_incremental",
     "dedup_exact_subset",
     "dedup_exact_text",
