@@ -63,6 +63,7 @@ def get_spark(
         # critical section instead of lying about heap exhaustion.
         .config(
             "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions "
             "-XX:GCLockerRetryAllocationCount=100",
         )
     )

@@ -29,6 +29,14 @@ spark = (
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    # same JDK-17 GCLocker hardening as session.get_spark: without it
+    # the long many-query sweep flakily dies on a SPURIOUS
+    # OutOfMemoryError ("Retried waiting for GCLocker too often")
+    # under allocation-heavy aggregates (observed twice at sf0.1)
+    .config(
+        "spark.driver.extraJavaOptions",
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
+    )
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
