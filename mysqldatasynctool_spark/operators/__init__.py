@@ -79,6 +79,8 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "events_cusum_changepoint",
     "window_running_drawdown",
     "agg_cohort_ltv",
+    "events_markov_transitions",
+    "similarity_mmr_rerank",
     "udf_udtf_windows",
     "dedup_simhash",
     "migration_row_diff",

@@ -1086,6 +1086,62 @@ ORDER BY user_id, event_type
 """
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event-type
+    sequence: P(next_type | type) in integer ppm, plus raw transition
+    counts — the behavioral model behind next-action prediction and
+    session simulation.
+
+    Plan: ONE lag window per user (the same single user_id exchange
+    the other sequence ops ride) emits (type, next_type) pairs
+    map-side; counts aggregate partially; row probabilities divide
+    exact integers (ppm) via a broadcast of the per-source-type
+    totals. No floats anywhere.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.col("n_from").cast("long").alias("n_from"),
+            F.expr("(1000000 * n) DIV n_from").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENTS_MARKOV_ORACLE = """
+WITH pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+  ) WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n,
+       CAST(t.n_from AS BIGINT) AS n_from,
+       CAST((1000000 * p.n) // t.n_from AS BIGINT) AS p_ppm
+FROM pairs p JOIN totals t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
 def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance of the hourly rollup:
     a BASE aggregate (events with event_id % 10 != 0 stands in for the
@@ -1434,6 +1490,7 @@ QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_incremental_rollup": events_incremental_rollup,
     "events_cusum_changepoint": events_cusum_changepoint,
+    "events_markov_transitions": events_markov_transitions,
 }
 
 ORACLES = {
@@ -1460,4 +1517,5 @@ ORACLES = {
     "events_funnel_conversion": EVENTS_FUNNEL_CONVERSION_ORACLE,
     "events_incremental_rollup": EVENTS_INCREMENTAL_ROLLUP_ORACLE,
     "events_cusum_changepoint": EVENTS_CUSUM_ORACLE,
+    "events_markov_transitions": EVENTS_MARKOV_ORACLE,
 }

@@ -807,3 +807,171 @@ ORACLES = {
     "similarity_kmeans_step": SIMILARITY_KMEANS_STEP_ORACLE,
     "similarity_dim_truncation_audit": SIMILARITY_DIM_TRUNC_ORACLE,
 }
+
+
+#: MMR re-rank: candidate pool size, picks, relevance weight
+MMR_POOL, MMR_K, MMR_LAMBDA = 10, 5, 0.7
+
+
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversity-aware
+    second stage of a retrieval funnel: from each query's top-MMR_POOL
+    cosine candidates, greedily pick MMR_K items maximizing
+    ``λ·rel(q,d) − (1−λ)·max_{s∈picked} sim(d,s)`` (λ=0.7), so the
+    result trades raw relevance against redundancy.
+
+    An ITERATIVE, order-dependent selection — and still fully
+    hash-verified: the oracle replays the greedy loop as a DuckDB
+    recursive CTE carrying the picked-set as a list column. That works
+    because every float both engines compare is bit-identical by
+    construction: relevances come from the sequential-fold dot (the
+    module-wide discipline), candidate-pair sims are computed in the
+    pandas stage with the SAME left-fold order (plain Python loop —
+    deliberately NOT numpy.dot, whose SIMD/pairwise summation would
+    diverge in the last bits), and the score arithmetic is two IEEE
+    ops with identical literals. Ties break on vec_id everywhere.
+
+    Plan: candidate generation is the bruteforce broadcast (declared
+    baseline); the MMR loop runs per query inside ONE Arrow
+    applyInPandas over ≤ MMR_POOL rows per group — O(k·pool) work on
+    a bounded frame, the right place for imperative selection logic.
+    At 100 TB the pool comes from the ANN path (IVF/LSH) instead of
+    bruteforce; the re-rank stage is unchanged.
+    """
+    emb = _with_norm(_vecs(spark, sf_dir))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    scored = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("qid")
+    ).withColumn(
+        "rel", _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select("qid", "vec_id", "rel", "v", "vnorm")
+    )
+
+    lam = MMR_LAMBDA
+
+    def mmr(pdf):
+        import pandas as _pd
+
+        rows = list(
+            pdf[["vec_id", "rel", "v", "vnorm"]].itertuples(index=False)
+        )
+        vecs = {int(r.vec_id): [float(x) for x in r.v] for r in rows}
+        norms = {int(r.vec_id): float(r.vnorm) for r in rows}
+        rels = {int(r.vec_id): float(r.rel) for r in rows}
+
+        def seq_dot(a, b):
+            s = 0.0
+            for x, y in zip(a, b):
+                s = s + x * y
+            return s
+
+        def sim(a, b):
+            return seq_dot(vecs[a], vecs[b]) / (norms[a] * norms[b])
+
+        remaining = sorted(vecs)
+        picked: list[int] = []
+        out = {"rank": [], "vec_id": [], "mmr_score": []}
+        for rank in range(1, min(MMR_K, len(remaining)) + 1):
+            best_id, best_score = None, None
+            for c in remaining:
+                if picked:
+                    penalty = max(sim(c, s) for s in picked)
+                    score = lam * rels[c] - (1.0 - lam) * penalty
+                else:
+                    score = lam * rels[c]
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and c < best_id)
+                ):
+                    best_id, best_score = c, score
+            picked.append(best_id)
+            remaining.remove(best_id)
+            out["rank"].append(rank)
+            out["vec_id"].append(best_id)
+            out["mmr_score"].append(best_score)
+        qid = int(pdf["qid"].iloc[0])
+        return _pd.DataFrame(
+            {
+                "qid": [qid] * len(out["rank"]),
+                "rank": out["rank"],
+                "vec_id": out["vec_id"],
+                "mmr_score": out["mmr_score"],
+            }
+        )
+
+    return (
+        cand.groupBy("qid")
+        .applyInPandas(mmr, "qid long, rank int, vec_id long, mmr_score double")
+        .select("qid", "rank", "vec_id", F.round("mmr_score", 6).alias("mmr_score"))
+        .orderBy("qid", "rank")
+    )
+
+
+SIMILARITY_MMR_ORACLE = f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, vnorm AS qnorm FROM e
+      WHERE vec_id % 50 = 0),
+cand AS MATERIALIZED (
+  SELECT qid, vec_id, rel, v, vnorm FROM (
+    SELECT q.qid, e.vec_id,
+           list_dot_product(q.qv, e.v) / (q.qnorm * e.vnorm) AS rel,
+           e.v, e.vnorm,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qv, e.v) / (q.qnorm * e.vnorm) DESC,
+                      e.vec_id ASC) AS rn
+    FROM q JOIN e ON e.vec_id <> q.qid
+  ) WHERE rn <= {MMR_POOL}
+),
+simt AS MATERIALIZED (
+  SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+         list_dot_product(a.v, b.v) / (a.vnorm * b.vnorm) AS sim
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+),
+sel(qid, rank, vec_id, mmr_score, sel_ids) AS (
+  SELECT qid, 1, vec_id, {MMR_LAMBDA} * rel, [vec_id] FROM (
+    SELECT qid, vec_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT s.qid, s.rank + 1, pick.vec_id, pick.score,
+         list_append(s.sel_ids, pick.vec_id)
+  FROM sel s, LATERAL (
+    SELECT c.vec_id,
+           {MMR_LAMBDA} * c.rel - {1.0 - MMR_LAMBDA} * (
+             SELECT MAX(t.sim) FROM simt t
+             WHERE t.qid = c.qid AND t.ia = c.vec_id
+               AND list_contains(s.sel_ids, t.ib)
+           ) AS score
+    FROM cand c
+    WHERE c.qid = s.qid AND NOT list_contains(s.sel_ids, c.vec_id)
+    ORDER BY score DESC, c.vec_id ASC
+    LIMIT 1
+  ) pick
+  WHERE s.rank < {MMR_K}
+)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+       ROUND(mmr_score, 6) AS mmr_score
+FROM sel
+ORDER BY qid, rank
+"""
+
+QUERIES["similarity_mmr_rerank"] = similarity_mmr_rerank
+ORACLES["similarity_mmr_rerank"] = SIMILARITY_MMR_ORACLE

@@ -61,6 +61,7 @@ ALLOWED_CARTESIAN = {
     "migration_fk_discovery": "1-row containment x distinct-count aggregates",
     "migration_dq_expectations": "1-row scan-aggregate x orphan-count join",
     "pipeline_leakage_safe_split": "1-row cross-split-pair invariant broadcast",
+    "similarity_mmr_rerank": "broadcast query set x corpus (bruteforce candidate stage)",
 }
 
 #: queries allowed to contain row-at-a-time BatchEvalPython (none —
