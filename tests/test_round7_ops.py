@@ -205,3 +205,34 @@ def test_cohort_ltv_conserves_orders(spark):
     assert sum(r.n_orders for r in rows) == migration.load(spark, SF, "orders").count()
     for r in rows:
         assert r.age_years >= 0
+
+
+def test_markov_rows_sum_to_one(spark):
+    rows = events.events_markov_transitions(spark, SF).collect()
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    assert len(by_from) == 5
+    for f, rs in by_from.items():
+        assert sum(r.n for r in rs) == rs[0].n_from
+        ppm = sum(r.p_ppm for r in rs)
+        # floor-division ppm: sum in (1e6 - n_terms, 1e6]
+        assert 1_000_000 - len(rs) < ppm <= 1_000_000
+
+
+def test_mmr_rank1_is_top_relevance_and_picks_distinct(spark):
+    mmr = sim.similarity_mmr_rerank(spark, SF).collect()
+    by_q: dict = {}
+    for r in mmr:
+        by_q.setdefault(r.qid, []).append(r)
+    top1 = {
+        r.qid: r.neighbor_id
+        for r in sim.similarity_topk_bruteforce(spark, SF).collect()
+        if r.rank == 1
+    }
+    for qid, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda x: x.rank)] == [1, 2, 3, 4, 5]
+        assert len({r.vec_id for r in rs}) == 5
+        # the first MMR pick has no diversity penalty -> pure argmax rel
+        first = next(r for r in rs if r.rank == 1)
+        assert first.vec_id == top1[qid]
