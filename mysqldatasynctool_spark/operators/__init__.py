@@ -81,6 +81,8 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_cohort_ltv",
     "events_markov_transitions",
     "similarity_mmr_rerank",
+    "agg_gini_concentration",
+    "events_burst_detection",
     "udf_udtf_windows",
     "dedup_simhash",
     "migration_row_diff",

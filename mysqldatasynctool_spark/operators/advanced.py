@@ -945,6 +945,152 @@ ORDER BY r_score, f_score, m_score
 """
 
 
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    inequality/concentration metric a marketplace watches (0 = spend
+    spread evenly, →1 = one whale). Uses the rank formulation
+    G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over spend sorted ascending.
+
+    Determinism: xᵢ are exact DECIMAL per-customer sums; ranks are
+    integers from a (spend, custkey)-ordered row_number; the weighted
+    sum Σ i·xᵢ stays in DECIMAL (exact, order-independent) and only
+    the final ratio is evaluated in doubles — identically ordered in
+    both engines, then rounded at 6dp.
+
+    Plan: one groupBy(custkey) pass over orders, one per-segment
+    window over the CUSTOMER-level frame (small), one final aggregate.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec(F.col("o_totalprice"))).alias("x"))
+        .join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .select("c_mktsegment", "x", "o_custkey")
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.asc("x"), F.asc("o_custkey"))
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("i") * F.col("x")).alias("six"),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            F.col("sx").cast("double").alias("total_spend"),
+            F.round(
+                (F.lit(2.0) * F.col("six").cast("double"))
+                / (F.col("n") * F.col("sx").cast("double"))
+                - (F.col("n") + F.lit(1.0)) / F.col("n"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+AGG_GINI_ORACLE = """
+WITH spend AS (
+  SELECT c_mktsegment, o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, x,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY x ASC, o_custkey ASC) AS i
+  FROM spend
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(x) AS DOUBLE) AS total_spend,
+       ROUND((2.0 * CAST(SUM(i * x) AS DOUBLE))
+             / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over the event stream: hours whose event rate
+    exceeds 1.25× the global hourly mean, merged into maximal burst
+    intervals (gap-and-island over the flagged hours) — the alerting
+    shape behind rate-anomaly monitors.
+
+    All arithmetic is integer (rate comparison cross-multiplied:
+    4·n_hour·total_hours > 5·total_events avoids any float
+    threshold), and the island grouping is the classic
+    hour_index − row_number() constant — exact in both engines.
+
+    Plan: hourly counts are one partial-aggregated shuffle; the flag +
+    island id are a single window over the HOUR-level frame (≤ a few
+    thousand rows at any SF); the global totals ride in as a 1-row
+    broadcast.
+    """
+    ev = load(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        F.expr("CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)").alias("h")
+    ).agg(F.count("*").alias("n"))
+    totals = hours.agg(
+        F.count("*").alias("n_hours"), F.sum("n").alias("n_events")
+    )
+    flagged = (
+        hours.join(F.broadcast(totals))
+        # n / n_hour_mean > 1.25  ⇔  4·n·n_hours > 5·n_events
+        .filter(F.expr("4 * n * n_hours > 5 * n_events"))
+    )
+    w = W.orderBy("h")
+    islands = flagged.withColumn(
+        "island", F.col("h") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("island")
+        .agg(
+            F.min("h").alias("start_hour"),
+            F.max("h").alias("end_hour"),
+            F.count("*").alias("n_hours"),
+            F.sum("n").alias("burst_events"),
+        )
+        .select(
+            F.timestamp_seconds(F.col("start_hour") * 3600).alias("burst_start"),
+            F.timestamp_seconds((F.col("end_hour") + 1) * 3600).alias("burst_end"),
+            "n_hours",
+            F.col("burst_events").cast("long").alias("burst_events"),
+        )
+        .orderBy("burst_start")
+    )
+
+
+EVENTS_BURST_ORACLE = """
+WITH hours AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+totals AS (SELECT COUNT(*) AS n_hours, SUM(n) AS n_events FROM hours),
+flagged AS (
+  SELECT h, n FROM hours, totals WHERE 4 * n * n_hours > 5 * n_events
+),
+islands AS (
+  SELECT h, n, h - ROW_NUMBER() OVER (ORDER BY h) AS island FROM flagged
+)
+SELECT CAST(to_timestamp(MIN(h) * 3600) AS TIMESTAMP) AS burst_start,
+       CAST(to_timestamp((MAX(h) + 1) * 3600) AS TIMESTAMP) AS burst_end,
+       COUNT(*) AS n_hours,
+       CAST(SUM(n) AS BIGINT) AS burst_events
+FROM islands
+GROUP BY island
+ORDER BY burst_start
+"""
+
+
 QUERIES = {
     "date_arithmetic": date_arithmetic,
     "join_cross": join_cross,
@@ -967,6 +1113,8 @@ QUERIES = {
     "sql_recursive_supplier_tree": sql_recursive_supplier_tree,
     "agg_market_basket": agg_market_basket,
     "agg_rfm_segmentation": agg_rfm_segmentation,
+    "agg_gini_concentration": agg_gini_concentration,
+    "events_burst_detection": events_burst_detection,
 }
 
 ORACLES = {
@@ -975,6 +1123,8 @@ ORACLES = {
     "sql_recursive_supplier_tree": SQL_RECURSIVE_TREE_ORACLE,
     "agg_market_basket": AGG_MARKET_BASKET_ORACLE,
     "agg_rfm_segmentation": AGG_RFM_ORACLE,
+    "agg_gini_concentration": AGG_GINI_ORACLE,
+    "events_burst_detection": EVENTS_BURST_ORACLE,
     "date_arithmetic": DATE_ARITHMETIC_ORACLE,
     "join_cross": JOIN_CROSS_ORACLE,
     "pivot_status_priority": PIVOT_ORACLE,

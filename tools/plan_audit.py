@@ -62,6 +62,7 @@ ALLOWED_CARTESIAN = {
     "migration_dq_expectations": "1-row scan-aggregate x orphan-count join",
     "pipeline_leakage_safe_split": "1-row cross-split-pair invariant broadcast",
     "similarity_mmr_rerank": "broadcast query set x corpus (bruteforce candidate stage)",
+    "events_burst_detection": "1-row global-rate broadcast (scalar subquery)",
 }
 
 #: queries allowed to contain row-at-a-time BatchEvalPython (none —
