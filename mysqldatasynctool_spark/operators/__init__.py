@@ -34,14 +34,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: ROUND-7 FINAL ROTATION (tools/correctness_union.py; staleness is
 #: FUNCTION-granular via git blame since r7 — 98 module-level stales
 #: collapsed to 5 real ones):
-#: 1) the 30 entries with NO driver row ever — the 8 deferred past
+#: 1) the 32 entries with NO driver row ever — the 8 deferred past
 #:    r6's boundary, then the 20 queries ADDED in r7 (graph triangle
 #:    count, OHLC + its REAL-streaming-run sibling, linear fit,
 #:    recursive CTE, FK discovery, DQ expectations, Matryoshka
 #:    truncation audit, leakage-safe split, page checksums, funnel
 #:    conversion, market basket, RFM, symmetric diff, the three
 #:    streaming runs, incremental rollup, CUSUM, drawdown, cohort
-#:    LTV, Markov transitions, MMR re-rank);
+#:    LTV, Markov transitions, MMR re-rank, Gini, burst detection);
 #: 2) the 5 truly-stale greens (function body edited after their
 #:    newest green record: udtf, simhash credit rewrite, q21/q11
 #:    advice fixes, row_diff drift-helper refactor);
