@@ -1,0 +1,84 @@
+"""Diff two bench records (BENCH_r{N}.json) on their common query set:
+per-query delta, common-set totals, and noise-aware flagging.
+
+Usage: python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
+
+Handles both record shapes the driver has produced: a plain bench JSON
+line, or the wrapper {"tail": "<last stdout chunk>"} — in the wrapper
+the authoritative per-query numbers are reconstructed from the "runs"
+map (min of each run list), which survives truncation of the earlier
+keys.
+
+A query is flagged REGRESSED only when it slowed >25% AND the new time
+exceeds every recorded run of the old record (i.e. it is outside the
+old record's own observed noise band) — this box swings individual
+runs 2-5x under contention, so a bare percentage is not evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load_queries(path: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+    rec = json.load(open(path))
+    if "queries" in rec and rec.get("queries"):
+        runs = rec.get("runs", {}) or {}
+        return dict(rec["queries"]), {k: list(v) for k, v in runs.items()}
+    tail = rec.get("tail", "")
+    # balanced-brace extraction of the "runs" map from a tail fragment
+    i = tail.find('"runs": {')
+    if i < 0:
+        raise SystemExit(f"{path}: no queries and no runs map in tail")
+    start = tail.index("{", i)
+    depth = 0
+    for j in range(start, len(tail)):
+        if tail[j] == "{":
+            depth += 1
+        elif tail[j] == "}":
+            depth -= 1
+            if depth == 0:
+                runs = json.loads(tail[start : j + 1])
+                return {k: min(v) for k, v in runs.items()}, runs
+    raise SystemExit(f"{path}: unbalanced runs map")
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    old_q, old_runs = load_queries(sys.argv[1])
+    new_q, new_runs = load_queries(sys.argv[2])
+    common = sorted(set(old_q) & set(new_q))
+    t_old = sum(old_q[k] for k in common)
+    t_new = sum(new_q[k] for k in common)
+    print(
+        f"common set ({len(common)} queries): "
+        f"{t_old:.1f}s -> {t_new:.1f}s ({(t_new / t_old - 1) * 100:+.1f}%)"
+    )
+    added = sorted(set(new_q) - set(old_q))
+    gone = sorted(set(old_q) - set(new_q))
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if gone:
+        print(f"removed ({len(gone)}): {', '.join(gone)}")
+    rows = sorted(common, key=lambda k: old_q[k] - new_q[k])
+    print(f"\n{'delta':>8} {'ratio':>6}  query")
+    for k in rows:
+        d = new_q[k] - old_q[k]
+        if abs(d) < 0.15:
+            continue
+        ratio = new_q[k] / old_q[k] if old_q[k] else float("inf")
+        regressed = (
+            ratio > 1.25
+            and k in old_runs
+            and new_q[k] > max(old_runs[k])
+        )
+        flag = "  REGRESSED (outside old noise band)" if regressed else ""
+        print(f"{d:+8.3f} {ratio:5.2f}x  {k}{flag}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
