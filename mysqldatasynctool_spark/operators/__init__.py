@@ -83,6 +83,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_mmr_rerank",
     "agg_gini_concentration",
     "events_burst_detection",
+    "agg_robust_outliers",
     "udf_udtf_windows",
     "dedup_simhash",
     "migration_row_diff",

@@ -1091,6 +1091,85 @@ ORDER BY burst_start
 """
 
 
+def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: median/MAD scoring
+    (|x − median| > 3·1.4826·MAD), the z-score variant that doesn't
+    let the outliers inflate their own threshold (mean/std does —
+    compare events_anomaly_zscore, the trailing-window moment twin).
+
+    Two passes by nature (MAD needs the median first): pass 1 is a
+    per-group exact median over the EVENT-TYPE-level groups; the tiny
+    (5-row) median frame broadcasts back onto the scan for pass 2
+    (MAD + outlier count). Cross-engine determinism: median and MAD
+    are rounded to 6dp BEFORE the threshold comparison, so both
+    engines compare every value against bit-identical thresholds —
+    the unrounded interpolated quantiles could differ in the last
+    bits between engines (different FMA/op order), and a boundary
+    value would then flip the count.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    scored = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = scored.groupBy("event_type").agg(
+        F.round(F.expr("percentile(absdev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        scored.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("med").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("absdev") > F.lit(3 * 1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "median",
+            "mad",
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            F.expr("(1000000 * n_outliers) DIV n").alias("outlier_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_ROBUST_OUTLIERS_ORACLE = """
+WITH med AS (
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+),
+scored AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS absdev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, ROUND(quantile_cont(absdev, 0.5), 6) AS mad
+  FROM scored GROUP BY event_type
+)
+SELECT s.event_type,
+       COUNT(*) AS n,
+       ANY_VALUE(s.med) AS median,
+       ANY_VALUE(d.mad) AS mad,
+       CAST(SUM(CASE WHEN s.absdev > 3 * 1.4826 * d.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST((1000000 * SUM(CASE WHEN s.absdev > 3 * 1.4826 * d.mad
+                                THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS outlier_ppm
+FROM scored s JOIN mad d USING (event_type)
+GROUP BY s.event_type
+ORDER BY s.event_type
+"""
+
+
 QUERIES = {
     "date_arithmetic": date_arithmetic,
     "join_cross": join_cross,
@@ -1115,6 +1194,7 @@ QUERIES = {
     "agg_rfm_segmentation": agg_rfm_segmentation,
     "agg_gini_concentration": agg_gini_concentration,
     "events_burst_detection": events_burst_detection,
+    "agg_robust_outliers": agg_robust_outliers,
 }
 
 ORACLES = {
@@ -1125,6 +1205,7 @@ ORACLES = {
     "agg_rfm_segmentation": AGG_RFM_ORACLE,
     "agg_gini_concentration": AGG_GINI_ORACLE,
     "events_burst_detection": EVENTS_BURST_ORACLE,
+    "agg_robust_outliers": AGG_ROBUST_OUTLIERS_ORACLE,
     "date_arithmetic": DATE_ARITHMETIC_ORACLE,
     "join_cross": JOIN_CROSS_ORACLE,
     "pivot_status_priority": PIVOT_ORACLE,
