@@ -34,7 +34,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: ROUND-7 FINAL ROTATION (tools/correctness_union.py; staleness is
 #: FUNCTION-granular via git blame since r7 — 98 module-level stales
 #: collapsed to 5 real ones):
-#: 1) the 32 entries with NO driver row ever — the 8 deferred past
+#: 1) the 33 entries with NO driver row ever — the 8 deferred past
 #:    r6's boundary, then the 20 queries ADDED in r7 (graph triangle
 #:    count, OHLC + its REAL-streaming-run sibling, linear fit,
 #:    recursive CTE, FK discovery, DQ expectations, Matryoshka
