@@ -258,3 +258,12 @@ def test_burst_intervals_disjoint_and_above_rate(spark):
         prev_end = b.burst_end
         # every burst beats the global mean rate by the 1.25x margin
         assert b.burst_events / b.n_hours > 0
+
+
+def test_robust_outliers_bounded(spark):
+    rows = advanced.agg_robust_outliers(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.mad >= 0 and r.n > 0
+        assert 0 <= r.n_outliers < r.n
+        assert r.outlier_ppm == (1_000_000 * r.n_outliers) // r.n
