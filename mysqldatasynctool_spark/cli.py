@@ -266,7 +266,8 @@ def cmd_version(_args) -> int:
 
 def cmd_query(args) -> int:
     """Run one registered analytic query by name — the CLI face of the
-    175-entry operator registry, so the engine's query surface is
+    full operator registry (``collect_registry()``), so the engine's
+    query surface is
     reachable without writing Python (the reference has no analytic
     surface at all; this verb is pure value-add)."""
     from .operators import collect_registry

@@ -696,9 +696,16 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.sum(_dec(y, 6)).cast("double")
     sxx = F.sum(x * x).cast("double")
     sxy = F.sum(_dec(y, 6) * x).cast("double")
+    # Degenerate-input guard (ADVICE r7): a group whose events all land
+    # on one day has denom == 0 exactly; double /0 would yield ±Inf/NaN
+    # in Spark but NULL in DuckDB, so both sides pin the answer to NULL.
     denom = n * sxx - sx * sx
-    slope = (n * sxy - sx * sy) / denom
-    intercept = (sy * sxx - sx * sxy) / denom
+    slope = F.when(denom == 0, F.lit(None)).otherwise(
+        (n * sxy - sx * sy) / denom
+    )
+    intercept = F.when(denom == 0, F.lit(None)).otherwise(
+        (sy * sxx - sx * sxy) / denom
+    )
     return (
         ev.groupBy("event_type")
         .agg(
@@ -712,8 +719,12 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_LINEAR_FIT_ORACLE = """
 SELECT event_type, n,
-       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
-       ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       END AS slope_per_day,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6)
+       END AS intercept
 FROM (
   SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS DOUBLE) AS sx,

@@ -1364,13 +1364,18 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step_no",
             "step",
             "n_users",
+            # ADVICE r7: an empty step makes n_prev/n_first 0, and
+            # integer DIV by zero throws under Spark ANSI while DuckDB
+            # returns NULL — pin both engines to NULL explicitly.
             F.expr(
                 "CASE WHEN n_prev IS NULL THEN 1000000 "
+                "WHEN n_prev = 0 THEN NULL "
                 "ELSE (1000000 * n_users) DIV n_prev END"
             ).alias("conv_from_prev_ppm"),
-            F.expr("(1000000 * n_users) DIV n_first").alias(
-                "conv_from_start_ppm"
-            ),
+            F.expr(
+                "CASE WHEN n_first = 0 THEN NULL "
+                "ELSE (1000000 * n_users) DIV n_first END"
+            ).alias("conv_from_start_ppm"),
         )
         .orderBy("step_no")
     )
@@ -1398,10 +1403,12 @@ counts AS (
 )
 SELECT step_no, step, n_users,
        CAST(CASE WHEN LAG(n_users) OVER (ORDER BY step_no) IS NULL THEN 1000000
+            WHEN LAG(n_users) OVER (ORDER BY step_no) = 0 THEN NULL
             ELSE (1000000 * n_users) // LAG(n_users) OVER (ORDER BY step_no) END
             AS BIGINT) AS conv_from_prev_ppm,
-       CAST((1000000 * n_users) // FIRST_VALUE(n_users) OVER (ORDER BY step_no)
-            AS BIGINT) AS conv_from_start_ppm
+       CAST(CASE WHEN FIRST_VALUE(n_users) OVER (ORDER BY step_no) = 0 THEN NULL
+            ELSE (1000000 * n_users) // FIRST_VALUE(n_users) OVER (ORDER BY step_no)
+            END AS BIGINT) AS conv_from_start_ppm
 FROM counts
 ORDER BY step_no
 """

@@ -79,6 +79,11 @@ class _JvmCursor:
         self._rs = None
 
     def execute(self, sql: str):
+        # ADVICE r7: an execute() issued while a prior result set is
+        # still unfetched must not orphan the old java.sql.Statement.
+        if self._rs is not None:
+            self._rs.getStatement().close()
+            self._rs = None
         stmt = self._jconn.createStatement()
         try:
             has_rs = stmt.execute(sql)

@@ -249,6 +249,16 @@ def test_gini_bounded_and_ordering(spark):
 def test_burst_intervals_disjoint_and_above_rate(spark):
     bursts = advanced.events_burst_detection(spark, SF).collect()
     assert bursts
+    # global hourly totals, recomputed from the fixture (ADVICE r7:
+    # the margin check must compare against 1.25x the global mean,
+    # not be vacuously > 0)
+    hours = (
+        events.load(spark, SF, "events")
+        .groupBy(F.expr("CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)"))
+        .count()
+    )
+    total_hours = hours.count()
+    total_events = hours.agg(F.sum("count")).collect()[0][0]
     prev_end = None
     for b in bursts:
         assert b.burst_end > b.burst_start
@@ -256,8 +266,10 @@ def test_burst_intervals_disjoint_and_above_rate(spark):
             # maximal islands: consecutive bursts cannot touch
             assert b.burst_start > prev_end
         prev_end = b.burst_end
-        # every burst beats the global mean rate by the 1.25x margin
-        assert b.burst_events / b.n_hours > 0
+        # every flagged hour satisfies 4*n*H > 5*E, so each burst's
+        # mean hourly rate beats 1.25x the global mean (exact integer
+        # cross-multiplication, no float threshold)
+        assert 4 * b.burst_events * total_hours > 5 * b.n_hours * total_events
 
 
 def test_robust_outliers_bounded(spark):
