@@ -81,6 +81,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace("sf", "")
     spark = get_spark(app_name="bench")
     queries, _ = collect_registry()
+    # The registry's q1_pricing_summary_fast is the oracle-gated form
+    # (float sums + in-query within_tol audit vs the exact decimals —
+    # one pass, 15 measures). The BENCH row of that name keeps timing
+    # the unwrapped pure-float production aggregation, same
+    # computation as every prior round, so the series stays
+    # comparable and the decimal/float cost ratio stays measured.
+    from mysqldatasynctool_spark.operators.relational import (
+        q1_pricing_summary_fast_raw,
+    )
+
+    queries = {**queries, "q1_pricing_summary_fast": q1_pricing_summary_fast_raw}
 
     #: query name -> error string; a broken query must cost its own
     #: row here, never the whole round's record (round 4 lost ALL

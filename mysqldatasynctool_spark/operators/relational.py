@@ -81,15 +81,17 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-def q1_pricing_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q1_pricing_summary_fast_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production twin of q1: plain double aggregation.
 
     The DECIMAL casts in q1_pricing_summary buy bit-exact cross-engine
     reproducibility for the oracle gate at a measured ~14x aggregation
     cost (0.7s vs 10s on 9.6M rows). At 100 TB you run THIS form —
     float-sum nondeterminism is confined to the last bits — and keep
-    the decimal form for audit paths. Rows-only driver check (float
-    sums can't hash-match across engines, by definition).
+    the decimal form for audit paths. This raw form is what bench.py
+    times under the ``q1_pricing_summary_fast`` row (comparable across
+    all rounds); the registry entry of that name wraps it with the
+    in-query tolerance audit so the driver can hash it.
     """
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -109,6 +111,93 @@ def q1_pricing_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+def q1_pricing_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated form of the float-sum q1 twin (``within_tol``
+    pattern, same as agg_percentiles' sketch bound — COVERAGE.md r3):
+    the float sums CAN'T hash-match across engines by definition, so
+    the query bounds them in-query instead. One single-pass aggregate
+    computes BOTH the production double sums and the exact decimal
+    sums (one scan, one shuffle, 15 partial-aggregable measures);
+    the output carries the deterministic decimal-derived values (the
+    exact shapes Q1_ORACLE reproduces bit-for-bit) plus one boolean:
+    every float aggregate within 1e-9 relative of its exact value.
+    DuckDB asserts TRUE — a float path that drifts beyond last-bits
+    rounding turns the driver row red.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # exact decimal path (what the oracle reproduces)
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(disc_price, 6)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge, 6)).cast("double").alias("sum_charge"),
+            (F.sum(_dec(F.col("l_quantity"))).cast("double") / n).alias("avg_qty"),
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / n).alias("avg_price"),
+            (F.sum(_dec(F.col("l_discount"))).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+            # production float path, bounded below
+            F.sum("l_quantity").alias("f_sum_qty"),
+            F.sum("l_extendedprice").alias("f_sum_base_price"),
+            F.sum(disc_price).alias("f_sum_disc_price"),
+            F.sum(charge).alias("f_sum_charge"),
+            F.avg("l_quantity").alias("f_avg_qty"),
+            F.avg("l_extendedprice").alias("f_avg_price"),
+            F.avg("l_discount").alias("f_avg_disc"),
+        )
+    )
+    pairs = [
+        ("sum_qty", "f_sum_qty"),
+        ("sum_base_price", "f_sum_base_price"),
+        ("sum_disc_price", "f_sum_disc_price"),
+        ("sum_charge", "f_sum_charge"),
+        ("avg_qty", "f_avg_qty"),
+        ("avg_price", "f_avg_price"),
+        ("avg_disc", "f_avg_disc"),
+    ]
+    tol = F.lit(True)
+    for exact, flt in pairs:
+        tol = tol & (
+            F.abs(F.col(flt) - F.col(exact))
+            <= F.abs(F.col(exact)) * F.lit(1e-9)
+        )
+    return (
+        agg.select(
+            "l_returnflag",
+            "l_linestatus",
+            *[p[0] for p in pairs],
+            "count_order",
+            tol.alias("within_tol"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_FAST_TOL_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order,
+  TRUE AS within_tol
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,6 +941,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_ORACLE,
+    "q1_pricing_summary_fast": Q1_FAST_TOL_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,
     "q5_local_supplier_volume": Q5_ORACLE,
     "project_filter": PROJECT_FILTER_ORACLE,

@@ -30,14 +30,24 @@ def test_q1_fast_twin_approximates_exact(spark):
         (r.l_returnflag, r.l_linestatus): r
         for r in relational.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.01").collect()
     }
+    # the raw float twin (what bench.py times under this name)
     fast = {
         (r.l_returnflag, r.l_linestatus): r
-        for r in relational.QUERIES["q1_pricing_summary_fast"](spark, "/root/testdata/sf0.01").collect()
+        for r in relational.q1_pricing_summary_fast_raw(spark, "/root/testdata/sf0.01").collect()
     }
     assert exact.keys() == fast.keys()
     for k in exact:
         assert exact[k].count_order == fast[k].count_order
         assert abs(exact[k].sum_charge - fast[k].sum_charge) / exact[k].sum_charge < 1e-9
+    # the registry entry is the gated form: it carries the exact
+    # decimal values plus the in-query float-vs-exact bound
+    gated = relational.QUERIES["q1_pricing_summary_fast"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert {(r.l_returnflag, r.l_linestatus) for r in gated} == set(exact)
+    for r in gated:
+        assert r.within_tol
+        assert r.sum_charge == exact[(r.l_returnflag, r.l_linestatus)].sum_charge
 
 
 def test_entry_smoke(spark):
