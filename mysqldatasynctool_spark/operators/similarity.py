@@ -835,8 +835,9 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline); the MMR loop runs per query inside ONE Arrow
     applyInPandas over ≤ MMR_POOL rows per group — O(k·pool) work on
     a bounded frame, the right place for imperative selection logic.
-    At 100 TB the pool comes from the ANN path (IVF/LSH) instead of
-    bruteforce; the re-rank stage is unchanged.
+    At 100 TB you run :func:`similarity_mmr_ann` (the LSH-bucketed
+    candidate stage feeding the same re-rank); this bruteforce twin
+    stays as the declared recall ground truth.
     """
     emb = _with_norm(_vecs(spark, sf_dir))
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -855,7 +856,18 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= MMR_POOL)
         .select("qid", "vec_id", "rel", "v", "vnorm")
     )
+    return _mmr_select(cand)
 
+
+def _mmr_select(cand: DataFrame) -> DataFrame:
+    """The MMR greedy-selection stage shared by the bruteforce and ANN
+    variants: per query, over a bounded ``(qid, vec_id, rel, v,
+    vnorm)`` candidate pool (≤ MMR_POOL rows per qid), pick MMR_K
+    items maximizing ``λ·rel − (1−λ)·max sim(·, picked)`` inside ONE
+    Arrow applyInPandas group. All float discipline (sequential-fold
+    dots, identical literals, vec_id tie-breaks) lives here, so both
+    entry points hash against the same recursive-CTE replay.
+    """
     lam = MMR_LAMBDA
 
     def mmr(pdf):
@@ -917,26 +929,22 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMILARITY_MMR_ORACLE = f"""
+def _mmr_oracle(cand_cte: str) -> str:
+    """Recursive-CTE replay of the greedy MMR loop over an arbitrary
+    candidate-pool CTE (the only piece that differs between the
+    bruteforce baseline and the ANN production path)."""
+    return f"""
 WITH RECURSIVE e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS vnorm
   FROM embeddings
 ),
-q AS (SELECT vec_id AS qid, v AS qv, vnorm AS qnorm FROM e
+b AS (SELECT vec_id, v, vnorm, {_lsh_bits_sql()} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, vnorm AS qnorm, bucket FROM b
       WHERE vec_id % 50 = 0),
 cand AS MATERIALIZED (
-  SELECT qid, vec_id, rel, v, vnorm FROM (
-    SELECT q.qid, e.vec_id,
-           list_dot_product(q.qv, e.v) / (q.qnorm * e.vnorm) AS rel,
-           e.v, e.vnorm,
-           ROW_NUMBER() OVER (
-             PARTITION BY q.qid
-             ORDER BY list_dot_product(q.qv, e.v) / (q.qnorm * e.vnorm) DESC,
-                      e.vec_id ASC) AS rn
-    FROM q JOIN e ON e.vec_id <> q.qid
-  ) WHERE rn <= {MMR_POOL}
+{cand_cte}
 ),
 simt AS MATERIALIZED (
   SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
@@ -973,5 +981,79 @@ FROM sel
 ORDER BY qid, rank
 """
 
+
+#: bruteforce candidate pool: every corpus vector scored per query
+_MMR_CAND_BRUTEFORCE = f"""  SELECT qid, vec_id, rel, v, vnorm FROM (
+    SELECT q.qid, e.vec_id,
+           list_dot_product(q.qv, e.v) / (q.qnorm * e.vnorm) AS rel,
+           e.v, e.vnorm,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qv, e.v) / (q.qnorm * e.vnorm) DESC,
+                      e.vec_id ASC) AS rn
+    FROM q JOIN e ON e.vec_id <> q.qid
+  ) WHERE rn <= {MMR_POOL}"""
+
+#: ANN candidate pool: only the query's sign-bit LSH bucket is scored
+_MMR_CAND_LSH = f"""  SELECT qid, vec_id, rel, v, vnorm FROM (
+    SELECT q.qid, b.vec_id,
+           list_dot_product(q.qv, b.v) / (q.qnorm * b.vnorm) AS rel,
+           b.v, b.vnorm,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qv, b.v) / (q.qnorm * b.vnorm) DESC,
+                      b.vec_id ASC) AS rn
+    FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.qid
+  ) WHERE rn <= {MMR_POOL}"""
+
+
+def similarity_mmr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN→MMR: the composed production funnel the MMR docstring
+    promises — candidate generation via the sign-bit LSH bucket
+    EQUI-join (the ``similarity_lsh_bucketed`` scale path: shuffle
+    keyed on the bucket, no broadcast-NLJ, no crossJoin anywhere in
+    the plan), feeding the identical bounded greedy re-rank stage
+    (:func:`_mmr_select`).
+
+    Same determinism contract as the bruteforce twin: pool membership
+    is raw-rel ranked with vec_id tie-breaks (sequential-fold floats,
+    bit-equal to DuckDB's list_dot_product), and the greedy loop's
+    arithmetic is shared code. A query alone in its bucket simply
+    yields no rows — mirrored by the oracle's equi-join.
+
+    100 TB: the bucket key is the partition key (``lsh_dims_for``
+    scales bit count with N, capping bucket size); per-query state
+    never exceeds MMR_POOL rows into the Arrow stage. This entry is
+    what retires the bruteforce path from production — that twin
+    stays only as the declared recall baseline.
+    """
+    emb = _with_norm(_vecs(spark, sf_dir)).withColumn(
+        "bucket", _bucket_expr(F.col("v"))
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+        "bucket",
+    )
+    scored = (
+        emb.join(queries, "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "rel",
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm")),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select("qid", "vec_id", "rel", "v", "vnorm")
+    )
+    return _mmr_select(cand)
+
+
 QUERIES["similarity_mmr_rerank"] = similarity_mmr_rerank
-ORACLES["similarity_mmr_rerank"] = SIMILARITY_MMR_ORACLE
+ORACLES["similarity_mmr_rerank"] = _mmr_oracle(_MMR_CAND_BRUTEFORCE)
+QUERIES["similarity_mmr_ann"] = similarity_mmr_ann
+ORACLES["similarity_mmr_ann"] = _mmr_oracle(_MMR_CAND_LSH)

@@ -1,0 +1,69 @@
+"""Semantic invariants for the round-8 operators (value-level
+correctness is the DuckDB oracle gate; these pin properties the
+oracle can't state)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysqldatasynctool_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_mmr_ann_picks_stay_in_query_bucket(spark):
+    """Every ANN-MMR pick must share its query's LSH bucket (the
+    candidate stage is the single-probe bucket equi-join), ranks are
+    contiguous from 1, and picks are distinct."""
+    ann = sim.similarity_mmr_ann(spark, SF).collect()
+    assert ann
+    emb = sim._with_norm(sim._vecs(spark, SF)).withColumn(
+        "bucket", sim._bucket_expr(F.col("v"))
+    )
+    buckets = {
+        r.vec_id: r.bucket for r in emb.select("vec_id", "bucket").collect()
+    }
+    by_q: dict = {}
+    for r in ann:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len({r.vec_id for r in rs}) == len(rs)
+        for r in rs:
+            assert buckets[r.vec_id] == buckets[qid]
+            assert r.vec_id != qid
+
+
+def test_mmr_ann_first_pick_is_in_bucket_argmax(spark):
+    """The first MMR pick carries no diversity penalty, so it must be
+    the highest-relevance member of the query's bucket (checked to a
+    1e-9 cosine tolerance — numpy's blocked matmul vs the engine's
+    sequential fold differ only in last bits)."""
+    import numpy as np
+
+    rows = (
+        sim._with_norm(sim._vecs(spark, SF))
+        .withColumn("bucket", sim._bucket_expr(F.col("v")))
+        .select("vec_id", "v", "vnorm", "bucket")
+        .collect()
+    )
+    vec = {r.vec_id: np.array(r.v) for r in rows}
+    norm = {r.vec_id: r.vnorm for r in rows}
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.vec_id)
+    bucket_of = {r.vec_id: r.bucket for r in rows}
+    first_picks = {
+        r.qid: r.vec_id
+        for r in sim.similarity_mmr_ann(spark, SF).collect()
+        if r.rank == 1
+    }
+    assert first_picks
+    for qid, pick in first_picks.items():
+        members = [i for i in by_bucket[bucket_of[qid]] if i != qid]
+        cos = {
+            i: float(vec[qid] @ vec[i]) / (norm[qid] * norm[i])
+            for i in members
+        }
+        assert cos[pick] >= max(cos.values()) - 1e-9

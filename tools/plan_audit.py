@@ -61,7 +61,9 @@ ALLOWED_CARTESIAN = {
     "migration_fk_discovery": "1-row containment x distinct-count aggregates",
     "migration_dq_expectations": "1-row scan-aggregate x orphan-count join",
     "pipeline_leakage_safe_split": "1-row cross-split-pair invariant broadcast",
-    "similarity_mmr_rerank": "broadcast query set x corpus (bruteforce candidate stage)",
+    # declared recall ground truth for similarity_mmr_ann (the
+    # production ANN->MMR path, whose plan is pure equi-join)
+    "similarity_mmr_rerank": "bruteforce candidate ground truth for similarity_mmr_ann",
     "events_burst_detection": "1-row global-rate broadcast (scalar subquery)",
 }
 
