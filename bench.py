@@ -297,7 +297,48 @@ def main() -> None:
         # the non-comparable partial sum, clearly labeled as such
         out["value_partial"] = round(sum(timings.values()), 3)
     print(json.dumps(out))
+    _persist_local_record(out)
     spark.stop()
+
+
+def _current_round() -> int:
+    """This build round: $SPARK_GRAFT_ROUND, else newest
+    CORRECTNESS_r{N}.json + 1 (the driver writes that file at the END
+    of round N, so while round N runs the newest is N-1)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(ns) + 1) if ns else 0
+
+
+def _persist_local_record(out: dict) -> None:
+    """Commit-able per-round copy of the bench record
+    (BENCH_LOCAL_r{N}.json, same schema as the stdout line): the
+    driver's BENCH_r{N}.json truncates its tail under long output, so
+    the in-repo copy is what keeps tools/bench_compare.py able to
+    diff any two rounds offline with zero missing queries. At the
+    default sf0.1 only — ad-hoc smaller-SF runs must not overwrite
+    the round's record."""
+    try:
+        if out.get("sf") != 0.1:
+            return
+        here = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(here, f"BENCH_LOCAL_r{_current_round():02d}.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {path}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — persistence is additive
+        print(f"local bench record not written: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -2,6 +2,12 @@
 per-query delta, common-set totals, and noise-aware flagging.
 
 Usage: python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
+       python tools/bench_compare.py r7 r8   # round shorthand
+
+A bare ``r{N}`` token resolves to the repo-root record for that round,
+preferring the builder's complete BENCH_LOCAL_r{N}.json (written by
+bench.py itself each round) over the driver's BENCH_r{N}.json (whose
+tail may be truncated).
 
 Handles both record shapes the driver has produced: a plain bench JSON
 line, or the wrapper {"tail": "<last stdout chunk>"} — in the wrapper
@@ -19,6 +25,24 @@ from __future__ import annotations
 
 import json
 import sys
+
+
+def _resolve(token: str) -> str:
+    """Map ``r{N}`` to a repo-root record path (BENCH_LOCAL preferred);
+    anything else is taken as a literal path."""
+    import os
+    import re
+
+    m = re.fullmatch(r"r(\d+)", token)
+    if not m:
+        return token
+    n = int(m.group(1))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for pat in (f"BENCH_LOCAL_r{n:02d}.json", f"BENCH_r{n:02d}.json"):
+        p = os.path.join(root, pat)
+        if os.path.exists(p):
+            return p
+    raise SystemExit(f"no bench record found for round {n}")
 
 
 def load_queries(path: str) -> tuple[dict[str, float], dict[str, list[float]]]:
@@ -48,8 +72,8 @@ def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
-    old_q, old_runs = load_queries(sys.argv[1])
-    new_q, new_runs = load_queries(sys.argv[2])
+    old_q, old_runs = load_queries(_resolve(sys.argv[1]))
+    new_q, new_runs = load_queries(_resolve(sys.argv[2]))
     common = sorted(set(old_q) & set(new_q))
     t_old = sum(old_q[k] for k in common)
     t_new = sum(new_q[k] for k in common)
