@@ -261,6 +261,22 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — quality row is additive
         failed["_recall_report"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # LSH recall at 10x the largest fixture (seeded synthetic corpus,
+    # planted near-dups with exact generation-time Jaccard): validates
+    # the banding parameters beyond fixture scale and pins measured
+    # recall against the b-band/r-row theory curve (VERDICT r7 item 6;
+    # this harness is what exposed the r7 affine-family recall gap)
+    recall_10x = None
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from lsh_stress import run_stress
+
+        recall_10x = run_stress(spark, sf_dir, factor=10, seed=8)
+    except Exception as exc:  # noqa: BLE001 — quality row is additive
+        failed["_recall_10x"] = f"{type(exc).__name__}: {exc}"[:300]
+
     out = {
         "metric": "headline_queries_total_wall",
         # a round with ANY failed headline metric must not publish a
@@ -288,6 +304,8 @@ def main() -> None:
         out["phase_split"] = phase_split
     if recall_row:
         out["lsh_recall"] = recall_row
+    if recall_10x:
+        out["lsh_recall_10x"] = recall_10x
     if n_bad:
         # failure count lives OUTSIDE the summed timings dict so it
         # can't corrupt the wall-clock headline metric

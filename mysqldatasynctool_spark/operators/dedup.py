@@ -115,22 +115,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, fully engine-portable and
     shuffle-minimal:
 
-    - ONE md5 per shingle, split into two 60-bit halves (h1, h2); the
-      8 minhash permutations are the universal-hash family
-      ``h1 + i*h2`` (max < 8·2^60 < 2^63, no overflow);
-    - signatures are pure projections — ``array_min`` over the shingle
-      array, NO explode and NO aggregation shuffle;
+    - 8 INDEPENDENT 60-bit minhash values per shingle, drawn as the
+      two halves of 4 salted md5s (``md5('{s}:' || shingle)``). The
+      r7 implementation derived all 8 from ONE md5 via the affine
+      family ``h1 + i*h2`` — cheaper, but the ×10 stress harness
+      (tools/lsh_stress.py) exposed that the affine hashes' band
+      collisions are correlated, costing ~8–11 recall points vs the
+      independent-permutation banding theory (measured 0.91 vs
+      expected 0.99 at J≥0.7; a pure-numpy simulation reproduces the
+      same gap). Independence restores the S-curve.
     - 4 bands of 2 explode to 4 rows/doc; the only real shuffle is the
       self-join on band key;
     - candidates verified with exact Jaccard on the 120-bit shingle
-      hashes (h1, h2) — set-identical to string intersection short of
-      a 2^-120 collision, the same trust already placed in md5 by the
+      identity hashes (mh0, mh1 — the '0:'-salted md5's halves,
+      which double as the seed-0/1 minhash inputs) —
+      set-identical to string intersection short of a 2^-120
+      collision, the same trust already placed in md5 by the
       exact-dedup fingerprints — threshold 0.2.
 
-    100 TB shape: linear scan + projection for signatures, shuffle
-    volume = 4 band keys/doc (bytes, not documents), pair work bounded
-    by band collisions. The quadratic truth (dedup_ngram_jaccard)
-    exists only as the test-scale ground truth.
+    100 TB shape: linear scan + projection for signatures (4 md5
+    evaluations per distinct (doc, shingle) row, all map-side),
+    shuffle volume = 4 band keys/doc (bytes, not documents), pair
+    work bounded by band collisions. The quadratic truth
+    (dedup_ngram_jaccard) exists only as the test-scale ground truth.
     """
     # signature over exploded shingle rows: md5 runs ONCE per
     # (doc, shingle) row — an array-projection formulation is tempting
@@ -140,21 +147,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle subtree (split + posexplode + window + distinct) is
     # referenced FOUR times downstream (signatures, sizes, both verify
     # sides) — checkpoint it so it runs once. Checkpointing the NARROW
-    # hashed projection (doc_id, h1, h2: 24 bytes/row) instead of the
+    # hashed projection (doc_id, mh0..mh7: 72 bytes/row) instead of the
     # string shingles materializes ~10x less (A/B at sf0.1:
     # 2.9 s vs 3.3 s vs 9.8+ s with no checkpoint at all), which also
     # lets the verify join run on longs instead of strings
     sh_rows = _shingle_table(spark, sf_dir)
-    hashed = sh_rows.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(F.md5("sh"), 17, 15), 16, 10).cast("long").alias("h2"),
-    ).localCheckpoint(eager=True)
+
+    def _halves(col, salt: int | None):
+        """Two independent 60-bit longs from one (salted) md5."""
+        h = F.md5(col if salt is None else F.concat(F.lit(f"{salt}:"), col))
+        return (
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+            F.conv(F.substring(h, 17, 15), 16, 10).cast("long"),
+        )
+
+    # mh0/mh1 (the '0:'-salted md5's halves) double as the 120-bit
+    # shingle identity for the verify stage — one fewer md5 per row
+    mh_cols = []
+    for s in range(MINHASH_SEEDS // 2):
+        a, b = _halves(F.col("sh"), s)
+        mh_cols += [a.alias(f"mh{2 * s}"), b.alias(f"mh{2 * s + 1}")]
+    hashed = sh_rows.select("doc_id", *mh_cols).localCheckpoint(eager=True)
     sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"m{i}")
-            for i in range(MINHASH_SEEDS)
-        ]
+        *[F.min(F.col(f"mh{i}")).alias(f"m{i}") for i in range(MINHASH_SEEDS)]
     )
     n_bands = MINHASH_SEEDS // BAND_ROWS
     # bands stay SLIM (ids + keys only): the self-join shuffles a few
@@ -195,7 +210,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cand.localCheckpoint(eager=True)
     # verify candidates with exact Jaccard: hashed shingle rows joined
     # candidate-side first (broadcast — candidates are the small side),
-    # intersection counted on (idb, h1, h2) equality — long keys off
+    # intersection counted on (idb, mh0, mh1) equality — long keys off
     # the checkpointed narrow table, never the shingle strings
     sizes = hashed.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
@@ -204,17 +219,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes.withColumnRenamed("doc_id", "idb")), "idb")
         .withColumnRenamed("sz", "szb")
     )
-    sha = hashed.select(F.col("doc_id").alias("ida"), "h1", "h2")
+    sha = hashed.select(F.col("doc_id").alias("ida"), "mh0", "mh1")
     # the b-side only needs shingles of candidate docs — semi-join on
     # the (broadcast, tiny) candidate id set BEFORE the wide
-    # (idb, h1, h2) equi-join so non-candidate docs never enter that
+    # (idb, mh0, mh1) equi-join so non-candidate docs never enter that
     # shuffle
-    shb = hashed.select(F.col("doc_id").alias("idb"), "h1", "h2").join(
+    shb = hashed.select(F.col("doc_id").alias("idb"), "mh0", "mh1").join(
         F.broadcast(cand.select("idb").distinct()), "idb", "semi"
     )
     n_inter = (
         sha.join(F.broadcast(cand), "ida")
-        .join(shb, ["idb", "h1", "h2"])
+        .join(shb, ["idb", "mh0", "mh1"])
         .groupBy("ida", "idb")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -232,8 +247,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     mins = ", ".join(
-        f"list_min(list_transform(hs, p -> p.h1 + {i} * p.h2)) AS m{i}"
+        f"list_min(list_transform(hs, p -> p.m{i})) AS m{i}"
         for i in range(MINHASH_SEEDS)
+    )
+    # the independent-family twin: the two 60-bit halves of each of 4
+    # salted md5s, exactly mirroring the Spark side's _halves()
+    half_fields = ", ".join(
+        f"m{2 * s + half}: CAST(concat('0x', substr(md5('{s}:' || s2), "
+        f"{1 if half == 0 else 17}, 15)) AS BIGINT)"
+        for s in range(MINHASH_SEEDS // 2)
+        for half in (0, 1)
     )
     n_bands = MINHASH_SEEDS // BAND_ROWS
     band_rows = " UNION ALL ".join(
@@ -256,10 +279,7 @@ shingled AS (
 ),
 hashed AS (
   SELECT doc_id, sh,
-         list_transform(sh, s -> {{
-           h1: CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT),
-           h2: CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT)
-         }}) AS hs
+         list_transform(sh, s2 -> {{{half_fields}}}) AS hs
   FROM shingled
   WHERE len(sh) > 0
 ),

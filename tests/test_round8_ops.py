@@ -67,3 +67,24 @@ def test_mmr_ann_first_pick_is_in_bucket_argmax(spark):
             for i in members
         }
         assert cos[pick] >= max(cos.values()) - 1e-9
+
+
+def test_lsh_stress_recall_matches_banding_theory(spark):
+    """Scaled stress (x3 here for CI speed; bench runs x10): planted
+    near-dup recall must track the independent-permutation banding
+    S-curve — the r7 affine family failed exactly this (measured ~8
+    points under theory), which is what this gate now pins."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from lsh_stress import run_stress
+
+    rep = run_stress(spark, "/root/testdata/sf0.1", factor=3, seed=8)
+    j70 = rep["planted_j70"]
+    assert j70["n_truth"] > 100
+    assert j70["recall"] >= 0.95
+    # measured within a few points of the theoretical expectation —
+    # both directions (a large positive gap would mean the planted
+    # truth is mislabeled)
+    assert abs(j70["recall"] - j70["recall_expected"]) < 0.04
+    assert abs(rep["planted_all"]["recall"] - rep["planted_all"]["recall_expected"]) < 0.05
