@@ -31,76 +31,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-7 FINAL ROTATION (tools/correctness_union.py; staleness is
-#: FUNCTION-granular via git blame since r7 — 98 module-level stales
-#: collapsed to 5 real ones):
-#: 1) the 33 entries with NO driver row ever — the 8 deferred past
-#:    r6's boundary, then the 20 queries ADDED in r7 (graph triangle
-#:    count, OHLC + its REAL-streaming-run sibling, linear fit,
-#:    recursive CTE, FK discovery, DQ expectations, Matryoshka
-#:    truncation audit, leakage-safe split, page checksums, funnel
-#:    conversion, market basket, RFM, symmetric diff, the three
-#:    streaming runs, incremental rollup, CUSUM, drawdown, cohort
-#:    LTV, Markov transitions, MMR re-rank, Gini, burst detection);
-#: 2) the 5 truly-stale greens (function body edited after their
-#:    newest green record: udtf, simhash credit rewrite, q21/q11
-#:    advice fixes, row_diff drift-helper refactor);
-#: 3) everything else oldest-green-record-first. The driver window
-#:    cuts at 50; the tail rotates in r8.
-#: ALL 177 entries re-verified locally THIS round at sf0.001, sf0.01
-#: and sf0.1 (full-registry sweeps: 176 pass / 0 fail / 1 rows-only
-#: at each scale).
+#: ROUND-8 ROTATION (tools/correctness_union.py):
+#: 1) this round's new/changed entries — the new ANN→MMR composition,
+#:    the newly oracle-gated q1 float twin, the minhash-family fix and
+#:    every entry whose values it reaches (clusters, recall report,
+#:    leakage split), the refactored MMR baseline, the fused
+#:    interval-overlap build, and the two division-guard fixes;
+#: 2) the 37 oldest-green r1-era rows from the r7 verdict's suggested
+#:    50-name rotation (the 13 displaced names follow immediately at
+#:    positions 51+ and rotate in r9);
+#: 3) everything else oldest-green-record-first, unchanged relative
+#:    order. Full registry re-verified locally this round at sf0.001,
+#:    sf0.01 and sf0.1 (driver_sim sweeps).
 VERIFY_PRIORITY: tuple[str, ...] = (
-    "migration_column_profile",
-    "setop_except_distinct",
-    "setop_intersect_all",
-    "text_bpe_merge_step",
-    "migration_scd2_history",
-    "pipeline_sample_per_group",
-    "events_sliding_distinct_approx",
-    "join_point_in_time",
-    "graph_triangle_count",
-    "events_ohlc_bars",
-    "agg_linear_fit",
-    "sql_recursive_supplier_tree",
-    "migration_fk_discovery",
-    "migration_dq_expectations",
-    "similarity_dim_truncation_audit",
+    "similarity_mmr_ann",
+    "q1_pricing_summary_fast",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_lsh_recall_report",
     "pipeline_leakage_safe_split",
-    "migration_page_checksums",
-    "events_funnel_conversion",
-    "agg_market_basket",
-    "agg_rfm_segmentation",
-    "setop_symmetric_diff",
-    "streaming_run_ohlc",
-    "streaming_run_session_window",
-    "streaming_run_ewma",
-    "events_incremental_rollup",
-    "events_cusum_changepoint",
-    "window_running_drawdown",
-    "agg_cohort_ltv",
-    "events_markov_transitions",
     "similarity_mmr_rerank",
-    "agg_gini_concentration",
-    "events_burst_detection",
-    "agg_robust_outliers",
-    "udf_udtf_windows",
-    "dedup_simhash",
-    "migration_row_diff",
-    "q21_waiting_supplier",
+    "events_interval_overlap_join",
+    "agg_linear_fit",
+    "events_funnel_conversion",
+    "graph_triangle_count",
     "q11_important_stock",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "project_filter",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_range_nonequi",
-    "agg_rollup",
-    "agg_cube",
-    "agg_distinct",
+    "q22_global_sales_opportunity",
     "scalar_functions",
     "sort_limit_topk",
     "date_arithmetic",
@@ -151,19 +107,60 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_pk_catalog",
     "migration_full_scan_fallback",
     "migration_page_count",
+    "migration_column_profile",
+    "setop_except_distinct",
+    "setop_intersect_all",
+    "text_bpe_merge_step",
+    "migration_scd2_history",
+    "pipeline_sample_per_group",
+    "events_sliding_distinct_approx",
+    "join_point_in_time",
+    "events_ohlc_bars",
+    "sql_recursive_supplier_tree",
+    "migration_fk_discovery",
+    "migration_dq_expectations",
+    "similarity_dim_truncation_audit",
+    "migration_page_checksums",
+    "agg_market_basket",
+    "agg_rfm_segmentation",
+    "setop_symmetric_diff",
+    "streaming_run_ohlc",
+    "streaming_run_session_window",
+    "streaming_run_ewma",
+    "events_incremental_rollup",
+    "events_cusum_changepoint",
+    "window_running_drawdown",
+    "agg_cohort_ltv",
+    "events_markov_transitions",
+    "agg_gini_concentration",
+    "events_burst_detection",
+    "agg_robust_outliers",
+    "udf_udtf_windows",
+    "dedup_simhash",
+    "migration_row_diff",
+    "q21_waiting_supplier",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "project_filter",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_range_nonequi",
+    "agg_rollup",
+    "agg_cube",
+    "agg_distinct",
     "migration_pagination_page",
     "migration_stringify",
     "migration_compare_checksums",
     "migration_incremental",
     "dedup_exact_subset",
     "dedup_exact_text",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
-    "dedup_clusters",
     "dedup_paragraph_exact",
-    "dedup_lsh_recall_report",
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
@@ -203,7 +200,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
     "q21_waiting_supplier_agg",
-    "q22_global_sales_opportunity",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q13_customer_distribution",
@@ -212,7 +208,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "text_heavy_hitters",
     "agg_key_skew_report",
     "similarity_kmeans_step",
-    "events_interval_overlap_join",
     "join_fuzzy_ed1",
     "events_session_window_builtin",
     "events_sliding_distinct_users",
@@ -232,7 +227,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "graph_degree_stats",
     "window_ewma_dyadic",
     "pipeline_incremental_dedup",
-    "q1_pricing_summary_fast",
 )
 
 

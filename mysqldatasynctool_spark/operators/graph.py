@@ -241,6 +241,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_nodes, n_edges, n_triangles, n_wedges, clustering_ppm), all
     integers (ppm = 1e6·3·tri DIV wedges), so the oracle hashes
     bit-for-bit.
+
+    NOTE (eager): CONSTRUCTING this frame runs jobs — the oriented
+    edge list is localCheckpointed and the triangle total is a
+    ``.count()`` action folded in as a literal, so roughly half the
+    work happens at call time, not at the first downstream action.
+    Composing callers should treat this like the other scalar-literal
+    builders (q11/q22 thresholds).
     """
     os_ = (
         load(spark, sf_dir, "lineitem")

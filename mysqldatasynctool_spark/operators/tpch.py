@@ -667,6 +667,8 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a LITERAL (exact decimal sum / count ⇒ deterministic double) —
     NOT a nested-loop join; the plan audit forbids
     BroadcastNestedLoopJoin.  The NOT EXISTS is a left-anti join.
+    NOTE (eager): folding the literal means CONSTRUCTING this frame
+    runs the 1-row aggregate as a job at call time.
     """
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders").filter(
@@ -823,6 +825,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     and folded in as an exact-decimal literal via Python Decimal
     arithmetic — both engines then compare exact decimals, so the
     HAVING boundary cannot flip cross-engine; no nested-loop join.
+    NOTE (eager): CONSTRUCTING this frame runs jobs — the per-part
+    value frame is localCheckpointed and the threshold aggregate is
+    collected at call time.
     """
     from decimal import Decimal
 

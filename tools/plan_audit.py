@@ -15,6 +15,14 @@ Anti-patterns hunted:
 Usage: python tools/plan_audit.py [sf_dir]  → prints a per-query table
 and exits 1 if any NOT-allowed anti-pattern appears. The blanket test
 in tests/test_plan_audit.py runs the same sweep in CI.
+
+Docnote: a few scalar-literal builders run Spark jobs DURING frame
+construction (localCheckpoint / 1-row collect folded in as a literal:
+graph_triangle_count, q11, q22, the dedup LSH checkpoints). This audit
+therefore pays those jobs when it instantiates each query; it is a
+feature (the audited plan is the plan that actually runs), but anyone
+timing "plan build" separately from "execution" must account for it —
+each such operator carries an explicit "NOTE (eager)" docstring.
 """
 
 from __future__ import annotations
