@@ -33,18 +33,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: ROUND-8 ROTATION (tools/correctness_union.py):
 #: 1) this round's new/changed entries — the new ANN→MMR composition,
-#:    the newly oracle-gated q1 float twin, the minhash-family fix and
+#:    the new ANN recall report and Broder-containment operators, the
+#:    newly oracle-gated q1 float twin, the minhash-family fix and
 #:    every entry whose values it reaches (clusters, recall report,
 #:    leakage split), the refactored MMR baseline, the fused
-#:    interval-overlap build, and the two division-guard fixes;
-#: 2) the 37 oldest-green r1-era rows from the r7 verdict's suggested
-#:    50-name rotation (the 13 displaced names follow immediately at
+#:    interval-overlap build, the division-guard fixes, and the three
+#:    docstring-touched scalar-literal builders;
+#: 2) the 35 oldest-green r1-era rows from the r7 verdict's suggested
+#:    50-name rotation (the 15 displaced names follow immediately at
 #:    positions 51+ and rotate in r9);
 #: 3) everything else oldest-green-record-first, unchanged relative
 #:    order. Full registry re-verified locally this round at sf0.001,
 #:    sf0.01 and sf0.1 (driver_sim sweeps).
 VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_mmr_ann",
+    "similarity_ann_recall_report",
+    "dedup_minhash_containment",
     "q1_pricing_summary_fast",
     "dedup_minhash_lsh",
     "dedup_clusters",

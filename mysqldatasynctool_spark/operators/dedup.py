@@ -139,6 +139,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     work bounded by band collisions. The quadratic truth
     (dedup_ngram_jaccard) exists only as the test-scale ground truth.
     """
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    jaccard = F.round(
+        F.col("n_inter") / (F.col("sza") + F.col("szb") - F.col("n_inter")), 6
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("ida", "idb", "jaccard")
+        .orderBy("ida", "idb")
+    )
+
+
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared MinHash-LSH candidate + exact-verify core: banded
+    candidate generation followed by the exact shingle-set overlap
+    counts. Returns ``(ida, idb, sza, szb, n_inter)`` — enough to
+    derive ANY set-overlap measure (Jaccard for
+    :func:`dedup_minhash_lsh`, Broder containment for
+    :func:`dedup_minhash_containment`) without re-running the hash /
+    band / verify stages."""
     # signature over exploded shingle rows: md5 runs ONCE per
     # (doc, shingle) row — an array-projection formulation is tempting
     # but CollapseProject inlines the hash array into every array_min
@@ -233,14 +253,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ida", "idb")
         .agg(F.count("*").alias("n_inter"))
     )
+    return inter.join(n_inter, ["ida", "idb"])
+
+
+#: minimum Broder containment (ppm) for the containment report
+CONTAINMENT_PPM = 500_000
+
+
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplication via Broder CONTAINMENT over the
+    SAME LSH candidate/verify core as :func:`dedup_minhash_lsh`:
+    ``C(A→B) = |A∩B| / |A|`` tells you WHICH document subsumes which —
+    the quotation / boilerplate-envelope / superset-page signal that
+    symmetric Jaccard blurs (a 60-token doc fully inside a 600-token
+    doc has J ≈ 0.1 but C ≈ 1.0). Output: both directions in integer
+    ppm, the dominant direction as a label, and the symmetric Jaccard
+    for context; pairs kept when either direction ≥ 50% (CONTAINMENT_PPM).
+
+    Candidate generation is the Jaccard-tuned banding, so a
+    high-containment pair whose Jaccard is far below the banding
+    S-curve can be missed at candidate time — by design; the
+    token-span path (:func:`dedup_substring_spans`) is the recall
+    backstop for extreme-asymmetry cases. All reported numbers are
+    exact integer arithmetic over the verified shingle-hash sets, so
+    the row hashes bit-for-bit cross-engine.
+
+    100 TB: identical economics to dedup_minhash_lsh — the extra two
+    ppm divisions are free; no additional scan, shuffle, or join.
+    """
+    pairs = _lsh_verified_pairs(spark, sf_dir)
     jaccard = F.round(
         F.col("n_inter") / (F.col("sza") + F.col("szb") - F.col("n_inter")), 6
     )
     return (
-        inter.join(n_inter, ["ida", "idb"])
-        .withColumn("jaccard", jaccard)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("ida", "idb", "jaccard")
+        pairs.withColumn(
+            "cont_a_ppm", F.expr("(1000000 * n_inter) DIV sza")
+        )
+        .withColumn("cont_b_ppm", F.expr("(1000000 * n_inter) DIV szb"))
+        .filter(
+            (F.col("cont_a_ppm") >= CONTAINMENT_PPM)
+            | (F.col("cont_b_ppm") >= CONTAINMENT_PPM)
+        )
+        .select(
+            "ida",
+            "idb",
+            "cont_a_ppm",
+            "cont_b_ppm",
+            F.when(F.col("cont_a_ppm") >= F.col("cont_b_ppm"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+            jaccard.alias("jaccard"),
+        )
         .orderBy("ida", "idb")
     )
 
@@ -298,6 +361,29 @@ SELECT ida, idb,
 FROM cand
 WHERE len(list_intersect(sha, shb)) * 1.0
       / (len(sha) + len(shb) - len(list_intersect(sha, shb))) >= {JACCARD_THRESHOLD}
+ORDER BY ida, idb
+"""
+
+
+def _containment_oracle() -> str:
+    """Containment twin: the same CTE prefix as _minhash_oracle up to
+    ``cand``, then Broder containment in integer ppm both ways."""
+    prefix = _minhash_oracle()
+    prefix = prefix[: prefix.index("SELECT ida, idb,")]
+    return f"""{prefix}
+SELECT ida, idb,
+       CAST((1000000 * len(list_intersect(sha, shb))) // len(sha) AS BIGINT)
+         AS cont_a_ppm,
+       CAST((1000000 * len(list_intersect(sha, shb))) // len(shb) AS BIGINT)
+         AS cont_b_ppm,
+       CASE WHEN (1000000 * len(list_intersect(sha, shb))) // len(sha)
+                 >= (1000000 * len(list_intersect(sha, shb))) // len(shb)
+            THEN 'a_in_b' ELSE 'b_in_a' END AS direction,
+       ROUND(len(list_intersect(sha, shb)) * 1.0
+             / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 6) AS jaccard
+FROM cand
+WHERE (1000000 * len(list_intersect(sha, shb))) // len(sha) >= {CONTAINMENT_PPM}
+   OR (1000000 * len(list_intersect(sha, shb))) // len(shb) >= {CONTAINMENT_PPM}
 ORDER BY ida, idb
 """
 
@@ -1017,6 +1103,7 @@ QUERIES = {
     "dedup_exact_subset": dedup_exact_subset,
     "dedup_exact_text": dedup_exact_text,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_containment": dedup_minhash_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1032,6 +1119,7 @@ ORACLES = {
     "dedup_exact_subset": DEDUP_EXACT_SUBSET_ORACLE,
     "dedup_exact_text": DEDUP_EXACT_TEXT_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_minhash_containment": _containment_oracle(),
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_ORACLE,

@@ -1057,3 +1057,74 @@ QUERIES["similarity_mmr_rerank"] = similarity_mmr_rerank
 ORACLES["similarity_mmr_rerank"] = _mmr_oracle(_MMR_CAND_BRUTEFORCE)
 QUERIES["similarity_mmr_ann"] = similarity_mmr_ann
 ORACLES["similarity_mmr_ann"] = _mmr_oracle(_MMR_CAND_LSH)
+
+
+def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class operator — the
+    similarity mirror of ``dedup_lsh_recall_report``: recall@k of each
+    approximate path (sign-bit LSH single-probe, IVF probes=1) against
+    the exact bruteforce top-k, in integer ppm. This is the number a
+    retrieval owner watches when tuning bucket bits / probe counts,
+    tracked as data instead of a one-off notebook.
+
+    Plan: per method, ONE left join of the (tiny) truth pair set
+    against the method's pair set and one aggregate — no 1-row×1-row
+    scalar joins, so the plan audit's no-BNLJ rule holds; the ANN
+    frames themselves carry their own (audited) plans. Test-scale
+    only insofar as the truth side is the quadratic bruteforce; at
+    production scale the same report runs on a sampled query panel.
+    """
+    truth = similarity_topk_bruteforce(spark, sf_dir).select(
+        "qid", "neighbor_id"
+    )
+    methods = {
+        "ivf_pandas": similarity_ivf_pandas(spark, sf_dir),
+        "lsh_bucketed": similarity_lsh_bucketed(spark, sf_dir),
+    }
+    reports = []
+    for name, df in sorted(methods.items()):
+        m = df.select("qid", "neighbor_id").withColumn("hit", F.lit(1))
+        reports.append(
+            truth.join(m, ["qid", "neighbor_id"], "left").agg(
+                F.lit(name).alias("method"),
+                F.count("*").alias("n_truth"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "method",
+        "n_truth",
+        "n_found",
+        F.expr("(1000000 * n_found) DIV n_truth").alias("recall_ppm"),
+    ).orderBy("method")
+
+
+def _ann_recall_oracle() -> str:
+    truth = SIMILARITY_TOPK_ORACLE.replace("ORDER BY qid, rank", "")
+    lsh = _lsh_oracle().replace("ORDER BY qid, rank", "")
+    ivf = SIMILARITY_IVF_ORACLE.replace("ORDER BY qid, rank", "")
+    return f"""
+WITH truth AS ({truth}),
+lshp AS (SELECT qid, neighbor_id FROM ({lsh})),
+ivfp AS (SELECT qid, neighbor_id FROM ({ivf})),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM truth
+      JOIN lshp USING (qid, neighbor_id)),
+i AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM truth
+      JOIN ivfp USING (qid, neighbor_id))
+SELECT 'ivf_pandas' AS method, t.n_truth, i.n_found,
+       CAST((1000000 * i.n_found) // t.n_truth AS BIGINT) AS recall_ppm
+FROM t, i
+UNION ALL
+SELECT 'lsh_bucketed', t.n_truth, l.n_found,
+       CAST((1000000 * l.n_found) // t.n_truth AS BIGINT)
+FROM t, l
+ORDER BY method
+"""
+
+
+QUERIES["similarity_ann_recall_report"] = similarity_ann_recall_report
+ORACLES["similarity_ann_recall_report"] = _ann_recall_oracle()

@@ -88,3 +88,34 @@ def test_lsh_stress_recall_matches_banding_theory(spark):
     # truth is mislabeled)
     assert abs(j70["recall"] - j70["recall_expected"]) < 0.04
     assert abs(rep["planted_all"]["recall"] - rep["planted_all"]["recall_expected"]) < 0.05
+
+
+def test_containment_bounds_and_direction(spark):
+    """Containment ppm is in (0, 1e6], containment >= Jaccard on both
+    sides (|A∩B|/|A| >= |A∩B|/|A∪B|), and the direction label matches
+    the larger side."""
+    from mysqldatasynctool_spark.operators import dedup
+
+    rows = dedup.dedup_minhash_containment(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.cont_a_ppm <= 1_000_000
+        assert 0 < r.cont_b_ppm <= 1_000_000
+        assert max(r.cont_a_ppm, r.cont_b_ppm) >= dedup.CONTAINMENT_PPM
+        # containment dominates jaccard (ppm vs 6dp float; 1 ulp slack)
+        assert max(r.cont_a_ppm, r.cont_b_ppm) / 1e6 >= r.jaccard - 1e-6
+        expect = "a_in_b" if r.cont_a_ppm >= r.cont_b_ppm else "b_in_a"
+        assert r.direction == expect
+
+
+def test_ann_recall_report_consistency(spark):
+    """n_found <= n_truth per method, recall_ppm is the exact integer
+    division, and the truth count matches the bruteforce frame."""
+    rep = {r.method: r for r in sim.similarity_ann_recall_report(spark, SF).collect()}
+    assert set(rep) == {"ivf_pandas", "lsh_bucketed"}
+    n_truth = sim.similarity_topk_bruteforce(spark, SF).count()
+    for r in rep.values():
+        assert r.n_truth == n_truth
+        assert 0 <= r.n_found <= r.n_truth
+        assert r.recall_ppm == (1_000_000 * r.n_found) // r.n_truth
+        assert r.n_found > 0  # both ANN paths must find SOMETHING
