@@ -55,6 +55,7 @@ HEADLINE = [
     "migration_cdc_apply",
     "text_pii_scrub",
     "dedup_minhash_lsh",
+    "dedup_minhash_containment",
     "dedup_simhash",
     "dedup_embedding_lsh",
     "dedup_paragraph_exact",
@@ -67,6 +68,7 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
     "similarity_ivf_pandas",
+    "similarity_mmr_ann",
     "text_token_stats",
     "text_quality_score",
     "text_token_count_bpe",

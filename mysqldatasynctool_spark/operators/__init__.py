@@ -33,14 +33,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: ROUND-8 ROTATION (tools/correctness_union.py):
 #: 1) this round's new/changed entries — the new ANN→MMR composition,
-#:    the new ANN recall report and Broder-containment operators, the
+#:    the new ANN recall report, Broder-containment, and REAL
+#:    streaming-dedup-run operators, the
 #:    newly oracle-gated q1 float twin, the minhash-family fix and
 #:    every entry whose values it reaches (clusters, recall report,
 #:    leakage split), the refactored MMR baseline, the fused
 #:    interval-overlap build, the division-guard fixes, and the three
 #:    docstring-touched scalar-literal builders;
-#: 2) the 35 oldest-green r1-era rows from the r7 verdict's suggested
-#:    50-name rotation (the 15 displaced names follow immediately at
+#: 2) the 34 oldest-green r1-era rows from the r7 verdict's suggested
+#:    50-name rotation (the 16 displaced names follow immediately at
 #:    positions 51+ and rotate in r9);
 #: 3) everything else oldest-green-record-first, unchanged relative
 #:    order. Full registry re-verified locally this round at sf0.001,
@@ -49,6 +50,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_mmr_ann",
     "similarity_ann_recall_report",
     "dedup_minhash_containment",
+    "streaming_run_dedup",
     "q1_pricing_summary_fast",
     "dedup_minhash_lsh",
     "dedup_clusters",

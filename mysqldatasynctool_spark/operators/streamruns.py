@@ -84,14 +84,49 @@ def streaming_run_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_run_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the watermark-bounded streaming dedup
+    (``dropDuplicatesWithinWatermark`` on (user_id, event_type)) to
+    completion and return the KEY projection of the emitted rows.
+
+    Why the key projection: the operator keeps the FIRST-seen row per
+    key, and "first seen" is micro-batch/task arrival order — not
+    deterministic — so the full rows can't be hashed. The KEY SET is:
+    over the single-file fixture the job runs as one micro-batch, so
+    exactly one row per distinct key is emitted and the oracle is a
+    plain DISTINCT. A duplicate emission (state dropped too early) or
+    a lost key turns the row red — which is precisely the dedup-state
+    property worth gating. (Multi-file sources whose event time spans
+    beyond the watermark horizon can legitimately re-emit a key after
+    state expiry; that at-least-once-per-horizon contract is the
+    documented semantics of the underlying job, jobs.py:246.)"""
+    from ..streaming import read_events_stream, run_to_memory_sink
+    from ..streaming.jobs import streaming_dedup_within_watermark
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        streaming_dedup_within_watermark(stream), "sr_dedup", output_mode="append"
+    )
+    return out.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
+STREAMING_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+"""
+
+
 QUERIES = {
     "streaming_run_ohlc": streaming_run_ohlc,
     "streaming_run_session_window": streaming_run_session_window,
     "streaming_run_ewma": streaming_run_ewma,
+    "streaming_run_dedup": streaming_run_dedup,
 }
 
 ORACLES = {
     "streaming_run_ohlc": EVENTS_OHLC_ORACLE,
     "streaming_run_session_window": EVENTS_SESSION_WINDOW_BUILTIN_ORACLE,
     "streaming_run_ewma": WINDOW_EWMA_ORACLE,
+    "streaming_run_dedup": STREAMING_DEDUP_ORACLE,
 }
