@@ -40,14 +40,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:    leakage split), the refactored MMR baseline, the fused
 #:    interval-overlap build, the division-guard fixes, and the three
 #:    docstring-touched scalar-literal builders;
-#: 2) the 34 oldest-green r1-era rows from the r7 verdict's suggested
-#:    50-name rotation (the 16 displaced names follow immediately at
+#: 2) the 33 oldest-green r1-era rows from the r7 verdict's suggested
+#:    50-name rotation (the 17 displaced names follow immediately at
 #:    positions 51+ and rotate in r9);
 #: 3) everything else oldest-green-record-first, unchanged relative
 #:    order. Full registry re-verified locally this round at sf0.001,
 #:    sf0.01 and sf0.1 (driver_sim sweeps).
 VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_mmr_ann",
+    "similarity_lsh_multiprobe",
     "similarity_ann_recall_report",
     "dedup_minhash_containment",
     "streaming_run_dedup",

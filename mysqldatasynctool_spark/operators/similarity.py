@@ -9,8 +9,9 @@ Two paths, matching the task's brief:
   bucket. At 100 TB the bucket key becomes the shuffle/partition key,
   turning an O(N²) cross join into O(sum of bucket² ), and buckets can
   be sub-partitioned by prefix length to cap skew. Multi-probe (query
-  neighboring buckets) trades recall for cost — here single-probe,
-  which the oracle mirrors exactly.
+  neighboring buckets) trades recall for cost — single-probe in
+  similarity_lsh_bucketed, Hamming-1 probing in
+  similarity_lsh_multiprobe; each oracle mirrors its schedule exactly.
 
 Dot products run element-wise in doubles with sequential accumulation
 (F.aggregate left-fold), which is bit-identical to DuckDB's
@@ -202,6 +203,122 @@ def similarity_lsh_bucketed(
         .select("qid", "bucket", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
         .orderBy("qid", "rank")
     )
+
+
+def _flip_bit(bucket: Column, i: int, n_bits: int) -> Column:
+    """The bucket key with (1-based) bit ``i`` flipped — string form,
+    identical in Spark and DuckDB."""
+    flipped = F.when(
+        F.substring(bucket, i, 1) == "1", F.lit("0")
+    ).otherwise(F.lit("1"))
+    parts = []
+    if i > 1:
+        parts.append(F.substring(bucket, 1, i - 1))
+    parts.append(flipped)
+    if i < n_bits:
+        parts.append(F.substring(bucket, i + 1, n_bits - i))
+    return F.concat(*parts)
+
+
+def similarity_lsh_multiprobe(
+    spark: SparkSession, sf_dir: str, dims: tuple[int, ...] = LSH_DIMS
+) -> DataFrame:
+    """Multi-probe sign-bit LSH — the recall/cost knob the single-probe
+    variant's docstring names: each query searches its OWN bucket plus
+    every bucket at Hamming distance 1 (flip one sign bit), the
+    standard multi-probe schedule for hyperplane LSH (a near-neighbor
+    that lands across one hyperplane is the dominant miss mode, and
+    those sit exactly one bit away). 1 + len(dims) probes/query.
+
+    Each corpus vector lives in exactly ONE bucket, so a (query, doc)
+    pair is generated at most once — no candidate dedup shuffle. The
+    query side explodes to its probe keys (rows × (1+bits), tiny);
+    the join stays the same bucket EQUI-join, so the plan is the
+    single-probe plan with a fatter (but bounded) probe-side input.
+    Recall strictly ⊇ single-probe at ~(1+bits)× scan cost —
+    quantified per round by ``similarity_ann_recall_report``.
+
+    100 TB: probes multiply the per-query candidate volume, not the
+    corpus scan — the bucketed layout is probed, not rebuilt; bit
+    count still tracks N via ``lsh_dims_for``.
+    """
+    emb = _with_norm(_vecs(spark, sf_dir)).withColumn(
+        "bucket", _bucket_expr(F.col("v"), dims)
+    )
+    n_bits = len(dims)
+    probe_keys = F.array(
+        F.col("bucket"),
+        *[_flip_bit(F.col("bucket"), i, n_bits) for i in range(1, n_bits + 1)],
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+        F.explode(probe_keys).alias("bucket"),
+    )
+    scored = (
+        emb.join(queries, "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+def _flip_bit_sql(i: int, n_bits: int) -> str:
+    flipped = f"(CASE WHEN substr(q.bucket, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+    parts = []
+    if i > 1:
+        parts.append(f"substr(q.bucket, 1, {i - 1})")
+    parts.append(flipped)
+    if i < n_bits:
+        parts.append(f"substr(q.bucket, {i + 1}, {n_bits - i})")
+    return " || ".join(parts)
+
+
+def _lsh_multiprobe_oracle(dims: tuple[int, ...] = LSH_DIMS) -> str:
+    bits = _lsh_bits_sql(dims)
+    n_bits = len(dims)
+    probe_list = ", ".join(
+        ["q.bucket"] + [_flip_bit_sql(i, n_bits) for i in range(1, n_bits + 1)]
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, vnorm, {bits} AS bucket FROM e),
+q0 AS (SELECT vec_id AS qid, v AS qv, vnorm AS qnorm, bucket FROM b WHERE vec_id % 50 = 0),
+q AS (
+  SELECT qid, qv, qnorm, unnest([{probe_list}]) AS probe
+  FROM q0 q
+),
+scored AS (
+  SELECT q.qid, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, b.v) / (q.qnorm * b.vnorm), 6) AS cosine
+  FROM q JOIN b ON b.bucket = q.probe AND b.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY qid, rank
+"""
 
 
 def _lsh_oracle() -> str:
@@ -792,6 +909,7 @@ QUERIES = {
     "similarity_quantize_int8": similarity_quantize_int8,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_lsh_bucketed": similarity_lsh_bucketed,
+    "similarity_lsh_multiprobe": similarity_lsh_multiprobe,
     "similarity_label_centroids": similarity_label_centroids,
     "similarity_ivf_pandas": similarity_ivf_pandas,
     "similarity_kmeans_step": similarity_kmeans_step,
@@ -802,6 +920,7 @@ ORACLES = {
     "similarity_quantize_int8": SIMILARITY_QUANTIZE_ORACLE,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_ORACLE,
     "similarity_lsh_bucketed": _lsh_oracle(),
+    "similarity_lsh_multiprobe": _lsh_multiprobe_oracle(),
     "similarity_label_centroids": SIMILARITY_CENTROIDS_ORACLE,
     "similarity_ivf_pandas": SIMILARITY_IVF_ORACLE,
     "similarity_kmeans_step": SIMILARITY_KMEANS_STEP_ORACLE,
@@ -1080,6 +1199,7 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = {
         "ivf_pandas": similarity_ivf_pandas(spark, sf_dir),
         "lsh_bucketed": similarity_lsh_bucketed(spark, sf_dir),
+        "lsh_multiprobe": similarity_lsh_multiprobe(spark, sf_dir),
     }
     reports = []
     for name, df in sorted(methods.items()):
@@ -1105,14 +1225,18 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_recall_oracle() -> str:
     truth = SIMILARITY_TOPK_ORACLE.replace("ORDER BY qid, rank", "")
     lsh = _lsh_oracle().replace("ORDER BY qid, rank", "")
+    mp = _lsh_multiprobe_oracle().replace("ORDER BY qid, rank", "")
     ivf = SIMILARITY_IVF_ORACLE.replace("ORDER BY qid, rank", "")
     return f"""
 WITH truth AS ({truth}),
 lshp AS (SELECT qid, neighbor_id FROM ({lsh})),
+mpp AS (SELECT qid, neighbor_id FROM ({mp})),
 ivfp AS (SELECT qid, neighbor_id FROM ({ivf})),
 t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
 l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM truth
       JOIN lshp USING (qid, neighbor_id)),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM truth
+      JOIN mpp USING (qid, neighbor_id)),
 i AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM truth
       JOIN ivfp USING (qid, neighbor_id))
 SELECT 'ivf_pandas' AS method, t.n_truth, i.n_found,
@@ -1122,6 +1246,10 @@ UNION ALL
 SELECT 'lsh_bucketed', t.n_truth, l.n_found,
        CAST((1000000 * l.n_found) // t.n_truth AS BIGINT)
 FROM t, l
+UNION ALL
+SELECT 'lsh_multiprobe', t.n_truth, m.n_found,
+       CAST((1000000 * m.n_found) // t.n_truth AS BIGINT)
+FROM t, m
 ORDER BY method
 """
 

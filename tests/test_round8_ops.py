@@ -112,10 +112,38 @@ def test_ann_recall_report_consistency(spark):
     """n_found <= n_truth per method, recall_ppm is the exact integer
     division, and the truth count matches the bruteforce frame."""
     rep = {r.method: r for r in sim.similarity_ann_recall_report(spark, SF).collect()}
-    assert set(rep) == {"ivf_pandas", "lsh_bucketed"}
+    assert set(rep) == {"ivf_pandas", "lsh_bucketed", "lsh_multiprobe"}
     n_truth = sim.similarity_topk_bruteforce(spark, SF).count()
     for r in rep.values():
         assert r.n_truth == n_truth
         assert 0 <= r.n_found <= r.n_truth
         assert r.recall_ppm == (1_000_000 * r.n_found) // r.n_truth
         assert r.n_found > 0  # both ANN paths must find SOMETHING
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Hamming-1 probing must find a SUPERSET of the single-probe
+    pairs (the own-bucket probe is in the schedule), so its recall in
+    the report dominates, and every single-probe top-k pair whose rank
+    survives re-ranking stays discoverable."""
+    rep = {
+        r.method: r
+        for r in sim.similarity_ann_recall_report(spark, SF).collect()
+    }
+    assert rep["lsh_multiprobe"].n_found >= rep["lsh_bucketed"].n_found
+    single = {
+        (r.qid, r.neighbor_id)
+        for r in sim.similarity_lsh_bucketed(spark, SF).collect()
+    }
+    multi_cand = {
+        (r.qid, r.neighbor_id)
+        for r in sim.similarity_lsh_multiprobe(spark, SF).collect()
+    }
+    # the multiprobe TOP-K may displace a single-probe pair only with
+    # a better cosine; spot-check via rank-1 rows: the multiprobe
+    # rank-1 cosine per query is >= the single-probe rank-1 cosine
+    s1 = {r.qid: r.cosine for r in sim.similarity_lsh_bucketed(spark, SF).collect() if r.rank == 1}
+    m1 = {r.qid: r.cosine for r in sim.similarity_lsh_multiprobe(spark, SF).collect() if r.rank == 1}
+    for qid, c in s1.items():
+        assert m1[qid] >= c
+    assert multi_cand  # non-degenerate
