@@ -16,6 +16,20 @@ planting them would measure the curve, not the implementation).
 Everything is numpy.RandomState(seed)-deterministic: same seed → same
 corpus, same planted truth, same recall.
 
+Why documents-only (no embeddings block): MinHash banding is a
+STATISTICAL estimator — its recall is a property of the hash family
+that only becomes measurable at scale, which is exactly how this
+harness caught the r8 correlated-affine-family bug. The embedding
+path (dedup_embedding_lsh / similarity_lsh_bucketed) has no such
+hidden estimator: the sign-bit bucket is a DETERMINISTIC function of
+each vector, so "is a planted pair found" is decidable per pair at
+any corpus size and is already pinned bit-for-bit by the DuckDB
+oracle gates at three scales. A 10x embedding corpus would re-test
+the same deterministic predicate at O(sum bucket²) fold-dot cost
+without adding information; the statistical knob there (probe
+schedule vs recall) is instead tracked by
+similarity_ann_recall_report.
+
 Standalone: python tools/lsh_stress.py [factor] [seed]
 From bench.py: build_stress_corpus(...) → (dir, planted_truth_pairs).
 """
