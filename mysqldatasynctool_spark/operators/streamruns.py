@@ -117,11 +117,56 @@ ORDER BY user_id, event_type
 """
 
 
+def streaming_run_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the STREAM-STREAM interval join (click→purchase within 10
+    minutes, both sides watermarked — jobs.py::streaming_funnel_join)
+    to completion and return every emitted pair.
+
+    Unlike the other runs this grades the join at PAIR granularity —
+    the raw (user, click, purchase, ts, ts) matches, not the batch
+    twin's per-user aggregate — because an inner interval join's
+    output SET is fully deterministic: over the single-batch fixture
+    every qualifying pair is emitted exactly once, and timestamps
+    pass through unmodified (UTC both engines). A pair dropped by
+    over-eager state eviction or emitted twice turns the row red —
+    the exact stateful property the watermark-bounded join must hold.
+    """
+    from ..streaming import read_events_stream, run_to_memory_sink
+    from ..streaming.jobs import streaming_funnel_join
+
+    clicks = read_events_stream(spark, sf_dir)
+    purchases = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        streaming_funnel_join(clicks, purchases),
+        "sr_funnel",
+        output_mode="append",
+    )
+    return out.orderBy("user_id", "click_id", "purchase_id")
+
+
+STREAMING_FUNNEL_JOIN_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts
+FROM c JOIN p ON c.user_id = p.user_id
+  AND p.purchase_ts > c.click_ts
+  AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+ORDER BY c.user_id, c.click_id, p.purchase_id
+"""
+
+
 QUERIES = {
     "streaming_run_ohlc": streaming_run_ohlc,
     "streaming_run_session_window": streaming_run_session_window,
     "streaming_run_ewma": streaming_run_ewma,
     "streaming_run_dedup": streaming_run_dedup,
+    "streaming_run_funnel_join": streaming_run_funnel_join,
 }
 
 ORACLES = {
@@ -129,4 +174,5 @@ ORACLES = {
     "streaming_run_session_window": EVENTS_SESSION_WINDOW_BUILTIN_ORACLE,
     "streaming_run_ewma": WINDOW_EWMA_ORACLE,
     "streaming_run_dedup": STREAMING_DEDUP_ORACLE,
+    "streaming_run_funnel_join": STREAMING_FUNNEL_JOIN_ORACLE,
 }

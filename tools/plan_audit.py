@@ -72,6 +72,11 @@ ALLOWED_CARTESIAN = {
     # declared recall ground truth for similarity_mmr_ann (the
     # production ANN->MMR path, whose plan is pure equi-join)
     "similarity_mmr_rerank": "bruteforce candidate ground truth for similarity_mmr_ann",
+    # the recall report's TRUTH side is the bruteforce scorer above —
+    # the composed plan inherits its (declared, test-scale) broadcast
+    # NLJ; the measured ANN sides are pure equi-joins. Same class as
+    # dedup_lsh_recall_report's quadratic truth side.
+    "similarity_ann_recall_report": "embeds the bruteforce truth side (declared baseline)",
     "events_burst_detection": "1-row global-rate broadcast (scalar subquery)",
 }
 
