@@ -49,6 +49,9 @@ HEADLINE = [
     # -> memory sink) timed per round: streaming-layer throughput is a
     # first-class number, not just its batch twin's
     "streaming_run_ohlc",
+    # the stream-stream interval join run: state-bounded join
+    # throughput as its own per-round number
+    "streaming_run_funnel_join",
     "events_interval_overlap_join",
     "join_bloom_pruned_semi",
     "migration_compare_checksums",
@@ -68,6 +71,7 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
     "similarity_ivf_pandas",
+    "similarity_lsh_multiprobe",
     "similarity_mmr_ann",
     "text_token_stats",
     "text_quality_score",

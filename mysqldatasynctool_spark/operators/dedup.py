@@ -7,7 +7,8 @@ because every hash involved is md5-derived (engine-portable):
   via min-tiebreak groupBy);
 - exact-content dedup via normalized-text fingerprint;
 - MinHash + LSH banding near-dup candidates, verified with true
-  shingle Jaccard;
+  shingle Jaccard (plus Broder CONTAINMENT over the same verified
+  pairs — asymmetric near-subset detection with direction labels);
 - n-gram Jaccard all-pairs near-dup (the brute-force truth the LSH
   path approximates);
 - SimHash (bitwise majority of token hashes) + Hamming-distance pairs.
