@@ -495,8 +495,79 @@ ORDER BY expectation
 """
 
 
+#: maxParallel default mirrored from config.SyncConfig (example.yml)
+MAX_PARALLEL = 30
+
+
+def migration_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition PLANNER's decision surface as a queryable report —
+    one row per catalog table with the strategy ``plans/partitioning.
+    plan_table`` would pick and the numbers that drive it: mode
+    (``range`` for a single numeric PK, ``predicates`` for a composite
+    PK — the reference's deferred-join pagination analogue,
+    root.go:341-357), row count, page count
+    (``ceil(rows/pageSize)``), the clamped partition count
+    (``clamp(pages, 1, maxParallel)``), and the PK range bounds the
+    JDBC reader would use. Previously this logic was pytest-gated
+    only (test_plan_table_modes); this entry puts the same arithmetic
+    under the driver's cross-engine hash-compare.
+
+    All integer arithmetic; bounds are MIN/MAX of the leading PK
+    column (reported for composite tables too — the boundary-probe
+    anchor — with mode still ``predicates``).
+
+    100 TB: each row is one metadata-cheap aggregate (count + min/max
+    over a single indexed/sorted column); the union is 10 tiny
+    1-row frames. This is exactly the planning query a scheduler runs
+    BEFORE touching data.
+    """
+    out = None
+    for t, pks in FIXTURE_PRIMARY_KEYS.items():
+        df = load(spark, sf_dir, t)
+        lead_pk = pks[0]
+        mode = "predicates" if len(pks) > 1 else "range"
+        n = F.count("*")
+        pages = F.ceil(n / F.lit(PAGE_SIZE))
+        row = df.agg(
+            F.lit(t).alias("tbl"),
+            F.lit(mode).alias("mode"),
+            F.lit("+".join(pks)).alias("pk"),
+            n.alias("n_rows"),
+            pages.alias("n_pages"),
+            F.least(F.greatest(pages, F.lit(1)), F.lit(MAX_PARALLEL)).alias(
+                "num_partitions"
+            ),
+            F.min(F.col(lead_pk)).cast("long").alias("pk_min"),
+            F.max(F.col(lead_pk)).cast("long").alias("pk_max"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl")
+
+
+def _partition_advisor_oracle() -> str:
+    selects = []
+    for t, pks in sorted(FIXTURE_PRIMARY_KEYS.items()):
+        lead_pk = pks[0]
+        mode = "predicates" if len(pks) > 1 else "range"
+        selects.append(
+            f"SELECT '{t}' AS tbl, '{mode}' AS mode, '{'+'.join(pks)}' AS pk,\n"
+            f"  COUNT(*) AS n_rows,\n"
+            f"  CAST(CEIL(COUNT(*) / {PAGE_SIZE}.0) AS BIGINT) AS n_pages,\n"
+            f"  CAST(LEAST(GREATEST(CEIL(COUNT(*) / {PAGE_SIZE}.0), 1), {MAX_PARALLEL}) AS BIGINT) AS num_partitions,\n"
+            f"  CAST(MIN({lead_pk}) AS BIGINT) AS pk_min,\n"
+            f"  CAST(MAX({lead_pk}) AS BIGINT) AS pk_max\n"
+            f"FROM {t}"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"{body}\nORDER BY tbl"
+
+
+MIGRATION_PARTITION_ADVISOR_ORACLE = _partition_advisor_oracle()
+
+
 QUERIES = {
     "migration_catalog_exclude": migration_catalog_exclude,
+    "migration_partition_advisor": migration_partition_advisor,
     "migration_pk_catalog": migration_pk_catalog,
     "migration_full_scan_fallback": migration_full_scan_fallback,
     "migration_page_count": migration_page_count,
@@ -510,6 +581,7 @@ QUERIES = {
 
 ORACLES = {
     "migration_catalog_exclude": MIGRATION_CATALOG_EXCLUDE_ORACLE,
+    "migration_partition_advisor": MIGRATION_PARTITION_ADVISOR_ORACLE,
     "migration_pk_catalog": MIGRATION_PK_CATALOG_ORACLE,
     "migration_full_scan_fallback": MIGRATION_FULL_SCAN_FALLBACK_ORACLE,
     "migration_page_count": MIGRATION_PAGE_COUNT_ORACLE,

@@ -147,3 +147,37 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     for qid, c in s1.items():
         assert m1[qid] >= c
     assert multi_cand  # non-degenerate
+
+
+def test_partition_advisor_matches_planner(spark):
+    """The advisor's reported decision must be EXACTLY what
+    plans.partitioning.plan_table chooses given the same inputs —
+    the report is the planner's surface, not a parallel reimpl."""
+    from mysqldatasynctool_spark.catalog import FIXTURE_PRIMARY_KEYS
+    from mysqldatasynctool_spark.operators import migration as mig
+    from mysqldatasynctool_spark.plans.partitioning import plan_table
+
+    rows = {
+        r.tbl: r
+        for r in mig.migration_partition_advisor(spark, SF).collect()
+    }
+    assert set(rows) == set(FIXTURE_PRIMARY_KEYS)
+    for t, pks in FIXTURE_PRIMARY_KEYS.items():
+        r = rows[t]
+        plan = plan_table(
+            t,
+            pks,
+            mig.PAGE_SIZE,
+            mig.MAX_PARALLEL,
+            row_count=r.n_rows,
+            pk_min=r.pk_min,
+            pk_max=r.pk_max,
+        )
+        assert r.mode == plan.mode
+        if plan.mode == "range":
+            assert r.num_partitions == plan.num_partitions
+            assert r.pk_min == plan.lower_bound
+            assert r.pk_max == plan.upper_bound - 1
+        else:
+            assert len(pks) > 1
+        assert r.n_pages == max(1, -(-r.n_rows // mig.PAGE_SIZE))
