@@ -116,25 +116,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, fully engine-portable and
     shuffle-minimal:
 
-    - 8 INDEPENDENT 60-bit minhash values per shingle, drawn as the
-      two halves of 4 salted md5s (``md5('{s}:' || shingle)``). The
-      r7 implementation derived all 8 from ONE md5 via the affine
-      family ``h1 + i*h2`` — cheaper, but the ×10 stress harness
-      (tools/lsh_stress.py) exposed that the affine hashes' band
-      collisions are correlated, costing ~8–11 recall points vs the
-      independent-permutation banding theory (measured 0.91 vs
-      expected 0.99 at J≥0.7; a pure-numpy simulation reproduces the
-      same gap). Independence restores the S-curve.
+    - 8 INDEPENDENT 28-bit minhash values per shingle, drawn as
+      disjoint 7-hex-char slices of TWO salted md5s
+      (``md5('{s}:' || shingle)``, s ∈ {0,1} — slices of one md5 are
+      random-oracle independent). History: r7 derived all 8 from ONE
+      md5 via the affine family ``h1 + i*h2`` — cheapest, but the ×10
+      stress harness (tools/lsh_stress.py) exposed that affine
+      hashes' band collisions are CORRELATED, costing ~8–11 recall
+      points vs the independent-permutation banding theory (measured
+      0.91 vs expected 0.99 at J≥0.7; a pure-numpy simulation
+      reproduces the gap). Early r8 used 4 salted md5s (60-bit
+      halves); the slice form keeps the restored S-curve — the
+      stress gate re-proves recall == theory on every change — at
+      HALF the hash budget. 28-bit mins do admit chance band
+      collisions (~1e-13/pair/band), but every candidate is
+      Jaccard-verified, so they cost verify time, never correctness.
     - 4 bands of 2 explode to 4 rows/doc; the only real shuffle is the
       self-join on band key;
-    - candidates verified with exact Jaccard on the 120-bit shingle
-      identity hashes (mh0, mh1 — the '0:'-salted md5's halves,
-      which double as the seed-0/1 minhash inputs) —
-      set-identical to string intersection short of a 2^-120
-      collision, the same trust already placed in md5 by the
-      exact-dedup fingerprints — threshold 0.2.
+    - candidates verified with exact Jaccard on the 112-bit shingle
+      identity (mh0..mh3 — the '0:'-salted md5's slices, which double
+      as minhash inputs) — set-identical to string intersection short
+      of a 2^-112 collision, the same trust already placed in md5 by
+      the exact-dedup fingerprints — threshold 0.2.
 
-    100 TB shape: linear scan + projection for signatures (4 md5
+    100 TB shape: linear scan + projection for signatures (2 md5
     evaluations per distinct (doc, shingle) row, all map-side),
     shuffle volume = 4 band keys/doc (bytes, not documents), pair
     work bounded by band collisions. The quadratic truth
@@ -174,20 +179,22 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lets the verify join run on longs instead of strings
     sh_rows = _shingle_table(spark, sf_dir)
 
-    def _halves(col, salt: int | None):
-        """Two independent 60-bit longs from one (salted) md5."""
-        h = F.md5(col if salt is None else F.concat(F.lit(f"{salt}:"), col))
-        return (
-            F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
-            F.conv(F.substring(h, 17, 15), 16, 10).cast("long"),
-        )
+    def _slices(col, salt: int):
+        """Four independent 28-bit longs as disjoint 7-hex slices of
+        one salted md5."""
+        h = F.md5(F.concat(F.lit(f"{salt}:"), col))
+        return [
+            F.conv(F.substring(h, 1 + 7 * k, 7), 16, 10).cast("long")
+            for k in range(4)
+        ]
 
-    # mh0/mh1 (the '0:'-salted md5's halves) double as the 120-bit
-    # shingle identity for the verify stage — one fewer md5 per row
-    mh_cols = []
-    for s in range(MINHASH_SEEDS // 2):
-        a, b = _halves(F.col("sh"), s)
-        mh_cols += [a.alias(f"mh{2 * s}"), b.alias(f"mh{2 * s + 1}")]
+    # mh0..mh3 (the '0:'-salted md5's slices) double as the 112-bit
+    # shingle identity for the verify stage — no extra identity md5
+    mh_cols = [
+        c.alias(f"mh{4 * s + k}")
+        for s in range(MINHASH_SEEDS // 4)
+        for k, c in enumerate(_slices(F.col("sh"), s))
+    ]
     hashed = sh_rows.select("doc_id", *mh_cols).localCheckpoint(eager=True)
     sig = hashed.groupBy("doc_id").agg(
         *[F.min(F.col(f"mh{i}")).alias(f"m{i}") for i in range(MINHASH_SEEDS)]
@@ -231,7 +238,7 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cand.localCheckpoint(eager=True)
     # verify candidates with exact Jaccard: hashed shingle rows joined
     # candidate-side first (broadcast — candidates are the small side),
-    # intersection counted on (idb, mh0, mh1) equality — long keys off
+    # intersection counted on (idb, mh0..mh3) equality — long keys off
     # the checkpointed narrow table, never the shingle strings
     sizes = hashed.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
@@ -240,17 +247,19 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes.withColumnRenamed("doc_id", "idb")), "idb")
         .withColumnRenamed("sz", "szb")
     )
-    sha = hashed.select(F.col("doc_id").alias("ida"), "mh0", "mh1")
+    sha = hashed.select(F.col("doc_id").alias("ida"), "mh0", "mh1", "mh2", "mh3")
     # the b-side only needs shingles of candidate docs — semi-join on
     # the (broadcast, tiny) candidate id set BEFORE the wide
-    # (idb, mh0, mh1) equi-join so non-candidate docs never enter that
+    # (idb, mh0..mh3) equi-join so non-candidate docs never enter that
     # shuffle
-    shb = hashed.select(F.col("doc_id").alias("idb"), "mh0", "mh1").join(
+    shb = hashed.select(
+        F.col("doc_id").alias("idb"), "mh0", "mh1", "mh2", "mh3"
+    ).join(
         F.broadcast(cand.select("idb").distinct()), "idb", "semi"
     )
     n_inter = (
         sha.join(F.broadcast(cand), "ida")
-        .join(shb, ["idb", "mh0", "mh1"])
+        .join(shb, ["idb", "mh0", "mh1", "mh2", "mh3"])
         .groupBy("ida", "idb")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -314,13 +323,14 @@ def _minhash_oracle() -> str:
         f"list_min(list_transform(hs, p -> p.m{i})) AS m{i}"
         for i in range(MINHASH_SEEDS)
     )
-    # the independent-family twin: the two 60-bit halves of each of 4
-    # salted md5s, exactly mirroring the Spark side's _halves()
+    # the independent-family twin: four disjoint 7-hex (28-bit) slices
+    # of each of 2 salted md5s, exactly mirroring the Spark side's
+    # _slices()
     half_fields = ", ".join(
-        f"m{2 * s + half}: CAST(concat('0x', substr(md5('{s}:' || s2), "
-        f"{1 if half == 0 else 17}, 15)) AS BIGINT)"
-        for s in range(MINHASH_SEEDS // 2)
-        for half in (0, 1)
+        f"m{4 * s + k}: CAST(concat('0x', substr(md5('{s}:' || s2), "
+        f"{1 + 7 * k}, 7)) AS BIGINT)"
+        for s in range(MINHASH_SEEDS // 4)
+        for k in range(4)
     )
     n_bands = MINHASH_SEEDS // BAND_ROWS
     band_rows = " UNION ALL ".join(
