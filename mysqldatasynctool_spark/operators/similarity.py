@@ -1256,3 +1256,185 @@ ORDER BY method
 
 QUERIES["similarity_ann_recall_report"] = similarity_ann_recall_report
 ORACLES["similarity_ann_recall_report"] = _ann_recall_oracle()
+
+
+#: product quantization: 4 subvector blocks of 16 dims; codebook =
+#: every 100th vector's subvectors (same seeding rule as the IVF
+#: centroids — deterministic and SQL-expressible)
+PQ_BLOCKS, PQ_BLOCK_DIM, PQ_STRIDE = 4, 16, 100
+
+
+def similarity_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression audit — the memory workhorse
+    of corpus-scale ANN (a 64-dim float64 vector is 512 bytes; its PQ
+    code is PQ_BLOCKS bytes + a shared codebook): split each vector
+    into 4 contiguous 16-dim subvectors, assign each to its nearest
+    codebook entry (L2, ties to the smaller codeword id), and report
+    per label the exact reconstruction cost of that compression —
+    mean squared error and its worst row — plus the compression ratio.
+    This is the go/no-go table a retrieval owner reads before flipping
+    storage to codes.
+
+    Determinism contract (same pattern that made IVF oracle-backed in
+    r6): assignment is argmin over RAW doubles with codeword-id
+    tie-breaks — rounding-robust decisions; every REPORTED float is
+    either derived via the shared sequential-fold decomposition
+    ``||x−c||² = x·x + c·c − 2·x·c`` (bit-equal to DuckDB's
+    list_dot_product) and decimal-summed, or rounded at 6 dp.
+
+    Plan: codebook is a driver-side collect of every 100th vector
+    (tiny, the IVF rule); assignment is ONE numpy batch distance per
+    Arrow batch (mapInPandas); reconstruction errors are computed
+    JVM-side by joining the (broadcast) per-block codeword frames
+    back on the chosen code — 4 broadcast hash joins, no shuffle of
+    the corpus beyond the final label aggregate.
+
+    100 TB: codebooks are KB-scale broadcasts; assignment is a linear
+    matmul-speed scan; the audit aggregate is one partial-agg shuffle
+    on label. The same plumbing extends to residual/IVF-PQ hybrids.
+    """
+    import numpy as np
+
+    emb = _vecs(spark, sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id") % PQ_STRIDE == 0)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cw_ids = [r.vec_id for r in cents]
+    cw = np.array([r.v for r in cents], dtype=np.float64)
+    blocks = [
+        cw[:, b * PQ_BLOCK_DIM : (b + 1) * PQ_BLOCK_DIM]
+        for b in range(PQ_BLOCKS)
+    ]
+    sc = spark.sparkContext
+    b_ids = sc.broadcast(cw_ids)
+    b_blocks = sc.broadcast(blocks)
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids, blks = b_ids.value, b_blocks.value
+        for pdf in batches:
+            X = _np.stack(pdf["v"].to_numpy())
+            out = {
+                "vec_id": pdf["vec_id"].values,
+                "label": pdf["label"].values,
+                "v": pdf["v"].values,
+            }
+            for b in range(PQ_BLOCKS):
+                Xb = X[:, b * PQ_BLOCK_DIM : (b + 1) * PQ_BLOCK_DIM]
+                C = blks[b]
+                # decomposed form (xx + cc - 2xc): the same expression
+                # the argmin is replayed with SQL-side, so near-tie
+                # drift is bounded by float noise on IDENTICAL terms
+                d2 = (
+                    (Xb * Xb).sum(1)[:, None]
+                    + (C * C).sum(1)[None, :]
+                    - 2.0 * (Xb @ C.T)
+                )
+                code = _np.argmin(d2, axis=1)  # first occurrence = min cid
+                out[f"code{b}"] = [ids[c] for c in code]
+            yield _pd.DataFrame(out)
+
+    schema = "vec_id long, label long, v array<double>, " + ", ".join(
+        f"code{b} long" for b in range(PQ_BLOCKS)
+    )
+    assigned = emb.select("vec_id", "label", "v").mapInPandas(assign, schema)
+
+    cb_rows = [
+        (b, int(cw_ids[k]), [float(x) for x in blocks[b][k]])
+        for b in range(PQ_BLOCKS)
+        for k in range(len(cw_ids))
+    ]
+    cb = spark.createDataFrame(cb_rows, "block int, cid long, cvec array<double>")
+
+    err_total = None
+    for b in range(PQ_BLOCKS):
+        cb_b = cb.filter(F.col("block") == b).select(
+            F.col("cid").alias(f"code{b}"), F.col("cvec").alias(f"cvec{b}")
+        )
+        assigned = assigned.join(F.broadcast(cb_b), f"code{b}")
+        xb = F.slice(F.col("v"), 1 + b * PQ_BLOCK_DIM, PQ_BLOCK_DIM)
+        cvb = F.col(f"cvec{b}")
+        err_b = _dot(xb, xb) + _dot(cvb, cvb) - 2.0 * _dot(xb, cvb)
+        err_total = err_b if err_total is None else err_total + err_b
+    per_vec = assigned.select(
+        "vec_id", "label", err_total.alias("err")
+    )
+    raw_bytes = EMBED_DIM * 8
+    code_bytes = PQ_BLOCKS  # one byte per code at <=256 codewords
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("err").cast("decimal(30,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mse_q"),
+            F.round(F.max("err"), 6).alias("max_err"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "mse_q",
+            "max_err",
+            F.lit(raw_bytes // code_bytes).alias("compression_x"),
+        )
+        .orderBy("label")
+    )
+
+
+def _pq_audit_oracle() -> str:
+    block_rows = ", ".join(f"({b})" for b in range(PQ_BLOCKS))
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {PQ_STRIDE} = 0),
+aff AS (
+  SELECT e.vec_id, bl.b, cb.cid,
+         list_dot_product(e.v[1 + {PQ_BLOCK_DIM} * bl.b : {PQ_BLOCK_DIM} * (bl.b + 1)],
+                          e.v[1 + {PQ_BLOCK_DIM} * bl.b : {PQ_BLOCK_DIM} * (bl.b + 1)])
+         + list_dot_product(cb.cv[1 + {PQ_BLOCK_DIM} * bl.b : {PQ_BLOCK_DIM} * (bl.b + 1)],
+                            cb.cv[1 + {PQ_BLOCK_DIM} * bl.b : {PQ_BLOCK_DIM} * (bl.b + 1)])
+         - 2.0 * list_dot_product(e.v[1 + {PQ_BLOCK_DIM} * bl.b : {PQ_BLOCK_DIM} * (bl.b + 1)],
+                                  cb.cv[1 + {PQ_BLOCK_DIM} * bl.b : {PQ_BLOCK_DIM} * (bl.b + 1)]) AS d2
+  FROM e CROSS JOIN (VALUES {block_rows}) bl(b) CROSS JOIN cb
+),
+assign AS (
+  SELECT vec_id, b, d2 FROM (
+    SELECT vec_id, b, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM aff
+  ) WHERE rn = 1
+),
+per_vec AS (
+  -- explicit left-associated addition in block order: bit-identical
+  -- to the Spark side's err0 + err1 + err2 + err3 expression
+  SELECT a.vec_id, e.label,
+         ((MAX(CASE WHEN a.b = 0 THEN a.d2 END)
+           + MAX(CASE WHEN a.b = 1 THEN a.d2 END))
+          + MAX(CASE WHEN a.b = 2 THEN a.d2 END))
+         + MAX(CASE WHEN a.b = 3 THEN a.d2 END) AS err
+  FROM assign a JOIN e USING (vec_id)
+  GROUP BY a.vec_id, e.label
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       ROUND(CAST(SUM(CAST(err AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+         AS mse_q,
+       ROUND(MAX(err), 6) AS max_err,
+       {EMBED_DIM * 8 // PQ_BLOCKS} AS compression_x
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES["similarity_pq_audit"] = similarity_pq_audit
+ORACLES["similarity_pq_audit"] = _pq_audit_oracle()

