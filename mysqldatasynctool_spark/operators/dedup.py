@@ -797,6 +797,81 @@ ORDER BY doc_id
 """
 
 
+def dedup_shrink_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup buys, as one row of corpus-level numbers: total
+    docs, docs caught in near-dup families, family count, docs the
+    keep-one-per-family policy removes, survivors, the largest family
+    (the "one viral page, ten thousand mirrors" indicator), and the
+    integer-ppm shrink — the before/after a pipeline owner quotes
+    when justifying the dedup stage's cost.
+
+    Plan: ONE left equi-join of the doc-id spine against the cluster
+    table, then ONE global aggregate (count / conditional sums /
+    countDistinct / max) — no 1-row×1-row scalar joins, so the plan
+    audit's no-BNLJ rule holds. All integers; hashes exactly.
+
+    100 TB: the spine join is a shuffle on doc_id (or free if cluster
+    output is already bucketed by doc_id); the aggregate is
+    partial-agg map-side to a single row.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size", "verdict"
+    )
+    j = docs.join(clusters, "doc_id", "left")
+    return (
+        j.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("cluster_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_dup_docs"),
+            F.countDistinct("cluster_id").alias("n_families"),
+            F.sum(F.when(F.col("verdict") == "drop", 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.max(F.coalesce(F.col("cluster_size"), F.lit(1))).alias(
+                "largest_family"
+            ),
+        )
+        .select(
+            "n_docs",
+            "n_dup_docs",
+            "n_families",
+            "n_removed",
+            (F.col("n_docs") - F.col("n_removed")).alias("n_kept"),
+            "largest_family",
+            F.expr("(1000000 * n_removed) DIV n_docs").alias("shrink_ppm"),
+        )
+    )
+
+
+def _shrink_oracle() -> str:
+    base = _clusters_oracle()
+    prefix = base[: base.index("SELECT c.id AS doc_id")].rstrip()
+    return f"""{prefix},
+full_ AS (
+  SELECT d.doc_id, c.cluster_id, s.cluster_size,
+         CASE WHEN c.id IS NULL THEN NULL
+              WHEN c.id = c.cluster_id THEN 'keep' ELSE 'drop' END AS verdict
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.id
+  LEFT JOIN sized s ON c.cluster_id = s.cluster_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_families,
+       CAST(SUM(CASE WHEN verdict = 'drop' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(COUNT(*) - SUM(CASE WHEN verdict = 'drop' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(MAX(COALESCE(cluster_size, 1)) AS BIGINT) AS largest_family,
+       CAST((1000000 * SUM(CASE WHEN verdict = 'drop' THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS shrink_ppm
+FROM full_
+"""
+
+
 def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH quality evaluation as a first-class operator: join the
     MinHash-LSH pair set against the exact n-gram-Jaccard ground
@@ -1124,6 +1199,7 @@ QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_semantic_cells": dedup_semantic_cells,
     "dedup_lsh_recall_report": dedup_lsh_recall_report,
+    "dedup_shrink_report": dedup_shrink_report,
 }
 
 ORACLES = {
@@ -1140,4 +1216,5 @@ ORACLES = {
     "dedup_substring_spans": _substring_spans_oracle(),
     "dedup_semantic_cells": _semantic_cells_oracle(),
     "dedup_lsh_recall_report": _lsh_recall_oracle(),
+    "dedup_shrink_report": _shrink_oracle(),
 }
