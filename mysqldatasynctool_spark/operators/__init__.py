@@ -40,8 +40,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:    leakage split), the refactored MMR baseline, the fused
 #:    interval-overlap build, the division-guard fixes, and the three
 #:    docstring-touched scalar-literal builders;
-#: 2) the 29 oldest-green r1-era rows from the r7 verdict's suggested
-#:    50-name rotation (the 21 displaced names follow immediately at
+#: 2) the 28 oldest-green r1-era rows from the r7 verdict's suggested
+#:    50-name rotation (the 22 displaced names follow immediately at
 #:    positions 51+ and rotate in r9);
 #: 3) everything else oldest-green-record-first, unchanged relative
 #:    order. Full registry re-verified locally this round at sf0.001,
@@ -56,6 +56,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_partition_advisor",
     "similarity_pq_audit",
     "dedup_shrink_report",
+    "similarity_ivfpq_topk",
     "q1_pricing_summary_fast",
     "dedup_minhash_lsh",
     "dedup_clusters",

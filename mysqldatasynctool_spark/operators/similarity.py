@@ -1438,3 +1438,263 @@ ORDER BY label
 
 QUERIES["similarity_pq_audit"] = similarity_pq_audit
 ORACLES["similarity_pq_audit"] = _pq_audit_oracle()
+
+
+#: IVF-PQ: ADC shortlist size ahead of the exact re-rank
+IVFPQ_SHORTLIST = 20
+
+
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k — the production ANN stack (the FAISS IVFPQ shape)
+    composed end-to-end: coarse IVF cells restrict the search space,
+    PQ asymmetric distances (ADC) rank the cell cheaply from codes +
+    a per-query distance table, and only the IVFPQ_SHORTLIST
+    survivors pay an exact full-vector cosine for the final TOP_K.
+
+    Determinism discipline (what makes an iterative 3-stage funnel
+    hash-checkable): the only approximate DECISIONS are the IVF cell
+    assignment and the PQ code assignment (numpy argmin/argmax with
+    id tie-breaks — the same rounding-robust contract IVF and the PQ
+    audit already carry). Every ADC VALUE is computed JVM-side from
+    the shared decomposition ``q_b·q_b + c_b·c_b − 2·q_b·c_b``
+    (sequential folds, bit-equal to DuckDB's list_dot_product) and
+    summed left-associated — so the shortlist ordering compares
+    BIT-IDENTICAL doubles in both engines, with vec_id tie-breaks.
+    The exact re-rank rounds cosines at 6 dp with vec_id ties, like
+    every other variant.
+
+    Plan: the ADC distance table is the classic IVFPQ trick — ONE
+    tiny grid per query (PQ_BLOCKS × codewords rows, KBs), built by a
+    broadcast-NLJ of the query panel against the literal codebook
+    frame (allowlisted: the build side is KB-scale by construction);
+    candidate scoring is then pure EQUI-joins: corpus codes join the
+    query's cell (cell key), then the distance table (qid, block,
+    code) — the full vectors are touched ONLY for the ≤ SHORTLIST
+    re-rank rows per query.
+
+    100 TB: codes are PQ_BLOCKS bytes/vector (the only per-candidate
+    state ADC reads), cells bound the scan, the distance table rides
+    a broadcast, and the exact stage is O(queries × SHORTLIST). This
+    entry is the composed capstone of cells (similarity_ivf_pandas) +
+    codes (similarity_pq_audit) + recall reporting
+    (similarity_ann_recall_report).
+    """
+    import numpy as np
+
+    emb = _vecs(spark, sf_dir)
+    with_cells, _cents = _assign_cells(spark, emb, probes=1)
+    assigned = with_cells.select(
+        "vec_id", "v", "vnorm", F.element_at("cells", 1).alias("cell")
+    )
+
+    # PQ codebook + per-vector codes (same construction as the audit)
+    cents = (
+        emb.filter(F.col("vec_id") % PQ_STRIDE == 0)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cw_ids = [r.vec_id for r in cents]
+    cw = np.array([r.v for r in cents], dtype=np.float64)
+    blocks = [
+        cw[:, b * PQ_BLOCK_DIM : (b + 1) * PQ_BLOCK_DIM]
+        for b in range(PQ_BLOCKS)
+    ]
+    sc = spark.sparkContext
+    b_ids = sc.broadcast(cw_ids)
+    b_blocks = sc.broadcast(blocks)
+
+    def encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids, blks = b_ids.value, b_blocks.value
+        for pdf in batches:
+            X = _np.stack(pdf["v"].to_numpy())
+            out = {"vec_id": pdf["vec_id"].values}
+            for b in range(PQ_BLOCKS):
+                Xb = X[:, b * PQ_BLOCK_DIM : (b + 1) * PQ_BLOCK_DIM]
+                C = blks[b]
+                d2 = (
+                    (Xb * Xb).sum(1)[:, None]
+                    + (C * C).sum(1)[None, :]
+                    - 2.0 * (Xb @ C.T)
+                )
+                out[f"code{b}"] = [ids[c] for c in _np.argmin(d2, axis=1)]
+            yield _pd.DataFrame(out)
+
+    codes = emb.select("vec_id", "v").mapInPandas(
+        encode,
+        "vec_id long, " + ", ".join(f"code{b} long" for b in range(PQ_BLOCKS)),
+    )
+
+    queries = assigned.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+        "cell",
+    )
+    cb_rows = [
+        (b, int(cw_ids[k]), [float(x) for x in blocks[b][k]])
+        for b in range(PQ_BLOCKS)
+        for k in range(len(cw_ids))
+    ]
+    cb = spark.createDataFrame(cb_rows, "block int, cid long, cvec array<double>")
+    # ADC distance table: query panel x literal codebook grid (tiny)
+    qb = F.slice(F.col("qv"), 1 + F.col("block") * PQ_BLOCK_DIM, PQ_BLOCK_DIM)
+    d2q = (
+        queries.select("qid", "qv")
+        .join(F.broadcast(cb))
+        .select(
+            "qid",
+            "block",
+            "cid",
+            (
+                _dot(qb, qb)
+                + _dot(F.col("cvec"), F.col("cvec"))
+                - 2.0 * _dot(qb, F.col("cvec"))
+            ).alias("d2"),
+        )
+    )
+
+    cand = (
+        assigned.select("vec_id", "cell")
+        .join(queries.select("qid", "cell"), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(codes, "vec_id")
+    )
+    adc = None
+    for b in range(PQ_BLOCKS):
+        db = F.broadcast(
+            d2q.filter(F.col("block") == b).select(
+                "qid", F.col("cid").alias(f"code{b}"), F.col("d2").alias(f"d2_{b}")
+            )
+        )
+        cand = cand.join(db, ["qid", f"code{b}"])
+        adc = F.col(f"d2_{b}") if adc is None else adc + F.col(f"d2_{b}")
+    w_adc = W.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    shortlist = (
+        cand.select("qid", "vec_id", adc.alias("adc"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= IVFPQ_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+    # exact re-rank of the shortlist only
+    corpus = assigned.select("vec_id", "v", "vnorm")
+    rerank = (
+        shortlist.join(corpus, "vec_id")
+        .join(
+            F.broadcast(queries.select("qid", "qv", "qnorm")), "qid"
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    block_rows = ", ".join(f"({b})" for b in range(PQ_BLOCKS))
+    sl = "e.v[1 + {d} * bl.b : {d} * (bl.b + 1)]".format(d=PQ_BLOCK_DIM)
+    cw_sl = "cb.cv[1 + {d} * bl.b : {d} * (bl.b + 1)]".format(d=PQ_BLOCK_DIM)
+    q_sl = "q.qv[1 + {d} * bl.b : {d} * (bl.b + 1)]".format(d=PQ_BLOCK_DIM)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS ccid, v AS ccv, vnorm AS ccnorm FROM e
+      WHERE vec_id % 100 = 0),
+cell_aff AS (
+  SELECT e.vec_id, c.ccid,
+         list_dot_product(e.v, c.ccv) / (e.vnorm * c.ccnorm) AS sim
+  FROM e CROSS JOIN c
+),
+assign_cell AS MATERIALIZED (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, ccid ASC) AS rn
+    FROM cell_aff
+  ) WHERE rn = 1
+),
+cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {PQ_STRIDE} = 0),
+code_aff AS (
+  SELECT e.vec_id, bl.b, cb.cid,
+         list_dot_product({sl}, {sl})
+         + list_dot_product({cw_sl}, {cw_sl})
+         - 2.0 * list_dot_product({sl}, {cw_sl}) AS d2
+  FROM e CROSS JOIN (VALUES {block_rows}) bl(b) CROSS JOIN cb
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, b, cid AS code FROM (
+    SELECT vec_id, b, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM code_aff
+  ) WHERE rn = 1
+),
+q AS (SELECT e.vec_id AS qid, e.v AS qv, e.vnorm AS qnorm, a.cell
+      FROM e JOIN assign_cell a USING (vec_id) WHERE e.vec_id % 50 = 0),
+d2q AS MATERIALIZED (
+  SELECT q.qid, bl.b, cb.cid,
+         list_dot_product({q_sl}, {q_sl})
+         + list_dot_product({cw_sl}, {cw_sl})
+         - 2.0 * list_dot_product({q_sl}, {cw_sl}) AS d2
+  FROM q CROSS JOIN (VALUES {block_rows}) bl(b) CROSS JOIN cb
+),
+cand AS (
+  SELECT q.qid, a.vec_id
+  FROM q JOIN assign_cell a ON a.cell = q.cell AND a.vec_id <> q.qid
+),
+adc AS (
+  -- left-associated block sum: bit-identical to the Spark side
+  SELECT cand.qid, cand.vec_id,
+         ((MAX(CASE WHEN d.b = 0 THEN d.d2 END)
+           + MAX(CASE WHEN d.b = 1 THEN d.d2 END))
+          + MAX(CASE WHEN d.b = 2 THEN d.d2 END))
+         + MAX(CASE WHEN d.b = 3 THEN d.d2 END) AS adc
+  FROM cand
+  JOIN codes co ON co.vec_id = cand.vec_id
+  JOIN d2q d ON d.qid = cand.qid AND d.b = co.b AND d.cid = co.code
+  GROUP BY cand.qid, cand.vec_id
+),
+shortlist AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY adc ASC, vec_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {IVFPQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.qid, s.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, e.v) / (q.qnorm * e.vnorm), 6) AS cosine
+  FROM shortlist s
+  JOIN e ON e.vec_id = s.vec_id
+  JOIN q ON q.qid = s.qid
+)
+SELECT qid, neighbor_id, cosine, rank FROM (
+  SELECT qid, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rerank
+) WHERE rank <= {TOP_K}
+ORDER BY qid, rank
+"""
+
+
+QUERIES["similarity_ivfpq_topk"] = similarity_ivfpq_topk
+ORACLES["similarity_ivfpq_topk"] = _ivfpq_oracle()

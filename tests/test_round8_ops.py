@@ -220,3 +220,24 @@ def test_pq_audit_invariants(spark):
         assert r.mse_q >= 0 and r.max_err >= r.mse_q
         assert r.compression_x == 512 // sim.PQ_BLOCKS
         assert r.n_vectors > 0
+
+
+def test_ivfpq_bounded_by_exact_cell_search(spark):
+    """IVFPQ cannot beat the exact in-cell search it approximates:
+    per query, its best cosine <= similarity_ivf_pandas' best cosine
+    (same cells), every result count <= TOP_K, ranks contiguous."""
+    ivfpq: dict = {}
+    for r in sim.similarity_ivfpq_topk(spark, SF).collect():
+        ivfpq.setdefault(r.qid, []).append(r)
+    exact1 = {
+        r.qid: r.cosine
+        for r in sim.similarity_ivf_pandas(spark, SF).collect()
+        if r.rank == 1
+    }
+    assert ivfpq
+    for qid, rs in ivfpq.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= sim.TOP_K
+        best = max(r.cosine for r in rs)
+        assert best <= exact1[qid] + 1e-9

@@ -77,6 +77,10 @@ ALLOWED_CARTESIAN = {
     # NLJ; the measured ANN sides are pure equi-joins. Same class as
     # dedup_lsh_recall_report's quadratic truth side.
     "similarity_ann_recall_report": "embeds the bruteforce truth side (declared baseline)",
+    # the IVFPQ ADC distance-table build: query panel x literal
+    # KB-scale codebook frame — the classic per-query distance-table
+    # grid; every candidate-scoring join downstream is equi-keyed
+    "similarity_ivfpq_topk": "ADC distance-table grid (query panel x KB codebook)",
     "events_burst_detection": "1-row global-rate broadcast (scalar subquery)",
 }
 
