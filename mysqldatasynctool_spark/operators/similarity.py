@@ -1198,6 +1198,7 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     methods = {
         "ivf_pandas": similarity_ivf_pandas(spark, sf_dir),
+        "ivfpq": similarity_ivfpq_topk(spark, sf_dir),
         "lsh_bucketed": similarity_lsh_bucketed(spark, sf_dir),
         "lsh_multiprobe": similarity_lsh_multiprobe(spark, sf_dir),
     }
@@ -1227,21 +1228,29 @@ def _ann_recall_oracle() -> str:
     lsh = _lsh_oracle().replace("ORDER BY qid, rank", "")
     mp = _lsh_multiprobe_oracle().replace("ORDER BY qid, rank", "")
     ivf = SIMILARITY_IVF_ORACLE.replace("ORDER BY qid, rank", "")
+    pq = _ivfpq_oracle().replace("ORDER BY qid, rank", "")
     return f"""
 WITH truth AS ({truth}),
 lshp AS (SELECT qid, neighbor_id FROM ({lsh})),
 mpp AS (SELECT qid, neighbor_id FROM ({mp})),
 ivfp AS (SELECT qid, neighbor_id FROM ({ivf})),
+pqp AS (SELECT qid, neighbor_id FROM ({pq})),
 t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
 l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM truth
       JOIN lshp USING (qid, neighbor_id)),
 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM truth
       JOIN mpp USING (qid, neighbor_id)),
 i AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM truth
-      JOIN ivfp USING (qid, neighbor_id))
+      JOIN ivfp USING (qid, neighbor_id)),
+p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM truth
+      JOIN pqp USING (qid, neighbor_id))
 SELECT 'ivf_pandas' AS method, t.n_truth, i.n_found,
        CAST((1000000 * i.n_found) // t.n_truth AS BIGINT) AS recall_ppm
 FROM t, i
+UNION ALL
+SELECT 'ivfpq', t.n_truth, p.n_found,
+       CAST((1000000 * p.n_found) // t.n_truth AS BIGINT)
+FROM t, p
 UNION ALL
 SELECT 'lsh_bucketed', t.n_truth, l.n_found,
        CAST((1000000 * l.n_found) // t.n_truth AS BIGINT)
@@ -1254,8 +1263,6 @@ ORDER BY method
 """
 
 
-QUERIES["similarity_ann_recall_report"] = similarity_ann_recall_report
-ORACLES["similarity_ann_recall_report"] = _ann_recall_oracle()
 
 
 #: product quantization: 4 subvector blocks of 16 dims; codebook =
@@ -1440,8 +1447,14 @@ QUERIES["similarity_pq_audit"] = similarity_pq_audit
 ORACLES["similarity_pq_audit"] = _pq_audit_oracle()
 
 
-#: IVF-PQ: ADC shortlist size ahead of the exact re-rank
+#: IVF-PQ: ADC shortlist size ahead of the exact re-rank, and the
+#: codebook seeding stride (denser than the audit's PQ_STRIDE: with a
+#: 5-codeword book the quantization error dominates the ADC ordering
+#: and recall collapses toward the random-shortlist floor — measured
+#: 0.32 at stride 100 vs 0.60 at stride 25 on the fixture; production
+#: books are k-means-trained with 256 codewords/block)
 IVFPQ_SHORTLIST = 20
+IVFPQ_CB_STRIDE = 25
 
 
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1486,11 +1499,21 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = with_cells.select(
         "vec_id", "v", "vnorm", F.element_at("cells", 1).alias("cell")
     )
+    # L2-normalize before ANY PQ step: on unit vectors L2-squared is
+    # 2 - 2*cosine, so the ADC shortlist order is MONOTONE in the
+    # cosine the exact re-rank optimizes — without this, the L2/cosine
+    # metric mismatch on unnormalized vectors measurably halves recall
+    # (first cut of this operator: 0.32 vs IVF's 0.76 on the fixture)
+    nv = F.transform("v", lambda x: x / F.col("vnorm"))
+    normed = assigned.select("vec_id", nv.alias("nv"), "cell")
 
-    # PQ codebook + per-vector codes (same construction as the audit)
+    # PQ codebook + per-vector codes over NORMALIZED vectors
     cents = (
-        emb.filter(F.col("vec_id") % PQ_STRIDE == 0)
-        .select("vec_id", "v")
+        _with_norm(emb.filter(F.col("vec_id") % IVFPQ_CB_STRIDE == 0))
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("vnorm")).alias("v"),
+        )
         .orderBy("vec_id")
         .collect()
     )
@@ -1523,7 +1546,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[f"code{b}"] = [ids[c] for c in _np.argmin(d2, axis=1)]
             yield _pd.DataFrame(out)
 
-    codes = emb.select("vec_id", "v").mapInPandas(
+    codes = normed.select("vec_id", F.col("nv").alias("v")).mapInPandas(
         encode,
         "vec_id long, " + ", ".join(f"code{b} long" for b in range(PQ_BLOCKS)),
     )
@@ -1540,10 +1563,14 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(len(cw_ids))
     ]
     cb = spark.createDataFrame(cb_rows, "block int, cid long, cvec array<double>")
-    # ADC distance table: query panel x literal codebook grid (tiny)
-    qb = F.slice(F.col("qv"), 1 + F.col("block") * PQ_BLOCK_DIM, PQ_BLOCK_DIM)
+    # ADC distance table: query panel x literal codebook grid (tiny),
+    # on the NORMALIZED query vector
+    qb = F.slice(F.col("qnv"), 1 + F.col("block") * PQ_BLOCK_DIM, PQ_BLOCK_DIM)
     d2q = (
-        queries.select("qid", "qv")
+        queries.select(
+            "qid",
+            F.transform("qv", lambda x: x / F.col("qnorm")).alias("qnv"),
+        )
         .join(F.broadcast(cb))
         .select(
             "qid",
@@ -1605,15 +1632,19 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_oracle() -> str:
     block_rows = ", ".join(f"({b})" for b in range(PQ_BLOCKS))
-    sl = "e.v[1 + {d} * bl.b : {d} * (bl.b + 1)]".format(d=PQ_BLOCK_DIM)
+    sl = "e.nv[1 + {d} * bl.b : {d} * (bl.b + 1)]".format(d=PQ_BLOCK_DIM)
     cw_sl = "cb.cv[1 + {d} * bl.b : {d} * (bl.b + 1)]".format(d=PQ_BLOCK_DIM)
-    q_sl = "q.qv[1 + {d} * bl.b : {d} * (bl.b + 1)]".format(d=PQ_BLOCK_DIM)
+    q_sl = "q.qnv[1 + {d} * bl.b : {d} * (bl.b + 1)]".format(d=PQ_BLOCK_DIM)
     return f"""
 WITH e AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS vnorm
-  FROM embeddings
+  SELECT vec_id, v, vnorm,
+         list_transform(v, x -> x / vnorm) AS nv
+  FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS vnorm
+    FROM embeddings
+  )
 ),
 c AS (SELECT vec_id AS ccid, v AS ccv, vnorm AS ccnorm FROM e
       WHERE vec_id % 100 = 0),
@@ -1630,7 +1661,8 @@ assign_cell AS MATERIALIZED (
     FROM cell_aff
   ) WHERE rn = 1
 ),
-cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {PQ_STRIDE} = 0),
+cb AS (SELECT vec_id AS cid, nv AS cv FROM e
+       WHERE vec_id % {IVFPQ_CB_STRIDE} = 0),
 code_aff AS (
   SELECT e.vec_id, bl.b, cb.cid,
          list_dot_product({sl}, {sl})
@@ -1646,7 +1678,8 @@ codes AS MATERIALIZED (
     FROM code_aff
   ) WHERE rn = 1
 ),
-q AS (SELECT e.vec_id AS qid, e.v AS qv, e.vnorm AS qnorm, a.cell
+q AS (SELECT e.vec_id AS qid, e.v AS qv, e.vnorm AS qnorm, e.nv AS qnv,
+             a.cell
       FROM e JOIN assign_cell a USING (vec_id) WHERE e.vec_id % 50 = 0),
 d2q AS MATERIALIZED (
   SELECT q.qid, bl.b, cb.cid,
@@ -1698,3 +1731,7 @@ ORDER BY qid, rank
 
 QUERIES["similarity_ivfpq_topk"] = similarity_ivfpq_topk
 ORACLES["similarity_ivfpq_topk"] = _ivfpq_oracle()
+
+# registered last: its oracle composes the LSH/IVF/IVFPQ oracles above
+QUERIES["similarity_ann_recall_report"] = similarity_ann_recall_report
+ORACLES["similarity_ann_recall_report"] = _ann_recall_oracle()

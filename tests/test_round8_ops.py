@@ -112,7 +112,7 @@ def test_ann_recall_report_consistency(spark):
     """n_found <= n_truth per method, recall_ppm is the exact integer
     division, and the truth count matches the bruteforce frame."""
     rep = {r.method: r for r in sim.similarity_ann_recall_report(spark, SF).collect()}
-    assert set(rep) == {"ivf_pandas", "lsh_bucketed", "lsh_multiprobe"}
+    assert set(rep) == {"ivf_pandas", "ivfpq", "lsh_bucketed", "lsh_multiprobe"}
     n_truth = sim.similarity_topk_bruteforce(spark, SF).count()
     for r in rep.values():
         assert r.n_truth == n_truth
