@@ -31,32 +31,79 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-8 ROTATION (tools/correctness_union.py):
-#: 1) this round's new/changed entries — the new ANN→MMR composition,
-#:    the new ANN recall report, Broder-containment, and REAL
-#:    streaming-dedup-run operators, the
-#:    newly oracle-gated q1 float twin, the minhash-family fix and
-#:    every entry whose values it reaches (clusters, recall report,
-#:    leakage split), the refactored MMR baseline, the fused
-#:    interval-overlap build, the division-guard fixes, and the three
-#:    docstring-touched scalar-literal builders;
-#: 2) the 28 oldest-green r1-era rows from the r7 verdict's suggested
-#:    50-name rotation (the 22 displaced names follow immediately at
-#:    positions 51+ and rotate in r9);
+#: ROUND-10 ROTATION (tools/correctness_union.py):
+#: 1) positions 1–6: the six entries whose semantics the r9
+#:    capped-md5 seeding refactor changed (the r9 driver record is
+#:    empty — the round was committed mid-refactor with an
+#:    import-time NameError, fixed this round): the IVF/k-means/PQ
+#:    family, the IVF-PQ capstone (now also multi-probe,
+#:    IVFPQ_PROBES=4), the recall report that composes them, and
+#:    dedup_semantic_cells (shared _assign_cells);
+#: 2) positions 7–50: the union tool's stale-record rotation — the
+#:    r1/r2-era rows (array/events/migration_catalog families) and
+#:    the oldest remaining greens (r3-era migration/dedup/text/
+#:    multimodal blocks);
 #: 3) everything else oldest-green-record-first, unchanged relative
-#:    order. Full registry re-verified locally this round at sf0.001,
-#:    sf0.01 and sf0.1 (driver_sim sweeps).
+#:    order. Full registry re-verified locally this round at sf0.01
+#:    (driver_sim sweep).
 VERIFY_PRIORITY: tuple[str, ...] = (
+    "similarity_ivf_pandas",
+    "similarity_kmeans_step",
+    "similarity_pq_audit",
+    "similarity_ivfpq_topk",
+    "similarity_ann_recall_report",
+    "dedup_semantic_cells",
+    "events_gap_fill",
+    "events_date_functions",
+    "migration_catalog_exclude",
+    "events_funnel_join",
+    "array_functions",
+    "events_json_extract",
+    "events_map_functions",
+    "udf_grouped_agg_pandas",
+    "events_retention_cohorts",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "similarity_label_centroids",
+    "similarity_quantize_int8",
+    "events_sessionization",
+    "agg_approx_distinct",
+    "join_skew_salted",
+    "agg_percentiles",
+    "agg_histogram_fixed_bins",
+    "window_pareto_cumshare",
+    "migration_pk_catalog",
+    "migration_full_scan_fallback",
+    "migration_page_count",
+    "migration_pagination_page",
+    "migration_stringify",
+    "migration_compare_checksums",
+    "migration_incremental",
+    "dedup_exact_subset",
+    "dedup_exact_text",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_paragraph_exact",
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_token_count_bpe",
+    "text_chunking",
+    "text_fingerprint",
+    "text_token_frequency",
+    "text_tfidf",
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "multimodal_size_partitioned",
+    "multimodal_frame_sample",
     "similarity_mmr_ann",
     "similarity_lsh_multiprobe",
-    "similarity_ann_recall_report",
     "dedup_minhash_containment",
     "streaming_run_dedup",
     "streaming_run_funnel_join",
     "migration_partition_advisor",
-    "similarity_pq_audit",
     "dedup_shrink_report",
-    "similarity_ivfpq_topk",
     "q1_pricing_summary_fast",
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -97,28 +144,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "setop_intersect",
     "setop_except_all",
     "setop_distinct_rows",
-    "events_gap_fill",
-    "events_date_functions",
-    "migration_catalog_exclude",
-    "events_funnel_join",
-    "array_functions",
-    "events_json_extract",
-    "events_map_functions",
-    "udf_grouped_agg_pandas",
-    "events_retention_cohorts",
-    "similarity_topk_bruteforce",
-    "similarity_lsh_bucketed",
-    "similarity_label_centroids",
-    "similarity_quantize_int8",
-    "events_sessionization",
-    "agg_approx_distinct",
-    "join_skew_salted",
-    "agg_percentiles",
-    "agg_histogram_fixed_bins",
-    "window_pareto_cumshare",
-    "migration_pk_catalog",
-    "migration_full_scan_fallback",
-    "migration_page_count",
     "migration_column_profile",
     "setop_except_distinct",
     "setop_intersect_all",
@@ -163,28 +188,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "agg_cube",
     "agg_distinct",
-    "migration_pagination_page",
-    "migration_stringify",
-    "migration_compare_checksums",
-    "migration_incremental",
-    "dedup_exact_subset",
-    "dedup_exact_text",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_paragraph_exact",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_token_count_bpe",
-    "text_chunking",
-    "text_fingerprint",
-    "text_token_frequency",
-    "text_tfidf",
-    "multimodal_binary_meta",
-    "multimodal_decode_features",
-    "multimodal_size_partitioned",
-    "multimodal_frame_sample",
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "pipeline_sample_stratified",
@@ -196,7 +199,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "events_asof_join",
     "events_asof_join_salted",
     "events_hypertable_rollup",
-    "similarity_ivf_pandas",
     "migration_cdc_apply",
     "text_pii_scrub",
     "q4_order_priority",
@@ -219,13 +221,11 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_substring_spans",
     "text_heavy_hitters",
     "agg_key_skew_report",
-    "similarity_kmeans_step",
     "join_fuzzy_ed1",
     "events_session_window_builtin",
     "events_sliding_distinct_users",
     "join_bloom_pruned_semi",
     "window_time_range_frame",
-    "dedup_semantic_cells",
     "events_json_variant",
     "text_gopher_rules",
     "text_char_entropy",

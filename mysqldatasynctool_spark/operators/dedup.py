@@ -1073,13 +1073,21 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_cells_oracle() -> str:
-    return """
+    # the cell CTE is the SQL twin of similarity._assign_cells'
+    # capped md5-rank seeding (k = min(4096, ceil(sqrt(N)))) — shared
+    # with SIMILARITY_IVF_ORACLE so all four _assign_cells consumers
+    # stay in lockstep
+    from .similarity import IVF_SEED_SALT, _IVF_K_SQL, _seeded_cte
+
+    return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
   FROM embeddings
 ),
-c AS (SELECT vec_id AS cid, v AS cv, vnorm AS cnorm FROM e WHERE vec_id % 100 = 0),
+c AS (
+  {_seeded_cte("vec_id, v, vnorm", "vec_id AS cid, v AS cv, vnorm AS cnorm", IVF_SEED_SALT, _IVF_K_SQL)}
+),
 aff AS (
   SELECT e.vec_id, c.cid,
          list_dot_product(e.v, c.cv) / (e.vnorm * c.cnorm) AS sim

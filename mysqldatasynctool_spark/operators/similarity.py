@@ -1552,10 +1552,14 @@ IVFPQ_PROBES = 4
 
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k — the production ANN stack (the FAISS IVFPQ shape)
-    composed end-to-end: coarse IVF cells restrict the search space,
-    PQ asymmetric distances (ADC) rank the cell cheaply from codes +
-    a per-query distance table, and only the IVFPQ_SHORTLIST
-    survivors pay an exact full-vector cosine for the final TOP_K.
+    composed end-to-end: coarse IVF cells restrict the search space
+    (each query probes its IVFPQ_PROBES nearest cells — the recall
+    lever), PQ asymmetric distances (ADC) rank the probed cells
+    cheaply from codes + a per-query distance table, and only the
+    IVFPQ_SHORTLIST survivors pay an exact full-vector cosine for the
+    final TOP_K. Cells and codebook both use the capped md5-rank
+    seeding (min(4096, ceil(√N)) centroids / min(256, 4·ceil(√N))
+    codewords) — bounded broadcasts at ANY corpus size.
 
     Determinism discipline (what makes an iterative 3-stage funnel
     hash-checkable): the only approximate DECISIONS are the IVF cell
@@ -1588,7 +1592,12 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = _vecs(spark, sf_dir)
-    with_cells, _cents = _assign_cells(spark, emb, probes=1)
+    n = emb.count()
+    # corpus vectors live in their single nearest cell (cells[0]);
+    # queries will probe their IVFPQ_PROBES nearest cells — the
+    # recall/scan-volume knob (scan volume scales linearly in probes,
+    # the shuffle key is still just the cell id)
+    with_cells, _cents = _assign_cells(spark, emb, probes=IVFPQ_PROBES, n=n)
     assigned = with_cells.select(
         "vec_id", "v", "vnorm", F.element_at("cells", 1).alias("cell")
     )
@@ -1598,17 +1607,19 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metric mismatch on unnormalized vectors measurably halves recall
     # (first cut of this operator: 0.32 vs IVF's 0.76 on the fixture)
     nv = F.transform("v", lambda x: x / F.col("vnorm"))
-    normed = assigned.select("vec_id", nv.alias("nv"), "cell")
+    normed = assigned.select("vec_id", nv.alias("nv"))
 
-    # PQ codebook + per-vector codes over NORMALIZED vectors
-    cents = (
-        _with_norm(emb.filter(F.col("vec_id") % IVFPQ_CB_STRIDE == 0))
+    # PQ codebook seeded from NORMALIZED vectors by the shared capped
+    # md5-rank sample (_cb_k <= 256 rows collected via a bounded
+    # TakeOrderedAndProject merge — never corpus-proportional)
+    cents = _seed_sample(
+        _with_norm(emb)
         .select(
             "vec_id",
             F.transform("v", lambda x: x / F.col("vnorm")).alias("v"),
-        )
-        .orderBy("vec_id")
-        .collect()
+        ),
+        _cb_k(n),
+        CB_SEED_SALT,
     )
     cw_ids = [r.vec_id for r in cents]
     cw = np.array([r.v for r in cents], dtype=np.float64)
@@ -1644,11 +1655,16 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id long, " + ", ".join(f"code{b} long" for b in range(PQ_BLOCKS)),
     )
 
-    queries = assigned.filter(F.col("vec_id") % 50 == 0).select(
+    qpanel = with_cells.filter(F.col("vec_id") % 50 == 0)
+    queries = qpanel.select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("vnorm").alias("qnorm"),
-        "cell",
+    )
+    # one row per (query, probed cell) — cells[] is nearest-first, so
+    # exploding it is exactly rank <= IVFPQ_PROBES in the oracle
+    q_cells = qpanel.select(
+        F.col("vec_id").alias("qid"), F.explode("cells").alias("cell")
     )
     cb_rows = [
         (b, int(cw_ids[k]), [float(x) for x in blocks[b][k]])
@@ -1677,9 +1693,11 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # probe cells are distinct per query and each corpus vector lives
+    # in exactly one cell, so (qid, vec_id) pairs are already unique
     cand = (
         assigned.select("vec_id", "cell")
-        .join(queries.select("qid", "cell"), "cell")
+        .join(q_cells, "cell")
         .filter(F.col("vec_id") != F.col("qid"))
         .join(codes, "vec_id")
     )
@@ -1739,9 +1757,10 @@ WITH e AS MATERIALIZED (
     FROM embeddings
   )
 ),
-c AS (SELECT vec_id AS ccid, v AS ccv, vnorm AS ccnorm FROM e
-      WHERE vec_id % 100 = 0),
-cell_aff AS (
+c AS (
+  {_seeded_cte("vec_id, v, vnorm", "vec_id AS ccid, v AS ccv, vnorm AS ccnorm", IVF_SEED_SALT, _IVF_K_SQL)}
+),
+cell_aff AS MATERIALIZED (
   SELECT e.vec_id, c.ccid,
          list_dot_product(e.v, c.ccv) / (e.vnorm * c.ccnorm) AS sim
   FROM e CROSS JOIN c
@@ -1754,8 +1773,21 @@ assign_cell AS MATERIALIZED (
     FROM cell_aff
   ) WHERE rn = 1
 ),
-cb AS (SELECT vec_id AS cid, nv AS cv FROM e
-       WHERE vec_id % {IVFPQ_CB_STRIDE} = 0),
+-- queries probe their IVFPQ_PROBES nearest cells (rank <= probes ==
+-- the Spark side's nearest-first cells[] array, ties by ascending
+-- centroid id, matching numpy's stable argsort over the
+-- vec_id-ordered centroid matrix)
+q_probe AS (
+  SELECT vec_id AS qid, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, ccid ASC) AS rn
+    FROM cell_aff WHERE vec_id % 50 = 0
+  ) WHERE rn <= {IVFPQ_PROBES}
+),
+cb AS (
+  {_seeded_cte("vec_id, nv", "vec_id AS cid, nv AS cv", CB_SEED_SALT, _CB_K_SQL)}
+),
 code_aff AS (
   SELECT e.vec_id, bl.b, cb.cid,
          list_dot_product({sl}, {sl})
@@ -1771,9 +1803,8 @@ codes AS MATERIALIZED (
     FROM code_aff
   ) WHERE rn = 1
 ),
-q AS (SELECT e.vec_id AS qid, e.v AS qv, e.vnorm AS qnorm, e.nv AS qnv,
-             a.cell
-      FROM e JOIN assign_cell a USING (vec_id) WHERE e.vec_id % 50 = 0),
+q AS (SELECT vec_id AS qid, v AS qv, vnorm AS qnorm, nv AS qnv
+      FROM e WHERE vec_id % 50 = 0),
 d2q AS MATERIALIZED (
   SELECT q.qid, bl.b, cb.cid,
          list_dot_product({q_sl}, {q_sl})
@@ -1782,8 +1813,9 @@ d2q AS MATERIALIZED (
   FROM q CROSS JOIN (VALUES {block_rows}) bl(b) CROSS JOIN cb
 ),
 cand AS (
-  SELECT q.qid, a.vec_id
-  FROM q JOIN assign_cell a ON a.cell = q.cell AND a.vec_id <> q.qid
+  SELECT qp.qid, a.vec_id
+  FROM q_probe qp JOIN assign_cell a
+    ON a.cell = qp.cell AND a.vec_id <> qp.qid
 ),
 adc AS (
   -- left-associated block sum: bit-identical to the Spark side
