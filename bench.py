@@ -283,6 +283,17 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — quality row is additive
         failed["_recall_10x"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # x30 extension (r8 verdict carry-over): one seed at 3x the x10
+    # corpus (150 k docs at sf0.1) — checks the recall == theory match
+    # holds as bucket occupancy triples, at ~linear extra cost
+    recall_30x = None
+    try:
+        from lsh_stress import run_stress as _run_stress_30
+
+        recall_30x = _run_stress_30(spark, sf_dir, factor=30, seed=8)
+    except Exception as exc:  # noqa: BLE001 — quality row is additive
+        failed["_recall_30x"] = f"{type(exc).__name__}: {exc}"[:300]
+
     out = {
         "metric": "headline_queries_total_wall",
         # a round with ANY failed headline metric must not publish a
@@ -312,6 +323,8 @@ def main() -> None:
         out["lsh_recall"] = recall_row
     if recall_10x:
         out["lsh_recall_10x"] = recall_10x
+    if recall_30x:
+        out["lsh_recall_30x"] = recall_30x
     if n_bad:
         # failure count lives OUTSIDE the summed timings dict so it
         # can't corrupt the wall-clock headline metric

@@ -128,9 +128,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       reproduces the gap). Early r8 used 4 salted md5s (60-bit
       halves); the slice form keeps the restored S-curve — the
       stress gate re-proves recall == theory on every change — at
-      HALF the hash budget. 28-bit mins do admit chance band
-      collisions (~1e-13/pair/band), but every candidate is
-      Jaccard-verified, so they cost verify time, never correctness.
+      HALF the hash budget. TWO md5s IS the floor for this design
+      (decided r10, closing the r8 hash-budget question): 8
+      independent 7-hex slices need 56 hex chars and one md5 yields
+      32, so a 1-md5 scheme forces either derived (correlated) values
+      — the exact failure the stress gate caught in r7 — or 16-bit
+      slices, whose min-collision rate (65k space vs ~100+ shingles/
+      doc) inflates band false positives and verify cost. There is
+      also no separate identity hash to fold away: mh0..mh3 already
+      double as the verify identity (below), so the budget is
+      irreducibly 2 md5 evaluations per (doc, shingle) row. 28-bit
+      mins do admit chance band collisions (~1e-13/pair/band), but
+      every candidate is Jaccard-verified, so they cost verify time,
+      never correctness.
     - 4 bands of 2 explode to 4 rows/doc; the only real shuffle is the
       self-join on band key;
     - candidates verified with exact Jaccard on the 112-bit shingle
