@@ -272,11 +272,13 @@ def main() -> None:
     # the banding parameters beyond fixture scale and pins measured
     # recall against the b-band/r-row theory curve (VERDICT r7 item 6;
     # this harness is what exposed the r7 affine-family recall gap)
+    # tools/ on sys.path for BOTH stress blocks below (r10 advice: the
+    # x30 import silently relied on this running inside the x10 try)
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
     recall_10x = None
     try:
-        sys.path.insert(
-            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-        )
         from lsh_stress import run_stress
 
         recall_10x = run_stress(spark, sf_dir, factor=10, seed=8)
@@ -339,9 +341,14 @@ def main() -> None:
 
 
 def _current_round() -> int:
-    """This build round: $SPARK_GRAFT_ROUND, else newest
-    CORRECTNESS_r{N}.json + 1 (the driver writes that file at the END
-    of round N, so while round N runs the newest is N-1)."""
+    """This build round: $SPARK_GRAFT_ROUND, else derived from the
+    newest CORRECTNESS_r{N}.json. The driver's end-of-round sequence
+    is correctness → bench → write BENCH_r{N}.json (from bench's own
+    stdout), so an unconditional N+1 mis-stamps the end-of-round run
+    (the r10 record landed as BENCH_LOCAL_r11 — VERDICT r10 item 3).
+    Disambiguation: if BENCH_r{N}.json already exists, round N's
+    bench has already been recorded and this is a mid-round-N+1 run;
+    if it does not, we ARE round N's end-of-round bench."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
         return int(env)
@@ -354,7 +361,11 @@ def _current_round() -> int:
         for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
-    return (max(ns) + 1) if ns else 0
+    if not ns:
+        return 0
+    n = max(ns)
+    bench_rec = os.path.join(here, f"BENCH_r{n:02d}.json")
+    return n + 1 if os.path.exists(bench_rec) else n
 
 
 def _persist_local_record(out: dict) -> None:

@@ -561,7 +561,15 @@ def run_to_memory_sink(
     count only shards the state, the output set is deterministic).
     Production sizing is stream-volume-driven and fixed at first start
     (the checkpoint pins it); the conf is read at ``start()``, set
-    here just around it and restored after."""
+    here just around it and restored after.
+
+    CAVEAT (r10 advice): the override mutates the SESSION-global conf
+    for the duration of the drain, so a batch job planned concurrently
+    on the same SparkSession would silently pick up the streaming-
+    tuned value. The harness runs streams sequentially, so this is
+    safe here; if streams ever run concurrently with batch planning,
+    scope the override via ``spark.newSession()`` (per-session confs)
+    instead."""
     spark = df.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key) if state_partitions is not None else None

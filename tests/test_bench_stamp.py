@@ -1,0 +1,117 @@
+"""Round-stamp and fixture-rebalance guards (VERDICT r10 items 2 & 7).
+
+The bench record stamp mis-named round 10's local record
+``BENCH_LOCAL_r11.json`` because the driver's end-of-round sequence is
+correctness → bench → write BENCH_r{N}.json, and the old stamp did an
+unconditional max(correctness)+1. The fixed rule: if ``BENCH_r{N}.json``
+(the driver's own record of round N's bench) already exists we are
+mid-round N+1; if not, we ARE round N's end-of-round bench.
+
+The ``_rebalance`` guard is the one piece of fixture-only physics in the
+operator path (RoundRobin exchanges visible in every headline plan): at
+production partition counts it must pass frames through untouched.
+"""
+import importlib.util
+import json
+import os
+
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench_into(tmp_path, correctness_rounds, bench_rounds):
+    """Import bench.py as if it lived in a repo dir containing the
+    given record files (the stamp globs next to its own __file__)."""
+    src = open(os.path.join(HERE, "bench.py")).read()
+    mod_dir = tmp_path / "repo"
+    mod_dir.mkdir()
+    (mod_dir / "bench.py").write_text(src)
+    for n in correctness_rounds:
+        (mod_dir / f"CORRECTNESS_r{n:02d}.json").write_text("{}")
+    for n in bench_rounds:
+        (mod_dir / f"BENCH_r{n:02d}.json").write_text("{}")
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", mod_dir / "bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize(
+    "correctness,bench,expect",
+    [
+        # end of round 10: CORRECTNESS_r10 just written, BENCH_r10 not
+        # yet — this IS round 10's bench (the r10 mis-stamp scenario)
+        ([9, 10], [9], 10),
+        # mid round 11: the driver already recorded BENCH_r10
+        ([9, 10], [9, 10], 11),
+        ([], [], 0),  # fresh repo
+    ],
+)
+def test_round_stamp(tmp_path, monkeypatch, correctness, bench, expect):
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    mod = _load_bench_into(tmp_path, correctness, bench)
+    assert mod._current_round() == expect
+
+
+def test_round_stamp_env_override(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    mod = _load_bench_into(tmp_path, [10], [10])
+    assert mod._current_round() == 7
+
+
+def test_local_record_names_match_driver_records():
+    """Every committed BENCH_LOCAL_r{N} must have a driver BENCH_r{N}
+    peer (same round), so tools/bench_compare.py resolves both sides —
+    the exact breakage the r10 mis-stamp caused."""
+    locals_ = {
+        f
+        for f in os.listdir(HERE)
+        if f.startswith("BENCH_LOCAL_r") and f.endswith(".json")
+    }
+    for f in sorted(locals_):
+        n = f[len("BENCH_LOCAL_r") : -len(".json")]
+        assert os.path.exists(
+            os.path.join(HERE, f"BENCH_r{n}.json")
+        ), f"{f} has no driver-side BENCH_r{n}.json peer"
+
+
+def test_rebalance_passthrough_on_multi_partition_input(spark, tmp_path):
+    """Production shape: a table already split across enough partitions
+    (many files/rowgroups) must NOT be repartitioned — _rebalance's
+    fixture fix may only fire on the single-rowgroup fixture trap."""
+    from mysqldatasynctool_spark.sources.fixtures import (
+        REBALANCE_MIN_BYTES,
+        _rebalance,
+    )
+
+    path = str(tmp_path / "multi.parquet")
+    # enough partitions that parts*4 > defaultParallelism, and enough
+    # bytes on disk to clear the small-table skip
+    target = spark.sparkContext.defaultParallelism
+    n_parts = target  # target*4 > target always
+    # random longs defeat parquet RLE so the directory clears the
+    # small-table size skip for real
+    spark.range(0, 300_000).selectExpr(
+        "id", "cast(rand(7) * 9e17 as long) AS noise"
+    ).repartition(n_parts).write.parquet(path)
+    size = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if not f.startswith((".", "_"))
+    )
+    assert size >= REBALANCE_MIN_BYTES, "fixture too small for the guard test"
+    df = spark.read.parquet(path)
+    out = _rebalance(spark, df, path)
+    assert out is df, "multi-partition input must pass through untouched"
+
+
+def test_rebalance_skips_small_tables(spark, tmp_path):
+    from mysqldatasynctool_spark.sources.fixtures import _rebalance
+
+    path = str(tmp_path / "tiny.parquet")
+    spark.range(0, 10).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert _rebalance(spark, df, path) is df
