@@ -1044,7 +1044,9 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .similarity import _assign_cells, _dot as dot, _vecs
 
-    with_cells, _ = _assign_cells(spark, _vecs(spark, sf_dir), probes=1)
+    with_cells, _ = _assign_cells(
+        spark, _vecs(spark, sf_dir), probes=1, cache_key=sf_dir
+    )
     corpus = with_cells.select(
         "vec_id", "v", "vnorm", F.element_at("cells", 1).alias("cell")
     )
@@ -1083,11 +1085,11 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_cells_oracle() -> str:
-    # the cell CTE is the SQL twin of similarity._assign_cells'
-    # capped md5-rank seeding (k = min(4096, ceil(sqrt(N)))) — shared
-    # with SIMILARITY_IVF_ORACLE so all four _assign_cells consumers
-    # stay in lockstep
-    from .similarity import IVF_SEED_SALT, _IVF_K_SQL, _seeded_cte
+    # the cell chain is the SQL twin of similarity._assign_cells'
+    # capped md5-rank seeding + Lloyd refinement — shared (via
+    # _lloyd_chain_sql) with SIMILARITY_IVF_ORACLE so all four
+    # _assign_cells consumers stay in lockstep
+    from .similarity import _lloyd_chain_sql
 
     return f"""
 WITH e AS (
@@ -1095,9 +1097,7 @@ WITH e AS (
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
   FROM embeddings
 ),
-c AS (
-  {_seeded_cte("vec_id, v, vnorm", "vec_id AS cid, v AS cv, vnorm AS cnorm", IVF_SEED_SALT, _IVF_K_SQL)}
-),
+{_lloyd_chain_sql()},
 aff AS (
   SELECT e.vec_id, c.cid,
          list_dot_product(e.v, c.cv) / (e.vnorm * c.cnorm) AS sim
