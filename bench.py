@@ -72,6 +72,10 @@ HEADLINE = [
     "similarity_lsh_bucketed",
     "similarity_ivf_pandas",
     "similarity_lsh_multiprobe",
+    # the trained IVF-PQ funnel capstone (r11: Lloyd cells + codebook,
+    # probes=16/shortlist=128 — the row that proves the recall fix
+    # didn't buy its 0.40→0.90 with runaway wall time)
+    "similarity_ivfpq_topk",
     "similarity_mmr_ann",
     "text_token_stats",
     "text_quality_score",
@@ -296,6 +300,18 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — quality row is additive
         failed["_recall_30x"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # ANN recall at 10x the largest fixture (r10 verdict item 3: the
+    # similarity mirror of the LSH stress — planted near neighbors +
+    # exact generation-time truth, so the Lloyd-training recall gains
+    # are regression-gated beyond fixture scale)
+    ann_10x = None
+    try:
+        from ann_stress import run_stress_ann
+
+        ann_10x = run_stress_ann(spark, sf_dir, factor=10, seed=8)
+    except Exception as exc:  # noqa: BLE001 — quality row is additive
+        failed["_ann_recall_10x"] = f"{type(exc).__name__}: {exc}"[:300]
+
     out = {
         "metric": "headline_queries_total_wall",
         # a round with ANY failed headline metric must not publish a
@@ -327,6 +343,8 @@ def main() -> None:
         out["lsh_recall_10x"] = recall_10x
     if recall_30x:
         out["lsh_recall_30x"] = recall_30x
+    if ann_10x:
+        out["ann_recall_10x"] = ann_10x
     if n_bad:
         # failure count lives OUTSIDE the summed timings dict so it
         # can't corrupt the wall-clock headline metric
