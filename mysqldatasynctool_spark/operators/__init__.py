@@ -31,28 +31,74 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-10 ROTATION (tools/correctness_union.py):
-#: 1) positions 1–6: the six entries whose semantics the r9
-#:    capped-md5 seeding refactor changed (the r9 driver record is
-#:    empty — the round was committed mid-refactor with an
-#:    import-time NameError, fixed this round): the IVF/k-means/PQ
-#:    family, the IVF-PQ capstone (now also multi-probe,
-#:    IVFPQ_PROBES=4), the recall report that composes them, and
-#:    dedup_semantic_cells (shared _assign_cells);
-#: 2) positions 7–50: the union tool's stale-record rotation — the
-#:    r1/r2-era rows (array/events/migration_catalog families) and
-#:    the oldest remaining greens (r3-era migration/dedup/text/
-#:    multimodal blocks);
+#: ROUND-11 ROTATION (tools/correctness_union.py):
+#: 1) positions 1–8: every entry the r11 Lloyd-training /
+#:    multi-table-LSH work changed (the union tool's stale-green
+#:    list: multiprobe LSH rewritten multi-table; the IVF/k-means/
+#:    IVFPQ family and dedup_semantic_cells now on trained
+#:    centroids) plus similarity_ann_recall_report, whose own span
+#:    didn't change but whose composed oracles did, plus the two
+#:    r8-era stale-greens the tool flagged (streaming_run_funnel_join,
+#:    dedup_minhash_lsh);
+#: 2) positions 9–50: the union tool's oldest-green rotation — the
+#:    r3-era pipeline/events-asof/TPC-H blocks (overlap with the r10
+#:    slate: 5 names, all from the re-changed seeding family);
 #: 3) everything else oldest-green-record-first, unchanged relative
 #:    order. Full registry re-verified locally this round at sf0.01
-#:    (driver_sim sweep).
+#:    (driver_sim sweep, 192/192), changed entries re-swept after
+#:    every edit.
 VERIFY_PRIORITY: tuple[str, ...] = (
+    "similarity_lsh_multiprobe",
+    "streaming_run_funnel_join",
+    "dedup_minhash_lsh",
     "similarity_ivf_pandas",
     "similarity_kmeans_step",
-    "similarity_pq_audit",
     "similarity_ivfpq_topk",
-    "similarity_ann_recall_report",
     "dedup_semantic_cells",
+    "similarity_ann_recall_report",
+    "pipeline_decontaminate",
+    "pipeline_pack_sequences",
+    "pipeline_sample_stratified",
+    "pipeline_repetition_score",
+    "pipeline_mix_weights",
+    "pipeline_train_val_split",
+    "pipeline_global_shuffle",
+    "pipeline_end_to_end",
+    "events_asof_join",
+    "events_asof_join_salted",
+    "events_hypertable_rollup",
+    "migration_cdc_apply",
+    "text_pii_scrub",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q21_waiting_supplier_agg",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q20_potential_promotion",
+    "dedup_substring_spans",
+    "text_heavy_hitters",
+    "agg_key_skew_report",
+    "join_fuzzy_ed1",
+    "events_session_window_builtin",
+    "events_sliding_distinct_users",
+    "join_bloom_pruned_semi",
+    "window_time_range_frame",
+    "events_json_variant",
+    "text_gopher_rules",
+    "text_char_entropy",
+    "text_source_stats",
+    "similarity_pq_audit",
     "events_gap_fill",
     "events_date_functions",
     "migration_catalog_exclude",
@@ -98,14 +144,11 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "multimodal_size_partitioned",
     "multimodal_frame_sample",
     "similarity_mmr_ann",
-    "similarity_lsh_multiprobe",
     "dedup_minhash_containment",
     "streaming_run_dedup",
-    "streaming_run_funnel_join",
     "migration_partition_advisor",
     "dedup_shrink_report",
     "q1_pricing_summary_fast",
-    "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_lsh_recall_report",
     "pipeline_leakage_safe_split",
@@ -188,48 +231,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "agg_cube",
     "agg_distinct",
-    "pipeline_decontaminate",
-    "pipeline_pack_sequences",
-    "pipeline_sample_stratified",
-    "pipeline_repetition_score",
-    "pipeline_mix_weights",
-    "pipeline_train_val_split",
-    "pipeline_global_shuffle",
-    "pipeline_end_to_end",
-    "events_asof_join",
-    "events_asof_join_salted",
-    "events_hypertable_rollup",
-    "migration_cdc_apply",
-    "text_pii_scrub",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q21_waiting_supplier_agg",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q20_potential_promotion",
-    "dedup_substring_spans",
-    "text_heavy_hitters",
-    "agg_key_skew_report",
-    "join_fuzzy_ed1",
-    "events_session_window_builtin",
-    "events_sliding_distinct_users",
-    "join_bloom_pruned_semi",
-    "window_time_range_frame",
-    "events_json_variant",
-    "text_gopher_rules",
-    "text_char_entropy",
-    "text_source_stats",
     "events_anomaly_zscore",
     "text_unigram_perplexity",
     "events_zorder_key",
