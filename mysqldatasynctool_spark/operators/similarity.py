@@ -796,16 +796,24 @@ def _assign_cells(
     return with_cells, cents
 
 
+#: default probe count for the standalone IVF entry (r11: was 1, which
+#: definitionally capped its recall row at the single-cell hit rate —
+#: 0.20-0.30 even with trained cells; 4 probes measure ~0.6 at sf0.01
+#: while still touching only 4/4096 = 0.1% of cells at the production
+#: cap). The full-depth funnel remains similarity_ivfpq_topk.
+IVF_PROBES = 4
+
+
 def similarity_ivf_pandas(
-    spark: SparkSession, sf_dir: str, probes: int = 1
+    spark: SparkSession, sf_dir: str, probes: int = IVF_PROBES
 ) -> DataFrame:
     """IVF-style ANN via a vectorized Pandas UDF (the numpy scale
     path the brief calls for): coarse cells are seeded by the
-    min(4096, ceil(√N)) smallest-md5 vectors (``_assign_cells`` — a
-    fixed-size deterministic sample, NOT corpus-proportional); each
-    partition assigns its vectors to the nearest cell with ONE numpy
-    matmul per Arrow batch; queries then search only their ``probes``
-    nearest cells (probes=1: own cell only).
+    min(4096, ceil(√N)) smallest-md5 vectors and Lloyd-trained
+    (``_assign_cells``); each partition assigns its vectors to the
+    nearest cell with ONE numpy matmul per Arrow batch; queries then
+    search their ``probes`` nearest cells (IVF_PROBES=4 default) and
+    a final per-query window merges the per-cell candidates.
 
     100 TB shape: the broadcast centroid matrix is bounded at
     4096×64 doubles (~2 MB) by construction; assignment is
@@ -901,16 +909,17 @@ def similarity_ivf_pandas(
     )
 
 
-#: DuckDB twin of the probes=1 IVF path: centroids are the
+#: DuckDB twin of the probes=IVF_PROBES IVF path: centroids are the
 #: min(4096, ceil(sqrt(N))) smallest-md5 vectors (the capped
 #: deterministic sample) refined by the LLOYD_ITERS-deep spherical
 #: k-means chain (``_lloyd_chain_sql`` — DECIMAL-exact updates, so
 #: the refined centroid doubles are bit-identical cross-engine);
 #: assignment = argmax UNROUNDED cosine with ties by ascending
-#: centroid id (matching the cid-ordered centroid matrix); search is
-#: an in-cell exact top-k on 6-dp-rounded cosines with ties by
-#: ascending neighbor id — the same rounding discipline as the
-#: bruteforce/LSH oracles.
+#: centroid id (matching the cid-ordered centroid matrix); each query
+#: probes its IVF_PROBES nearest cells (rank <= probes over the same
+#: ordering), and the global per-query re-rank is an exact top-k on
+#: 6-dp-rounded cosines with ties by ascending neighbor id — the
+#: same rounding discipline as the bruteforce/LSH oracles.
 SIMILARITY_IVF_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -935,14 +944,23 @@ corpus AS (
   SELECT e.vec_id, e.v, e.vnorm, a.cell
   FROM e JOIN assign a USING (vec_id)
 ),
+q_probe AS (
+  SELECT vec_id AS qid, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM aff WHERE vec_id % 50 = 0
+  ) WHERE rn <= {IVF_PROBES}
+),
 q AS (
-  SELECT vec_id AS qid, v AS qv, vnorm AS qnorm, cell
+  SELECT vec_id AS qid, v AS qv, vnorm AS qnorm
   FROM corpus WHERE vec_id % 50 = 0
 ),
 scored AS (
-  SELECT q.qid, q.cell, cor.vec_id AS neighbor_id,
+  SELECT qp.qid, cor.cell, cor.vec_id AS neighbor_id,
          ROUND(list_dot_product(q.qv, cor.v) / (q.qnorm * cor.vnorm), 6) AS cosine
-  FROM q JOIN corpus cor ON cor.cell = q.cell AND cor.vec_id <> q.qid
+  FROM q_probe qp
+  JOIN corpus cor ON cor.cell = qp.cell AND cor.vec_id <> qp.qid
+  JOIN q ON q.qid = qp.qid
 ),
 ranked AS (
   SELECT qid, cell, neighbor_id, cosine,
@@ -1556,7 +1574,8 @@ ORACLES["similarity_mmr_ann"] = _mmr_oracle(_MMR_CAND_LSH)
 def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation as a first-class operator — the
     similarity mirror of ``dedup_lsh_recall_report``: recall@k of each
-    approximate path (sign-bit LSH single-probe, IVF probes=1) against
+    approximate path (single-probe LSH, multi-table multi-probe LSH,
+    IVF at IVF_PROBES, the trained IVF-PQ funnel) against
     the exact bruteforce top-k, in integer ppm. This is the number a
     retrieval owner watches when tuning bucket bits / probe counts,
     tracked as data instead of a one-off notebook.
@@ -2056,8 +2075,6 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes (similarity_pq_audit) + recall reporting
     (similarity_ann_recall_report).
     """
-    import numpy as np
-
     emb = _vecs(spark, sf_dir)
     n = emb.count()
     # corpus vectors live in their single nearest cell (cells[0]);

@@ -80,4 +80,28 @@ def assert_matches_oracle(spark_df, sql, duck, sf_dir=SF_DIR):
     sk = rows_key(s_cols, s_rows)
     ok = rows_key(o_cols, o_rows)
     mismatches = [(a, b) for a, b in zip(sk, ok) if a != b]
-    assert not mismatches, f"{len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    if mismatches:
+        # dump BOTH full sides for post-mortem (zip misalignment after
+        # one divergent row makes the inline "first 3" misleading —
+        # the SET difference in the dump is the real signal)
+        import json
+        import tempfile
+
+        fd, dump = tempfile.mkstemp(prefix="oracle_mismatch_", suffix=".json")
+        with open(fd, "w") as f:
+            json.dump(
+                {
+                    "spark_only": [repr(r) for r in set(sk) - set(ok)],
+                    "oracle_only": [repr(r) for r in set(ok) - set(sk)],
+                    "spark": [repr(r) for r in sk],
+                    "oracle": [repr(r) for r in ok],
+                },
+                f,
+                indent=1,
+            )
+        raise AssertionError(
+            f"{len(mismatches)} zip-misaligned rows; set diff: "
+            f"{len(set(sk) - set(ok))} spark-only / "
+            f"{len(set(ok) - set(sk))} oracle-only; full dump: {dump}; "
+            f"first 3: {mismatches[:3]}"
+        )
