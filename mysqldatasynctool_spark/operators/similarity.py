@@ -593,7 +593,11 @@ def _lloyd_refine(
     cur = [(int(r.vec_id), [float(x) for x in r.v]) for r in seeds]
     if iters <= 0 or len(cur) <= 1:
         return cur
-    src = _with_norm(emb.select("vec_id", "v"))
+    # persist the normed input: every iteration re-reads it, and the
+    # sequential-fold vnorm is interpreted (non-codegen) — recomputing
+    # it per iteration measurably dominated training wall (x10 stress:
+    # 16s -> ~6s for 3 iterations after this cache)
+    src = _with_norm(emb.select("vec_id", "v")).persist()
     for _ in range(iters):
         cent_ids = [c[0] for c in cur]
         b_ids = spark.sparkContext.broadcast(cent_ids)
@@ -652,6 +656,7 @@ def _lloyd_refine(
             (int(r["cell"]), [float(r[f"m{d}"]) for d in range(EMBED_DIM)])
             for r in rows
         )
+    src.unpersist()
     return cur
 
 
@@ -1899,6 +1904,10 @@ def _pq_train_blocks(
             [[float(x) for x in r.v[b * pd_ : (b + 1) * pd_]] for r in seeds]
         )
         blocks.append((ids, mat))
+    # same per-iteration recompute hazard as _lloyd_refine: nv comes
+    # from the interpreted fold-norm, so cache it across iterations
+    if iters > 0:
+        normed = normed.persist()
     for _ in range(max(0, iters)):
         b_state = spark.sparkContext.broadcast(
             [(ids, mat) for ids, mat in blocks]
@@ -1969,6 +1978,8 @@ def _pq_train_blocks(
                     np.array([bv for _, bv in entries]),
                 )
             )
+    if iters > 0:
+        normed.unpersist()
     if ck:
         _TRAINED_CB[ck] = blocks
     return blocks
@@ -2084,6 +2095,10 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_cells, _cents = _assign_cells(
         spark, emb, probes=IVFPQ_PROBES, n=n, cache_key=sf_dir
     )
+    # the assignment pass feeds three consumers (corpus side, query
+    # panel, probe explode) — persist so the numpy matmul scan runs
+    # once, not per consumer
+    with_cells = with_cells.persist()
     assigned = with_cells.select(
         "vec_id", "v", "vnorm", F.element_at("cells", 1).alias("cell")
     )
