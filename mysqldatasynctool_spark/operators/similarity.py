@@ -1410,19 +1410,28 @@ def _mmr_select(cand: DataFrame) -> DataFrame:
         picked: list[int] = []
         out = {"rank": [], "vec_id": [], "mmr_score": []}
         for rank in range(1, min(MMR_K, len(remaining)) + 1):
-            best_id, best_score = None, None
+            best_id, best_key, best_score = None, None, None
             for c in remaining:
                 if picked:
                     penalty = max(sim(c, s) for s in picked)
                     score = lam * rels[c] - (1.0 - lam) * penalty
                 else:
                     score = lam * rels[c]
+                # the PICK compares scores rounded to 9 dp (ties then
+                # by ascending vec_id): a greedy loop amplifies any
+                # near-tie instability into a cascade of different
+                # picks, so the decision key must be rounding-robust
+                # — same discipline as every rank window in this
+                # module, three decimals tighter than the reported
+                # 6-dp score. The EMITTED score stays raw (rounded to
+                # 6 dp at the output projection, like before).
+                key = round(score, 9)
                 if (
-                    best_score is None
-                    or score > best_score
-                    or (score == best_score and c < best_id)
+                    best_key is None
+                    or key > best_key
+                    or (key == best_key and c < best_id)
                 ):
-                    best_id, best_score = c, score
+                    best_id, best_key, best_score = c, key, score
             picked.append(best_id)
             remaining.remove(best_id)
             out["rank"].append(rank)
@@ -1469,25 +1478,32 @@ simt AS MATERIALIZED (
   FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
 ),
 sel(qid, rank, vec_id, mmr_score, sel_ids) AS (
+  -- picks compare scores ROUNDED to 9 dp (ties by ascending vec_id),
+  -- mirroring the Spark greedy's decision key: a near-tie flip in a
+  -- greedy loop cascades, so the pick must be rounding-robust even
+  -- though both engines' raw scores are built from bit-identical
+  -- sequential folds
   SELECT qid, 1, vec_id, {MMR_LAMBDA} * rel, [vec_id] FROM (
     SELECT qid, vec_id, rel,
            ROW_NUMBER() OVER (PARTITION BY qid
-                              ORDER BY rel DESC, vec_id ASC) AS rn
+                              ORDER BY ROUND({MMR_LAMBDA} * rel, 9) DESC,
+                                       vec_id ASC) AS rn
     FROM cand
   ) WHERE rn = 1
   UNION ALL
   SELECT s.qid, s.rank + 1, pick.vec_id, pick.score,
          list_append(s.sel_ids, pick.vec_id)
   FROM sel s, LATERAL (
-    SELECT c.vec_id,
-           {MMR_LAMBDA} * c.rel - {1.0 - MMR_LAMBDA} * (
-             SELECT MAX(t.sim) FROM simt t
-             WHERE t.qid = c.qid AND t.ia = c.vec_id
-               AND list_contains(s.sel_ids, t.ib)
-           ) AS score
-    FROM cand c
-    WHERE c.qid = s.qid AND NOT list_contains(s.sel_ids, c.vec_id)
-    ORDER BY score DESC, c.vec_id ASC
+    SELECT vec_id, score FROM (
+      SELECT c.vec_id,
+             {MMR_LAMBDA} * c.rel - {1.0 - MMR_LAMBDA} * (
+               SELECT MAX(t.sim) FROM simt t
+               WHERE t.qid = c.qid AND t.ia = c.vec_id
+                 AND list_contains(s.sel_ids, t.ib)
+             ) AS score
+      FROM cand c
+      WHERE c.qid = s.qid AND NOT list_contains(s.sel_ids, c.vec_id)
+    ) ORDER BY ROUND(score, 9) DESC, vec_id ASC
     LIMIT 1
   ) pick
   WHERE s.rank < {MMR_K}
