@@ -56,8 +56,10 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_ivfpq_topk",
     "dedup_semantic_cells",
     "similarity_ann_recall_report",
-    # new in r11 (BM25 lexical retrieval) — needs its first record
+    # new in r11 (BM25 lexical retrieval + hybrid RRF fusion) — need
+    # their first records
     "text_bm25_topk",
+    "similarity_hybrid_rrf",
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "pipeline_sample_stratified",

@@ -2372,3 +2372,232 @@ ORACLES["similarity_ivfpq_topk"] = _ivfpq_oracle()
 # registered last: its oracle composes the LSH/IVF/IVFPQ oracles above
 QUERIES["similarity_ann_recall_report"] = similarity_ann_recall_report
 ORACLES["similarity_ann_recall_report"] = _ann_recall_oracle()
+
+
+#: Reciprocal-rank-fusion knobs: the standard k=60 damping (Cormack,
+#: Clarke & Buettcher 2009), a 10-deep lexical list fused with the
+#: TOP_K-deep semantic list, top-10 fused results per query.
+RRF_K = 60
+RRF_LEX_TOPK = 10
+RRF_TOPK = 10
+RRF_KW_PER_DOC = 3
+
+
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal rank fusion of the corpus's
+    LEXICAL and SEMANTIC rankings, the capstone that composes the two
+    retrieval halves this engine ships (BM25 posting-list scoring from
+    the text family; multi-table multi-probe embedding LSH from the
+    similarity family). Per query document (the shared ``% 50`` panel;
+    ``documents.doc_id`` ≡ ``embeddings.vec_id`` in the fixtures):
+
+    1. lexical: the query doc's top-RRF_KW_PER_DOC TF-IDF keywords
+       (the ``text_tfidf`` selection rule) become a disjunctive BM25
+       query against the corpus (Lucene idf, k1/b from the text
+       module), self excluded, top RRF_LEX_TOPK docs;
+    2. semantic: ``similarity_lsh_multiprobe``'s TOP_K neighbor list;
+    3. fusion: RRF score Σ 1/(RRF_K + rank) over the lists where the
+       doc appears — rank-based fusion needs no score calibration
+       between BM25 and cosine, which is exactly why RRF is the
+       standard hybrid baseline.
+
+    Float discipline: each reciprocal contribution rounds at 9 dp and
+    the ≤2-term total is an EXACT DECIMAL(18,9) sum (uniform with the
+    module's sum rule even though 2-term float addition commutes);
+    fused ranking rounds at 6 dp with doc_id tie-breaks. BM25/TF-IDF
+    numerics follow ``text_bm25_topk`` / ``text_tfidf`` to the digit.
+
+    100 TB shape: the lexical side is the BM25 inverted-index pattern
+    (one tokenize scan → partial-agg tf/df/dl; the query-keyword
+    table is panel×3 rows, broadcast); the semantic side is the
+    bucketed equi-join ANN; fusion is ONE full-outer join of two
+    rank lists whose combined size is panel × (RRF_LEX_TOPK + TOP_K)
+    rows — driver-free and bounded.
+    """
+    from ..functions.text import tokens_col
+    from .textops import BM25_B, BM25_K1
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    sum_dl = dl.agg(F.sum("dl")).collect()[0][0]
+    df_ = tok.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    # the query panel's keywords, by the text_tfidf selection rule
+    kw_scored = (
+        tf.filter(F.col("doc_id") % 50 == 0)
+        .join(df_, "token")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+                6,
+            ),
+        )
+    )
+    wkw = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    qt = (
+        kw_scored.withColumn("rk", F.row_number().over(wkw))
+        .filter(F.col("rk") <= RRF_KW_PER_DOC)
+        .select(
+            F.col("doc_id").alias("qid"),
+            "token",
+            F.round(
+                F.log(
+                    (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    norm_len = (F.col("dl") * F.lit(n_docs)).cast("double") / F.lit(
+        float(sum_dl)
+    )
+    per_term = (
+        tf.join(F.broadcast(qt), "token")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(dl, "doc_id")
+        .select(
+            "qid",
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf").cast("double") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + BM25_K1 * (F.lit(1.0 - BM25_B) + BM25_B * norm_len)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    wl = W.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        per_term.groupBy("qid", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("bm25")
+        )
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= RRF_LEX_TOPK)
+        .select("qid", "doc_id", "lex_rank")
+    )
+    sem = similarity_lsh_multiprobe(spark, sf_dir).select(
+        "qid",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = lex.join(sem, ["qid", "doc_id"], "full_outer")
+    contrib = lambda rank_col: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(RRF_K) + F.col(rank_col)), 9), F.lit(0.0)
+    ).cast("decimal(18,9)")
+    wf = W.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn(
+            "rrf",
+            F.round(
+                (contrib("lex_rank") + contrib("sem_rank")).cast("double"), 6
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select("qid", "doc_id", "rrf", "lex_rank", "sem_rank", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from .textops import BM25_B, BM25_K1
+
+    mp = _lsh_multiprobe_oracle().replace("ORDER BY qid, rank", "")
+    return rf"""
+WITH tokd AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+tfd AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokd GROUP BY doc_id, token),
+dld AS (SELECT doc_id, COUNT(*) AS dl FROM tokd GROUP BY doc_id),
+scal AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT SUM(dl) FROM dld) AS sum_dl
+),
+dfv AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tokd) GROUP BY token
+),
+kw AS (
+  SELECT doc_id, token, df FROM (
+    SELECT t.doc_id, t.token, d.df,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.doc_id
+             ORDER BY ROUND(t.tf * ROUND(ln((SELECT n_docs FROM scal) * 1.0 / d.df), 6), 6) DESC,
+                      t.token ASC) AS rk
+    FROM tfd t JOIN dfv d USING (token)
+    WHERE t.doc_id % 50 = 0
+  ) WHERE rk <= {RRF_KW_PER_DOC}
+),
+qt AS (
+  SELECT doc_id AS qid, token,
+         ROUND(ln(((SELECT n_docs FROM scal) - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+  FROM kw
+),
+pt AS (
+  SELECT q.qid, t.doc_id,
+         ROUND(q.idf * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+               / (CAST(t.tf AS DOUBLE)
+                  + {BM25_K1} * ({1.0 - BM25_B}
+                                 + {BM25_B} * (CAST(l.dl * (SELECT n_docs FROM scal) AS DOUBLE)
+                                               / CAST((SELECT sum_dl FROM scal) AS DOUBLE)))),
+               6) AS score
+  FROM tfd t
+  JOIN qt q USING (token)
+  JOIN dld l ON l.doc_id = t.doc_id
+  WHERE t.doc_id <> q.qid
+),
+lex AS (
+  SELECT qid, doc_id, lex_rank FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+    FROM (
+      SELECT qid, doc_id,
+             ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25
+      FROM pt GROUP BY qid, doc_id
+    )
+  ) WHERE lex_rank <= {RRF_LEX_TOPK}
+),
+sem AS (
+  SELECT qid, neighbor_id AS doc_id, rank AS sem_rank FROM ({mp})
+),
+fused AS (
+  SELECT COALESCE(l.qid, s.qid) AS qid,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         ROUND(CAST(
+           COALESCE(CAST(ROUND(1.0 / ({RRF_K} + l.lex_rank), 9) AS DECIMAL(18,9)), 0)
+           + COALESCE(CAST(ROUND(1.0 / ({RRF_K} + s.sem_rank), 9) AS DECIMAL(18,9)), 0)
+         AS DOUBLE), 6) AS rrf
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.qid = s.qid AND l.doc_id = s.doc_id
+)
+SELECT qid, doc_id, rrf, lex_rank, sem_rank, rank FROM (
+  SELECT qid, doc_id, rrf, lex_rank, sem_rank,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOPK}
+ORDER BY qid, rank
+"""
+
+
+QUERIES["similarity_hybrid_rrf"] = similarity_hybrid_rrf
+ORACLES["similarity_hybrid_rrf"] = _hybrid_rrf_oracle()

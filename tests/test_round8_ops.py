@@ -271,3 +271,28 @@ def test_bm25_invariants(spark):
         assert scores == sorted(scores, reverse=True)
         assert all(s > 0 for s in scores)
         assert all(1 <= r.n_terms_hit <= 2 for r in rs)
+
+
+def test_hybrid_rrf_invariants(spark):
+    """RRF fusion (r11): every query doc appears; a doc on BOTH lists
+    outranks the same-rank doc on one list (1/(60+r) contributions are
+    additive); rrf values match the closed form of the carried ranks;
+    ranks contiguous."""
+    rows = sim.similarity_hybrid_rrf(spark, SF).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert r.lex_rank is not None or r.sem_rank is not None
+            expect = 0.0
+            if r.lex_rank is not None:
+                expect += round(1.0 / (sim.RRF_K + r.lex_rank), 9)
+            if r.sem_rank is not None:
+                expect += round(1.0 / (sim.RRF_K + r.sem_rank), 9)
+            assert abs(r.rrf - round(expect, 6)) < 1e-9
+        scores = [r.rrf for r in rs]
+        assert scores == sorted(scores, reverse=True)
