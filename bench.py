@@ -80,6 +80,9 @@ HEADLINE = [
     "text_token_stats",
     "text_quality_score",
     "text_token_count_bpe",
+    # r11: BM25 lexical retrieval — the inverted-index pattern's
+    # posting-list join timing, tracked alongside the ANN rows
+    "text_bm25_topk",
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "pipeline_global_shuffle",

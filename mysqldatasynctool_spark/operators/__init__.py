@@ -60,6 +60,12 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     # their first records
     "text_bm25_topk",
     "similarity_hybrid_rrf",
+    # r11 semantics change the union tool's function-span blame CANNOT
+    # see (the 9-dp pick hardening lives in the shared _mmr_select +
+    # oracle template, outside both entries' own spans) — fresh records
+    # required
+    "similarity_mmr_rerank",
+    "similarity_mmr_ann",
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "pipeline_sample_stratified",
@@ -147,7 +153,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "multimodal_decode_features",
     "multimodal_size_partitioned",
     "multimodal_frame_sample",
-    "similarity_mmr_ann",
     "dedup_minhash_containment",
     "streaming_run_dedup",
     "migration_partition_advisor",
@@ -156,7 +161,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_lsh_recall_report",
     "pipeline_leakage_safe_split",
-    "similarity_mmr_rerank",
     "events_interval_overlap_join",
     "agg_linear_fit",
     "events_funnel_conversion",
