@@ -32,21 +32,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: stable order.
 #:
 #: ROUND-11 ROTATION (tools/correctness_union.py):
-#: 1) positions 1–8: every entry the r11 Lloyd-training /
-#:    multi-table-LSH work changed (the union tool's stale-green
-#:    list: multiprobe LSH rewritten multi-table; the IVF/k-means/
-#:    IVFPQ family and dedup_semantic_cells now on trained
-#:    centroids) plus similarity_ann_recall_report, whose own span
-#:    didn't change but whose composed oracles did, plus the two
-#:    r8-era stale-greens the tool flagged (streaming_run_funnel_join,
-#:    dedup_minhash_lsh);
-#: 2) positions 9–50: the union tool's oldest-green rotation — the
+#: 1) positions 1–12: every entry the r11 work changed — the
+#:    stale-green list (multiprobe LSH rewritten multi-table; the
+#:    IVF/k-means/IVFPQ family and dedup_semantic_cells on trained
+#:    centroids; the r8-era streaming_run_funnel_join and
+#:    dedup_minhash_lsh), similarity_ann_recall_report (own span
+#:    unchanged, composed oracles changed), the two NEW retrieval
+#:    entries (text_bm25_topk, similarity_hybrid_rrf — first
+#:    records), and both MMR entries (9-dp pick hardening lives in
+#:    shared helpers the union tool's function-span blame cannot
+#:    see);
+#: 2) positions 13–50: the union tool's oldest-green rotation — the
 #:    r3-era pipeline/events-asof/TPC-H blocks (overlap with the r10
 #:    slate: 5 names, all from the re-changed seeding family);
 #: 3) everything else oldest-green-record-first, unchanged relative
 #:    order. Full registry re-verified locally this round at sf0.01
-#:    (driver_sim sweep, 192/192), changed entries re-swept after
-#:    every edit.
+#:    (driver_sim sweep, 194/194), changed entries re-swept after
+#:    every edit at sf0.001/0.01/0.1.
 VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_lsh_multiprobe",
     "streaming_run_funnel_join",
