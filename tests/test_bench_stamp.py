@@ -65,17 +65,19 @@ def test_round_stamp_env_override(tmp_path, monkeypatch):
 def test_local_record_names_match_driver_records():
     """Every committed BENCH_LOCAL_r{N} must have a driver BENCH_r{N}
     peer (same round), so tools/bench_compare.py resolves both sides —
-    the exact breakage the r10 mis-stamp caused."""
-    locals_ = {
-        f
+    the exact breakage the r10 mis-stamp caused. Exception: the
+    HIGHEST-numbered local record may legitimately precede its peer
+    (bench.py writes it mid-round; the driver writes BENCH_r{N} only
+    at end of round)."""
+    rounds = sorted(
+        int(f[len("BENCH_LOCAL_r") : -len(".json")])
         for f in os.listdir(HERE)
         if f.startswith("BENCH_LOCAL_r") and f.endswith(".json")
-    }
-    for f in sorted(locals_):
-        n = f[len("BENCH_LOCAL_r") : -len(".json")]
+    )
+    for n in rounds[:-1]:
         assert os.path.exists(
-            os.path.join(HERE, f"BENCH_r{n}.json")
-        ), f"{f} has no driver-side BENCH_r{n}.json peer"
+            os.path.join(HERE, f"BENCH_r{n:02d}.json")
+        ), f"BENCH_LOCAL_r{n:02d}.json has no driver-side peer"
 
 
 def test_rebalance_passthrough_on_multi_partition_input(spark, tmp_path):
