@@ -1880,6 +1880,10 @@ IVFPQ_PROBES = 16
 #: — same determinism argument as _TRAINED_CENTS
 _TRAINED_CB: dict = {}
 
+#: the one LIVE cached assignment frame per dataset (see
+#: similarity_ivfpq_topk) — repeat calls swap it, never accumulate
+_PERSISTED_WITH_CELLS: dict = {}
+
 
 def _pq_train_blocks(
     spark: SparkSession,
@@ -2113,8 +2117,16 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the assignment pass feeds three consumers (corpus side, query
     # panel, probe explode) — persist so the numpy matmul scan runs
-    # once, not per consumer
+    # once, not per consumer. Lifetime is bounded to ONE cached frame
+    # per dataset: repeat calls (bench runs twice, the recall report
+    # and stress harness call again) would otherwise accumulate cached
+    # copies for the life of the process and pressure every later
+    # query's storage/GC budget.
+    prev = _PERSISTED_WITH_CELLS.pop(sf_dir, None)
+    if prev is not None:
+        prev.unpersist()
     with_cells = with_cells.persist()
+    _PERSISTED_WITH_CELLS[sf_dir] = with_cells
     assigned = with_cells.select(
         "vec_id", "v", "vnorm", F.element_at("cells", 1).alias("cell")
     )
