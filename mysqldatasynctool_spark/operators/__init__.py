@@ -68,6 +68,9 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     # required
     "similarity_mmr_rerank",
     "similarity_mmr_ann",
+    # new in r11: the LEFT OUTER stream-stream interval join run
+    # (sentinel-forced watermark closure) — first record
+    "streaming_run_funnel_join_left",
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "pipeline_sample_stratified",

@@ -30,6 +30,7 @@ notes apply verbatim.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .events import EVENTS_OHLC_ORACLE, EVENTS_SESSION_WINDOW_BUILTIN_ORACLE
 from .windows import WINDOW_EWMA_ORACLE
@@ -169,12 +170,77 @@ ORDER BY c.user_id, c.click_id, p.purchase_id
 """
 
 
+def streaming_run_funnel_join_left(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Run the LEFT OUTER stream-stream interval join to completion —
+    the hardest emission semantics in the streaming family: outer-null
+    rows may only emit once the watermark PROVES no future match can
+    arrive, so a finite stream needs watermark closure
+    (``stage_events_with_horizon``: one late sentinel click+purchase
+    pair pushes both watermarks past every real row's closing point,
+    and Spark's no-data micro-batch flushes the remaining state — the
+    production "heartbeat topic" pattern).
+
+    Graded at PAIR granularity against the batch LEFT JOIN: an
+    over-eager null emission (row emitted before its match arrived)
+    shows up as a spark-only (click, NULL) + (click, purchase) pair;
+    over-eager state eviction drops inner pairs; a watermark that
+    never closes drops the newest unmatched clicks — each a distinct
+    red-row signature.
+
+    The sentinel user is filtered AFTER the memory sink, on the batch
+    table — filtering inside the streaming query is the trap the
+    join's docstring documents (Catalyst pushes the predicate into
+    the parquet scan, where row-group stats skip the sentinel rows
+    before the watermark node sees them, and the outer tail silently
+    never emits).
+    """
+    from ..streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        stage_events_with_horizon,
+    )
+    from ..streaming.jobs import SENTINEL_USER, streaming_funnel_join_left
+
+    horizon_dir = stage_events_with_horizon(sf_dir)
+    clicks = read_events_stream(spark, horizon_dir)
+    purchases = read_events_stream(spark, horizon_dir)
+    out = run_to_memory_sink(
+        streaming_funnel_join_left(clicks, purchases),
+        "sr_funnel_left",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return out.filter(F.col("user_id") != SENTINEL_USER).orderBy(
+        "user_id", "click_id", "purchase_id"
+    )
+
+
+STREAMING_FUNNEL_JOIN_LEFT_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+  AND p.purchase_ts > c.click_ts
+  AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+ORDER BY c.user_id, c.click_id, p.purchase_id
+"""
+
+
 QUERIES = {
     "streaming_run_ohlc": streaming_run_ohlc,
     "streaming_run_session_window": streaming_run_session_window,
     "streaming_run_ewma": streaming_run_ewma,
     "streaming_run_dedup": streaming_run_dedup,
     "streaming_run_funnel_join": streaming_run_funnel_join,
+    "streaming_run_funnel_join_left": streaming_run_funnel_join_left,
 }
 
 ORACLES = {
@@ -183,4 +249,5 @@ ORACLES = {
     "streaming_run_ewma": WINDOW_EWMA_ORACLE,
     "streaming_run_dedup": STREAMING_DEDUP_ORACLE,
     "streaming_run_funnel_join": STREAMING_FUNNEL_JOIN_ORACLE,
+    "streaming_run_funnel_join_left": STREAMING_FUNNEL_JOIN_LEFT_ORACLE,
 }

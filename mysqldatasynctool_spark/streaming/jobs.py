@@ -487,6 +487,144 @@ def make_topk_processor(k: int):
     return _TopK()
 
 
+#: per-process cache of horizon-staged stream directories, keyed by
+#: sf_dir — the combined file is deterministic, so repeat runs (bench
+#: times every query twice) reuse one staging
+_HORIZON_STAGED: dict = {}
+
+#: sentinel identity: a user id no fixture row uses; filtered from
+#: results AFTER the sink (see streaming_funnel_join_left docstring)
+SENTINEL_USER = -1
+
+
+def stage_events_with_horizon(sf_dir: str, hours: int = 2) -> str:
+    """Stage the events fixture PLUS a pair of sentinel events
+    ``hours`` past the corpus maximum — the watermark-closure trick
+    that makes OUTER stream-stream join results deterministic.
+
+    Spark emits an outer-null row only once the watermark proves no
+    future match is possible; with a finite stream the watermark
+    stops at ``max(ts) − delay``, so the newest unmatched rows would
+    stay in state forever and the emitted set would be an
+    unpredictable subset. One late click+purchase pair (user
+    SENTINEL_USER, epoch ``max(ts) + hours``) pushes both sides'
+    watermarks past every real row's closing point; the no-data
+    micro-batch Spark schedules after the watermark advance
+    (SPARK-24156) then flushes every remaining outer row. At
+    production this sentinel is the standard "heartbeat topic"
+    pattern — a periodic synthetic event that keeps watermarks moving
+    through quiet periods.
+
+    The sentinel rows are appended INTO one combined parquet with the
+    source file's exact arrow types (unit-preserving for every ts
+    encoding the fixture has shipped), because the file source's
+    initial listing is offset-logged per file and a separate sentinel
+    file complicates replay. Returns a directory usable as ``sf_dir``
+    by :func:`read_events_stream`; cached per process.
+    """
+    import datetime
+    import os
+    import tempfile
+
+    cached = _HORIZON_STAGED.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/events.parquet"
+    if _probe_ts_unit(src) == "int96":
+        raise NotImplementedError(
+            "INT96 events fixture: pyarrow cannot append sentinel rows "
+            "in the legacy encoding — regenerate the fixture or use "
+            "the inner-join runner"
+        )
+    orig = pq.read_table(src)
+    sch = orig.schema
+    names = [f.name for f in sch]
+    max_ts = pa.compute.max(orig.column("ts")).as_py()
+    if isinstance(max_ts, int):  # raw int64 ns column
+        sent_ts: object = max_ts + hours * 3_600_000_000_000
+    else:
+        sent_ts = max_ts + datetime.timedelta(hours=hours)
+    sent_rows = {
+        "event_id": [-1, -2],
+        "ts": [sent_ts, sent_ts],
+        "user_id": [SENTINEL_USER, SENTINEL_USER],
+        "event_type": ["click", "purchase"],
+        "value": [0.0, 0.0],
+        "props": ["{}", "{}"],
+    }
+    sent = pa.table(
+        {n: pa.array(sent_rows[n], type=sch.field(n).type) for n in names},
+        schema=pa.schema([sch.field(n) for n in names]),
+    )
+    root = tempfile.mkdtemp(prefix="events_horizon_")
+    staged = os.path.join(root, "events.parquet")
+    os.makedirs(staged)
+    pq.write_table(
+        pa.concat_tables([orig.select(names), sent]),
+        os.path.join(staged, "events-000.parquet"),
+    )
+    _HORIZON_STAGED[sf_dir] = root
+    return root
+
+
+def streaming_funnel_join_left(
+    clicks: DataFrame, purchases: DataFrame, minutes: int = 10
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the semantics the
+    inner funnel join cannot express: every click emits, with NULL
+    purchase columns when no purchase lands within ``minutes``.
+
+    This is the genuinely hard streaming case: an outer-null row may
+    only emit once the watermark PROVES no future purchase can match,
+    so correctness depends on watermark closure (see
+    :func:`stage_events_with_horizon`) — an over-eager emission
+    duplicates rows on late matches, a conservative one never emits
+    the tail. State bounds are the same as the inner form: the
+    interval predicate lets both sides evict beyond
+    watermark − interval.
+
+    CAUTION (learned the hard way): do NOT filter the sentinel user
+    inside this streaming query. A deterministic predicate on the
+    join key is pushed by Catalyst through the join, below the
+    watermark operator, and INTO the parquet scan — where row-group
+    statistics skip the all-sentinel rows entirely, so the watermark
+    never advances and the outer tail silently never emits. The
+    sentinel filter therefore belongs on the SINK table (batch side),
+    e.g. in ``streaming_run_funnel_join_left``.
+    """
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{minutes * 2} minutes")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{minutes * 2} minutes")
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {minutes} MINUTES")
+        ),
+        "leftOuter",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
 def streaming_funnel_join(
     clicks: DataFrame, purchases: DataFrame, minutes: int = 10
 ) -> DataFrame:

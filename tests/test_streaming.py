@@ -679,3 +679,37 @@ def test_apply_cdc_replayed_older_batch_cannot_regress(spark):
     assert [(r["id"], r["val"], r["lsn"]) for r in snap2.collect()] == [
         (1, "new", 500)
     ]
+
+
+def test_left_outer_funnel_join_stream_matches_batch(spark):
+    """The r11 LEFT OUTER stream-stream run must equal the batch LEFT
+    JOIN at pair granularity: inner pairs identical to the inner run,
+    outer rows exactly the unmatched clicks, no sentinel leakage, no
+    duplicate emission (over-eager nulls would show as a (click, NULL)
+    row COEXISTING with that click's matched rows)."""
+    from mysqldatasynctool_spark.operators.streamruns import (
+        streaming_run_funnel_join,
+        streaming_run_funnel_join_left,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    left = streaming_run_funnel_join_left(spark, sf).collect()
+    inner = streaming_run_funnel_join(spark, sf).collect()
+    assert left and all(r.user_id >= 0 for r in left)
+    inner_pairs = {(r.user_id, r.click_id, r.purchase_id) for r in inner}
+    left_inner = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in left
+        if r.purchase_id is not None
+    }
+    assert left_inner == inner_pairs
+    matched_clicks = {(u, c) for u, c, _ in left_inner}
+    null_clicks = {
+        (r.user_id, r.click_id) for r in left if r.purchase_id is None
+    }
+    # a click is EITHER matched or null-emitted, never both
+    assert not (matched_clicks & null_clicks)
+    # every click emits exactly once per distinct qualifying purchase,
+    # and null rows are unique per click
+    keys = [(r.user_id, r.click_id, r.purchase_id) for r in left]
+    assert len(keys) == len(set(keys))
