@@ -32,17 +32,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: stable order.
 #:
 #: ROUND-11 ROTATION (tools/correctness_union.py):
-#: 1) positions 1–12: every entry the r11 work changed — the
+#: 1) positions 1–13: every entry the r11 work changed — the
 #:    stale-green list (multiprobe LSH rewritten multi-table; the
 #:    IVF/k-means/IVFPQ family and dedup_semantic_cells on trained
 #:    centroids; the r8-era streaming_run_funnel_join and
 #:    dedup_minhash_lsh), similarity_ann_recall_report (own span
 #:    unchanged, composed oracles changed), the two NEW retrieval
 #:    entries (text_bm25_topk, similarity_hybrid_rrf — first
-#:    records), and both MMR entries (9-dp pick hardening lives in
-#:    shared helpers the union tool's function-span blame cannot
-#:    see);
-#: 2) positions 13–50: the union tool's oldest-green rotation — the
+#:    records), similarity_cluster_topics (first record), and both
+#:    MMR entries (9-dp pick hardening lives in shared helpers the
+#:    union tool's function-span blame cannot see);
+#: 2) positions 14–50: the union tool's oldest-green rotation — the
 #:    r3-era pipeline/events-asof/TPC-H blocks (overlap with the r10
 #:    slate: 5 names, all from the re-changed seeding family);
 #: 3) everything else oldest-green-record-first, unchanged relative
@@ -58,10 +58,11 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_ivfpq_topk",
     "dedup_semantic_cells",
     "similarity_ann_recall_report",
-    # new in r11 (BM25 lexical retrieval + hybrid RRF fusion) — need
-    # their first records
+    # new in r11 (BM25 lexical retrieval + hybrid RRF fusion + cluster
+    # topic profiling) — need their first records
     "text_bm25_topk",
     "similarity_hybrid_rrf",
+    "similarity_cluster_topics",
     # r11 semantics change the union tool's function-span blame CANNOT
     # see (the 9-dp pick hardening lives in the shared _mmr_select +
     # oracle template, outside both entries' own spans) — fresh records

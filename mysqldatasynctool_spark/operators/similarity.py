@@ -2613,3 +2613,184 @@ ORDER BY qid, rank
 
 QUERIES["similarity_hybrid_rrf"] = similarity_hybrid_rrf
 ORACLES["similarity_hybrid_rrf"] = _hybrid_rrf_oracle()
+
+
+#: cluster topic profiling: top terms per cell, minimum corpus
+#: occurrences for a term to be rankable (kills hapax-noise lift at
+#: real corpus sizes; at fixture scale every token clears it)
+CLUSTER_TOPICS_TOP_K = 3
+CLUSTER_TOPICS_MIN_DF = 5
+
+
+def similarity_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster topic profiling — the human-readable readout of the
+    trained k-means cells: per cell, its document count and the
+    CLUSTER_TOPICS_TOP_K most DISTINCTIVE terms (highest lift of
+    within-cell token share over corpus token share). This is the
+    cluster-curation step of SemDeDup/DCLM-style pipelines: after
+    clustering the embedding space you label each cluster by its
+    over-represented vocabulary to decide what to up/down-sample.
+    Composes the trained ``_assign_cells`` (shared with the whole
+    IVF family — same centroids, same cache) with the text family's
+    ``tokens_col`` tokenization; ``documents.doc_id ≡
+    embeddings.vec_id`` in the fixtures (the ``similarity_hybrid_rrf``
+    convention).
+
+    Integer discipline (fully exact, no floats anywhere): shares are
+    integer ppm (``cnt * 1000000 div total``), lift is
+    ``share_cell_ppm * 1000 div greatest(share_corpus_ppm, 1)`` —
+    every intermediate fits int64 at any realistic scale because the
+    ppm normalization happens BEFORE the lift division (the naive
+    single-expression cross product ``cnt·corpus_total·10⁶``
+    overflows int64 near 10¹³ corpus tokens; this formulation never
+    multiplies two corpus-sized counts). Ranking ties break by raw
+    count desc then token asc.
+
+    100 TB shape: assignment is the capped-broadcast matmul scan
+    (≤4096 trained centroids, ~2 MB); one tokenize scan of the
+    joined corpus feeds ONE (cell, token) partial-agg shuffle; cell
+    totals, corpus totals and the grand total all derive from that
+    small aggregate (vocab-sized, not corpus-sized); the corpus
+    grand total rides a 1-row broadcast crossJoin (no driver
+    collect); top-k per cell is a bounded window over vocab-sized
+    partitions.
+    """
+    from ..functions.text import tokens_col
+
+    emb = _vecs(spark, sf_dir)
+    with_cells, _ = _assign_cells(spark, emb, probes=1, cache_key=sf_dir)
+    assign = with_cells.select(
+        "vec_id", F.element_at("cells", 1).alias("cell")
+    )
+    docs = load(spark, sf_dir, "documents")
+    joined = docs.join(
+        assign, docs["doc_id"] == assign["vec_id"]
+    ).select("cell", "doc_id", "text")
+    cell_docs = joined.groupBy("cell").agg(F.count("*").alias("n_docs"))
+    cell_tok = (
+        joined.select(
+            "cell", F.explode(tokens_col(F.col("text"))).alias("token")
+        )
+        .groupBy("cell", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cell_tot = cell_tok.groupBy("cell").agg(
+        F.sum("cnt").alias("cell_total")
+    )
+    corp = cell_tok.groupBy("token").agg(
+        F.sum("cnt").alias("corpus_cnt")
+    )
+    tot = cell_tok.agg(F.sum("cnt").alias("corpus_total"))
+    scored = (
+        cell_tok.join(corp, "token")
+        .filter(F.col("corpus_cnt") >= CLUSTER_TOPICS_MIN_DF)
+        .join(cell_tot, "cell")
+        .join(F.broadcast(tot))
+        .withColumn(
+            "share_cell_ppm", F.expr("cnt * 1000000 div cell_total")
+        )
+        .withColumn(
+            "share_corpus_ppm",
+            F.expr(
+                "greatest(corpus_cnt * 1000000 div corpus_total, 1)"
+            ),
+        )
+        .withColumn(
+            "lift_milli",
+            F.expr("share_cell_ppm * 1000 div share_corpus_ppm"),
+        )
+    )
+    wt = W.partitionBy("cell").orderBy(
+        F.desc("lift_milli"), F.desc("cnt"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wt))
+        .filter(F.col("rnk") <= CLUSTER_TOPICS_TOP_K)
+        .join(cell_docs, "cell")
+        .select(
+            "cell",
+            "n_docs",
+            "rnk",
+            "token",
+            F.col("cnt").alias("token_cnt"),
+            "lift_milli",
+        )
+        .orderBy("cell", "rnk")
+    )
+
+
+def _cluster_topics_oracle() -> str:
+    # same e/chain/aff/assign prelude as SIMILARITY_IVF_ORACLE and the
+    # dedup_semantic_cells oracle (lockstep via the shared
+    # _lloyd_chain_sql); integer ppm/lift math mirrors the Spark side
+    # expression for expression (div == // floor on non-negatives)
+    return rf"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
+),
+{_lloyd_chain_sql()},
+aff AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, c.cv) / (e.vnorm * c.cnorm) AS sim
+  FROM e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM aff
+  ) WHERE rn = 1
+),
+joined AS (
+  SELECT a.cell, d.doc_id, d.text
+  FROM documents d JOIN assign a ON d.doc_id = a.vec_id
+),
+cell_docs AS (SELECT cell, COUNT(*) AS n_docs FROM joined GROUP BY cell),
+cell_tok AS (
+  SELECT cell, token, COUNT(*) AS cnt FROM (
+    SELECT cell, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM joined
+  ) GROUP BY cell, token
+),
+cell_tot AS (
+  SELECT cell, CAST(SUM(cnt) AS BIGINT) AS cell_total
+  FROM cell_tok GROUP BY cell
+),
+corp AS (
+  SELECT token, CAST(SUM(cnt) AS BIGINT) AS corpus_cnt
+  FROM cell_tok GROUP BY token
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS corpus_total FROM cell_tok),
+scored AS (
+  SELECT ct.cell, ct.token, ct.cnt,
+         (ct.cnt * 1000000) // cl.cell_total AS share_cell_ppm,
+         GREATEST((c.corpus_cnt * 1000000) // t.corpus_total, 1)
+           AS share_corpus_ppm
+  FROM cell_tok ct
+  JOIN corp c USING (token)
+  JOIN cell_tot cl USING (cell)
+  CROSS JOIN tot t
+  WHERE c.corpus_cnt >= {CLUSTER_TOPICS_MIN_DF}
+),
+ranked AS (
+  SELECT cell, token, cnt,
+         (share_cell_ppm * 1000) // share_corpus_ppm AS lift_milli,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell
+           ORDER BY (share_cell_ppm * 1000) // share_corpus_ppm DESC,
+                    cnt DESC, token ASC
+         ) AS rnk
+  FROM scored
+)
+SELECT r.cell, cd.n_docs, r.rnk, r.token,
+       CAST(r.cnt AS BIGINT) AS token_cnt, r.lift_milli
+FROM ranked r JOIN cell_docs cd USING (cell)
+WHERE r.rnk <= {CLUSTER_TOPICS_TOP_K}
+ORDER BY r.cell, r.rnk
+"""
+
+
+QUERIES["similarity_cluster_topics"] = similarity_cluster_topics
+ORACLES["similarity_cluster_topics"] = _cluster_topics_oracle()

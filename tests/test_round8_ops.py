@@ -296,3 +296,43 @@ def test_hybrid_rrf_invariants(spark):
             assert abs(r.rrf - round(expect, 6)) < 1e-9
         scores = [r.rrf for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_cluster_topics_invariants(spark):
+    """Cluster topic profiling (r11): per cell ranks are contiguous
+    and capped at TOP_K; lift is non-increasing within a cell (count
+    desc / token asc on ties); every reported n_docs is consistent
+    across the cell's rows and sums to the embedded-doc count (doc_id
+    is a vec_id in the fixtures, inner-join semantics); lift_milli of
+    a top term is >= 1000 (a most-distinctive term can't be UNDER
+    corpus share unless the cell vocabulary is degenerate — and the
+    fixture cells aren't)."""
+    from mysqldatasynctool_spark.sources.fixtures import load
+
+    rows = sim.similarity_cluster_topics(spark, SF).collect()
+    assert rows
+    n_docs_total = (
+        load(spark, SF, "documents")
+        .join(
+            load(spark, SF, "embeddings"),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+        .count()
+    )
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert sum(cs[0].n_docs for cs in by_cell.values()) == n_docs_total
+    for cell, rs in by_cell.items():
+        rs = sorted(rs, key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= sim.CLUSTER_TOPICS_TOP_K
+        assert len({r.n_docs for r in rs}) == 1
+        lifts = [r.lift_milli for r in rs]
+        assert lifts == sorted(lifts, reverse=True)
+        assert lifts[0] >= 1000
+        for a, b in zip(rs, rs[1:]):
+            if a.lift_milli == b.lift_milli:
+                assert a.token_cnt > b.token_cnt or (
+                    a.token_cnt == b.token_cnt and a.token < b.token
+                )
