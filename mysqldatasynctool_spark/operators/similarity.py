@@ -780,7 +780,17 @@ def _assign_cells(
         mat, norms, ids = b_mat.value, b_norms.value, b_ids.value
         for pdf in batches:
             vecs = _np.stack(pdf["v"].to_numpy())
-            vnorms = _np.linalg.norm(vecs, axis=1)
+            # emitted vnorm is a left-associated per-dimension fold
+            # (vectorized across ROWS, sequential across DIMS) — bit-
+            # equal to _with_norm / DuckDB's sqrt(list_dot_product),
+            # unlike np.linalg.norm's pairwise/BLAS summation (r10
+            # advice: exact downstream cosines consume this column,
+            # so a last-ulp drift here sat under every consumer's
+            # 6-dp rounding and the IVFPQ shortlist boundary)
+            acc = _np.zeros(vecs.shape[0], dtype=_np.float64)
+            for d in range(vecs.shape[1]):
+                acc = acc + vecs[:, d] * vecs[:, d]
+            vnorms = _np.sqrt(acc)
             sims = (vecs @ mat.T) / (vnorms[:, None] * norms[None, :])
             # top-probes cells per vector, nearest first (cells[0]
             # is the assignment cell; the rest are probe targets)
