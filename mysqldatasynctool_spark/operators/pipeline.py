@@ -777,6 +777,99 @@ FROM sp GROUP BY split ORDER BY split
 """
 
 
+#: cluster-balanced subsample: docs kept per k-means cell
+CLUSTER_SAMPLE_K = 5
+
+
+def pipeline_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced corpus subsampling — the semantic-diversity
+    flattening step of SemDeDup/DCLM-style curation: instead of
+    sampling per METADATA stratum (``pipeline_sample_per_group``'s
+    source column), sample EXACTLY k docs per LEARNED stratum — the
+    trained k-means cell of the doc's embedding — so dense regions of
+    embedding space stop dominating the subsample. The per-cell
+    ``n_cell`` column carries the flattening evidence: a cell with
+    400 docs and a cell with 6 both contribute ≤ CLUSTER_SAMPLE_K.
+
+    Reuses the shared trained ``similarity._assign_cells`` (same
+    centroids and cache as the whole IVF family); within a cell the
+    pick is the md5(doc_id) rank — reproducible across runs, engines
+    and partitionings, ties impossible (doc_id unique).
+
+    100 TB: assignment is the capped-broadcast matmul scan (≤4096
+    trained centroids); the sample is one shuffle on the cell id with
+    a per-cell top-k window (vocab of cells ≤4096, so the window
+    partitions are corpus-sized/k — at extreme cell sizes swap in the
+    per-partition partial top-k, same semantics); text never moves —
+    the sample carries ids + metadata only.
+    """
+    from .similarity import _assign_cells, _vecs
+
+    with_cells, _ = _assign_cells(
+        spark, _vecs(spark, sf_dir), probes=1, cache_key=sf_dir
+    )
+    assign = with_cells.select(
+        "vec_id", F.element_at("cells", 1).alias("cell")
+    )
+    docs = load(spark, sf_dir, "documents")
+    joined = docs.join(assign, docs["doc_id"] == assign["vec_id"]).select(
+        "cell", "doc_id", "source", "n_chars"
+    )
+    sizes = joined.groupBy("cell").agg(F.count("*").alias("n_cell"))
+    w = W.partitionBy("cell").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CLUSTER_SAMPLE_K)
+        .join(sizes, "cell")
+        .select("cell", "n_cell", "rk", "doc_id", "source", "n_chars")
+        .orderBy("cell", "rk")
+    )
+
+
+def _cluster_balanced_sample_oracle() -> str:
+    # cell chain shared with every _assign_cells consumer (lockstep
+    # via similarity._lloyd_chain_sql); the md5-rank pick mirrors
+    # PIPELINE_SAMPLE_PER_GROUP_ORACLE
+    from .similarity import _lloyd_chain_sql
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
+),
+{_lloyd_chain_sql()},
+aff AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, c.cv) / (e.vnorm * c.cnorm) AS sim
+  FROM e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM aff
+  ) WHERE rn = 1
+),
+joined AS (
+  SELECT a.cell, d.doc_id, d.source, d.n_chars
+  FROM documents d JOIN assign a ON d.doc_id = a.vec_id
+),
+sizes AS (SELECT cell, COUNT(*) AS n_cell FROM joined GROUP BY cell)
+SELECT j.cell, s.n_cell, j.rk, j.doc_id, j.source, j.n_chars
+FROM (
+  SELECT cell, doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM joined
+) j JOIN sizes s USING (cell)
+WHERE j.rk <= {CLUSTER_SAMPLE_K}
+ORDER BY j.cell, j.rk
+"""
+
+
 QUERIES = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_pack_sequences": pipeline_pack_sequences,
@@ -789,6 +882,7 @@ QUERIES = {
     "pipeline_incremental_dedup": pipeline_incremental_dedup,
     "pipeline_sample_per_group": pipeline_sample_per_group,
     "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
+    "pipeline_cluster_balanced_sample": pipeline_cluster_balanced_sample,
 }
 
 ORACLES = {
@@ -803,4 +897,5 @@ ORACLES = {
     "pipeline_incremental_dedup": PIPELINE_INCREMENTAL_DEDUP_ORACLE,
     "pipeline_sample_per_group": PIPELINE_SAMPLE_PER_GROUP_ORACLE,
     "pipeline_leakage_safe_split": _leakage_safe_split_oracle(),
+    "pipeline_cluster_balanced_sample": _cluster_balanced_sample_oracle(),
 }

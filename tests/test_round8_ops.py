@@ -336,3 +336,27 @@ def test_cluster_topics_invariants(spark):
                 assert a.token_cnt > b.token_cnt or (
                     a.token_cnt == b.token_cnt and a.token < b.token
                 )
+
+
+def test_cluster_balanced_sample_invariants(spark):
+    """Cluster-balanced subsample (r11): <= K docs per cell with
+    contiguous md5-rank positions; n_cell is consistent per cell and
+    sums to the embedded-doc count; every cell with fewer than K docs
+    is fully taken (len == n_cell); no doc appears twice."""
+    from mysqldatasynctool_spark.operators import pipeline as pl
+
+    rows = pl.pipeline_cluster_balanced_sample(spark, SF).collect()
+    assert rows
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    assert sum(cs[0].n_cell for cs in by_cell.values()) == 500
+    for cell, rs in by_cell.items():
+        rs = sorted(rs, key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= pl.CLUSTER_SAMPLE_K
+        assert len({r.n_cell for r in rs}) == 1
+        if rs[0].n_cell < pl.CLUSTER_SAMPLE_K:
+            assert len(rs) == rs[0].n_cell
