@@ -2804,3 +2804,235 @@ ORDER BY r.cell, r.rnk
 
 QUERIES["similarity_cluster_topics"] = similarity_cluster_topics
 ORACLES["similarity_cluster_topics"] = _cluster_topics_oracle()
+
+
+#: power-iteration count for the spectral-concentration audit. The
+#: fixture's embedding spectrum is deliberately near-isotropic
+#: (eig2/eig1 = 0.987), so a handful of iterations does NOT converge
+#: to PC1 there — the operator's gated claim is the per-iteration
+#: MONOTONE Rayleigh ascent (provable for any PSD covariance), and
+#: its deliverable is the variance-concentration trajectory; on a
+#: real spiky-spectrum corpus the same 4 scans land on the top
+#: component. Same contract style as similarity_kmeans_step (a
+#: correct STEP with a proof invariant, not a converged model).
+POWER_ITERS = 4
+#: embedding dimensionality (fixtures and the PQ geometry agree)
+PCA_DIM = PQ_BLOCKS * PQ_BLOCK_DIM
+
+
+def similarity_pca_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spectral-concentration audit of the CENTERED embedding corpus
+    via power iteration — the "all-but-the-top" (Mu & Viswanath 2018)
+    pre-retrieval diagnostic: how much of the total variance does one
+    direction hoard? A spiky answer says "null the top component(s)
+    before cosine ANN"; a flat one (like the fixture's ~2.4% vs the
+    1.56% isotropic floor) says the space is already well spread.
+    Output: one row per iteration 0..POWER_ITERS with the variance
+    along the current iterate (``var_along``), its integer-ppm share
+    of total variance (``var_share_ppm`` — MONOTONE non-decreasing,
+    the Rayleigh-ascent invariant the test gates; measured 13331 →
+    23598 ppm on the fixture, true top 27579), and the constant
+    ``var_total``.
+
+    Cross-engine exactness (the ``_lloyd_refine`` discipline applied
+    to a different iteration): the mean and every matrix-vector
+    product are decimal sums of 6-dp-rounded per-row terms (exact,
+    order-free), cast to double and renormalized through SQL-semantics
+    ROUND on a 1-row frame — so the iterate ``w_t`` is bit-identical
+    between Spark and the generated DuckDB CTE chain at every step;
+    per-row dots are left-associated term chains in both engines. The
+    deterministic start is the exactly-representable uniform vector
+    (1/8 per component, unit at dim 64) — no RNG anywhere.
+
+    100 TB shape: 2 + POWER_ITERS corpus-linear scans (mean, one per
+    iteration, final Rayleigh), each a whole-stage-codegen aggregate
+    of <= 65 decimal sums — no Python in the row path, no shuffle
+    wider than one 65-column row; iteration state is 64 double
+    literals. Collects are single rows. Reference: SURVEY.md §2B
+    similarity row (spectral preprocessing for the ANN family).
+    """
+    emb = _vecs(spark, sf_dir)
+    d_ = PCA_DIM
+
+    def dec(col):  # the shared exact-sum idiom
+        return F.sum(F.round(col, 6).cast("decimal(18,6)"))
+
+    mu_row = emb.agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(
+                dec(F.col("v").getItem(d)).cast("double") / F.count("*"), 6
+            ).alias(f"m{d}")
+            for d in range(d_)
+        ],
+    ).collect()[0]
+    n = int(mu_row["n"])
+    mu = [float(mu_row[f"m{d}"]) for d in range(d_)]
+    w = [0.125] * d_
+
+    def s_expr(wvec):  # left-associated centered dot, term order = dim
+        s = None
+        for d in range(d_):
+            t = (F.col("v").getItem(d) - F.lit(mu[d])) * F.lit(wvec[d])
+            s = t if s is None else s + t
+        return s
+
+    lams = []  # exact Decimal Rayleigh numerators, one per iterate
+    for _ in range(POWER_ITERS):
+        zr = (
+            emb.select(s_expr(w).alias("s"), "v")
+            .agg(
+                dec(F.col("s") * F.col("s")).alias("lam"),
+                *[
+                    dec(F.col("s") * (F.col("v").getItem(d) - F.lit(mu[d])))
+                    .cast("double")
+                    .alias(f"z{d}")
+                    for d in range(d_)
+                ],
+            )
+            .collect()[0]
+        )
+        lams.append(zr["lam"])
+        # renormalize via SQL-semantics ROUND on a 1-row frame (python
+        # round() is banker's — it would drift from the oracle's ROUND)
+        zdf = spark.createDataFrame(
+            [tuple(float(zr[f"z{d}"]) for d in range(d_))],
+            ", ".join(f"z{d} double" for d in range(d_)),
+        )
+        nrm = None
+        for d in range(d_):
+            t = F.col(f"z{d}") * F.col(f"z{d}")
+            nrm = t if nrm is None else nrm + t
+        wr = zdf.select(
+            *[
+                F.round(F.col(f"z{d}") / F.sqrt(nrm), 6).alias(f"w{d}")
+                for d in range(d_)
+            ]
+        ).collect()[0]
+        w = [float(wr[f"w{d}"]) for d in range(d_)]
+
+    xx = None
+    for d in range(d_):
+        t = (F.col("v").getItem(d) - F.lit(mu[d])) * (
+            F.col("v").getItem(d) - F.lit(mu[d])
+        )
+        xx = t if xx is None else xx + t
+    frow = (
+        emb.select(s_expr(w).alias("s"), xx.alias("xx"))
+        .agg(dec(F.col("s") * F.col("s")).alias("lam"), dec(F.col("xx")).alias("tv"))
+        .collect()[0]
+    )
+    lams.append(frow["lam"])
+    rep = spark.createDataFrame(
+        [(t, lams[t]) for t in range(POWER_ITERS + 1)],
+        "iter long, lam decimal(28,6)",
+    )
+    const = spark.createDataFrame(
+        [(frow["tv"], n)], "tv decimal(28,6), n long"
+    )
+    return (
+        rep.join(F.broadcast(const))
+        .select(
+            "iter",
+            F.round(F.col("lam").cast("double") / F.col("n"), 6).alias(
+                "var_along"
+            ),
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("lam").cast("double")
+                / F.col("tv").cast("double")
+            )
+            .cast("long")
+            .alias("var_share_ppm"),
+            F.round(F.col("tv").cast("double") / F.col("n"), 6).alias(
+                "var_total"
+            ),
+        )
+        .orderBy("iter")
+    )
+
+
+def _pca_oracle() -> str:
+    """Generated DuckDB twin of the power iteration: mean CTE ->
+    POWER_ITERS x (per-row centered-dot CTE + decimal-sum z/Rayleigh
+    CTE + renormalized w CTE) -> final Rayleigh + total variance,
+    every stage expression-for-expression the Spark aggregates."""
+    d_ = PCA_DIM
+
+    def sterm(wref):
+        return " + ".join(
+            f"(e.v[{d + 1}] - m.m{d}) * {wref}.c{d}" for d in range(d_)
+        )
+
+    mu_cols = ",\n         ".join(
+        f"ROUND(CAST(SUM(CAST(ROUND(v[{d + 1}], 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS m{d}"
+        for d in range(d_)
+    )
+    w0_cols = ", ".join(f"0.125 AS c{d}" for d in range(d_))
+    its = []
+    prev = "w0"
+    for t in range(1, POWER_ITERS + 1):
+        z_cols = ",\n         ".join(
+            f"CAST(SUM(CAST(ROUND(s * (v[{d + 1}] - m{d}), 6) AS DECIMAL(18,6))) AS DOUBLE) AS z{d}"
+            for d in range(d_)
+        )
+        nrm = " + ".join(f"z{d} * z{d}" for d in range(d_))
+        wn_cols = ", ".join(
+            f"ROUND(z{d} / sqrt({nrm}), 6) AS c{d}" for d in range(d_)
+        )
+        its.append(
+            f"""s{t} AS (
+  SELECT e.v, {", ".join(f"m.m{d}" for d in range(d_))},
+         {sterm(prev)} AS s
+  FROM e CROSS JOIN mu m CROSS JOIN {prev}
+),
+z{t} AS (
+  SELECT SUM(CAST(ROUND(s * s, 6) AS DECIMAL(18,6))) AS lam,
+         {z_cols}
+  FROM s{t}
+),
+w{t} AS (SELECT {wn_cols} FROM z{t})"""
+        )
+        prev = f"w{t}"
+    xx = " + ".join(
+        f"(e.v[{d + 1}] - m.m{d}) * (e.v[{d + 1}] - m.m{d})"
+        for d in range(d_)
+    )
+    lam_rows = "\n  UNION ALL ".join(
+        f"SELECT {t} AS iter, lam FROM z{t + 1}" for t in range(POWER_ITERS)
+    )
+    return f"""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+mu AS (
+  SELECT COUNT(*) AS n,
+         {mu_cols}
+  FROM e
+),
+w0 AS (SELECT {w0_cols}),
+{",".join(its)},
+fin AS (
+  SELECT {sterm(prev)} AS s, {xx} AS xx
+  FROM e CROSS JOIN mu m CROSS JOIN {prev}
+),
+zf AS (
+  SELECT SUM(CAST(ROUND(s * s, 6) AS DECIMAL(18,6))) AS lam,
+         SUM(CAST(ROUND(xx, 6) AS DECIMAL(18,6))) AS tv
+  FROM fin
+),
+report AS (
+  {lam_rows}
+  UNION ALL SELECT {POWER_ITERS} AS iter, lam FROM zf
+)
+SELECT CAST(r.iter AS BIGINT) AS iter,
+       ROUND(CAST(r.lam AS DOUBLE) / m.n, 6) AS var_along,
+       CAST(FLOOR(1000000.0 * CAST(r.lam AS DOUBLE) / CAST(z.tv AS DOUBLE)) AS BIGINT) AS var_share_ppm,
+       ROUND(CAST(z.tv AS DOUBLE) / m.n, 6) AS var_total
+FROM report r CROSS JOIN zf z CROSS JOIN mu m
+ORDER BY iter
+"""
+
+
+QUERIES["similarity_pca_power_iteration"] = similarity_pca_power_iteration
+ORACLES["similarity_pca_power_iteration"] = _pca_oracle()

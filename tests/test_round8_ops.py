@@ -360,3 +360,27 @@ def test_cluster_balanced_sample_invariants(spark):
         assert len({r.n_cell for r in rs}) == 1
         if rs[0].n_cell < pl.CLUSTER_SAMPLE_K:
             assert len(rs) == rs[0].n_cell
+
+
+def test_pca_rayleigh_ascent_invariants(spark):
+    """Power-iteration spectral audit (r11): the Rayleigh quotient is
+    MONOTONE non-decreasing across iterations (the PSD-covariance
+    guarantee this entry's contract gates — each step must strictly
+    help on the fixture's non-degenerate spectrum), the share is the
+    exact floor-ppm of var_along/var_total within rounding, var_total
+    is constant, and every share sits in (0, 1e6]."""
+    rows = sorted(
+        sim.similarity_pca_power_iteration(spark, SF).collect(),
+        key=lambda r: r.iter,
+    )
+    assert [r.iter for r in rows] == list(range(sim.POWER_ITERS + 1))
+    assert len({r.var_total for r in rows}) == 1
+    shares = [r.var_share_ppm for r in rows]
+    assert all(0 < s <= 1_000_000 for s in shares)
+    assert shares == sorted(shares)  # monotone ascent
+    assert shares[-1] > shares[0]  # and it actually moved
+    for r in rows:
+        # floor-ppm consistency vs the rounded readouts (1 ppm slack
+        # for the 6-dp rounding of var_along)
+        approx = 1_000_000 * r.var_along / r.var_total
+        assert abs(r.var_share_ppm - approx) <= 60
