@@ -82,6 +82,13 @@ ALLOWED_CARTESIAN = {
     # grid; every candidate-scoring join downstream is equi-keyed
     "similarity_ivfpq_topk": "ADC distance-table grid (query panel x KB codebook)",
     "events_burst_detection": "1-row global-rate broadcast (scalar subquery)",
+    # r11 additions, both the scalar-subquery class: attaching a 1-row
+    # aggregate to every row via broadcast NLJ is the optimal plan
+    "similarity_cluster_topics": "1-row corpus-grand-total broadcast (scalar subquery)",
+    "similarity_pca_power_iteration": (
+        "5-row iteration report x 1-row (total-variance, n) constants — "
+        "both sides driver-bounded by construction"
+    ),
 }
 
 #: queries allowed to contain row-at-a-time BatchEvalPython (none —
