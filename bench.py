@@ -86,6 +86,13 @@ HEADLINE = [
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "pipeline_global_shuffle",
+    # r11 late additions: cluster curation (topic profiling + balanced
+    # subsample, both riding the shared trained-cell assignment) and
+    # the 6-scan power-iteration spectral audit — multi-pass iterative
+    # aggregate throughput as its own number
+    "similarity_cluster_topics",
+    "pipeline_cluster_balanced_sample",
+    "similarity_pca_power_iteration",
 ]
 
 

@@ -2832,176 +2832,180 @@ def similarity_pca_power_iteration(
     Output: one row per iteration 0..POWER_ITERS with the variance
     along the current iterate (``var_along``), its integer-ppm share
     of total variance (``var_share_ppm`` — MONOTONE non-decreasing,
-    the Rayleigh-ascent invariant the test gates; measured 13331 →
-    23598 ppm on the fixture, true top 27579), and the constant
+    the Rayleigh-ascent invariant the test gates), and the constant
     ``var_total``.
 
-    Cross-engine exactness (the ``_lloyd_refine`` discipline applied
-    to a different iteration): the mean and every matrix-vector
-    product are decimal sums of 6-dp-rounded per-row terms (exact,
-    order-free), cast to double and renormalized through SQL-semantics
-    ROUND on a 1-row frame — so the iterate ``w_t`` is bit-identical
-    between Spark and the generated DuckDB CTE chain at every step;
-    per-row dots are left-associated term chains in both engines. The
-    deterministic start is the exactly-representable uniform vector
-    (1/8 per component, unit at dim 64) — no RNG anywhere.
+    Physical shape — the measured lesson of this entry's first three
+    cuts (16-23 s at sf0.1): at dim 64 the iteration must NOT touch
+    the corpus. A per-iteration matrix-vector pass costs either a
+    ~10k-node plan (seconds of driver-side analysis/codegen per scan,
+    row count irrelevant) or a corpus scan per step. Instead the
+    upper-triangle covariance accumulates in ONE corpus-linear pass —
+    the classic outer-product aggregation: posexplode the (i, j>=i)
+    component pairs and decimal-sum per cell, so map-side combine
+    collapses every partition to <= d(d+1)/2 = 2080 rows before the
+    shuffle — and all POWER_ITERS iterations then run driver-side on
+    the collected 64x64 matrix. Two corpus scans total (mean,
+    covariance), each with a constant-size plan. (For dims where d^2
+    explode rows are too heavy, fall back to one z-pass per iteration
+    — same exactness discipline, linear scans.)
 
-    100 TB shape: 2 + POWER_ITERS corpus-linear scans (mean, one per
-    iteration, final Rayleigh), each a whole-stage-codegen aggregate
-    of <= 65 decimal sums — no Python in the row path, no shuffle
-    wider than one 65-column row; iteration state is 64 double
-    literals. Collects are single rows. Reference: SURVEY.md §2B
-    similarity row (spectral preprocessing for the ANN family).
+    Cross-engine exactness: ONLY the mean and the covariance cells
+    cross rows, and both are decimal sums of 6-dp-rounded per-row
+    terms (exact, order-free). Everything after is 64x64-state
+    arithmetic replayed as pure IEEE double chains — left-associated,
+    term order = dimension order — which python, Spark and the
+    generated DuckDB CTE chain (pivoted covariance row x broadcast
+    iterate, one single-row CTE per step) compute bit-identically;
+    DECIMAL(18,6)->double casts are correctly rounded in all three.
+    The deterministic start is the exactly-representable uniform
+    vector (1/8 per component, unit at dim 64) — no RNG anywhere.
+    Reference: SURVEY.md §2B similarity row (spectral preprocessing
+    for the ANN family).
     """
-    emb = _vecs(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
     d_ = PCA_DIM
 
     def dec(col):  # the shared exact-sum idiom
         return F.sum(F.round(col, 6).cast("decimal(18,6)"))
 
-    mu_row = emb.agg(
-        F.count("*").alias("n"),
-        *[
+    mu_rows = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
             F.round(
-                dec(F.col("v").getItem(d)).cast("double") / F.count("*"), 6
-            ).alias(f"m{d}")
-            for d in range(d_)
-        ],
-    ).collect()[0]
-    n = int(mu_row["n"])
-    mu = [float(mu_row[f"m{d}"]) for d in range(d_)]
-    w = [0.125] * d_
-
-    def s_expr(wvec):  # left-associated centered dot, term order = dim
-        s = None
-        for d in range(d_):
-            t = (F.col("v").getItem(d) - F.lit(mu[d])) * F.lit(wvec[d])
-            s = t if s is None else s + t
-        return s
-
-    lams = []  # exact Decimal Rayleigh numerators, one per iterate
-    for _ in range(POWER_ITERS):
-        zr = (
-            emb.select(s_expr(w).alias("s"), "v")
-            .agg(
-                dec(F.col("s") * F.col("s")).alias("lam"),
-                *[
-                    dec(F.col("s") * (F.col("v").getItem(d) - F.lit(mu[d])))
-                    .cast("double")
-                    .alias(f"z{d}")
-                    for d in range(d_)
-                ],
-            )
-            .collect()[0]
+                dec(F.col("x")).cast("double") / F.count("*"), 6
+            ).alias("m"),
+            F.count("*").alias("n"),
         )
-        lams.append(zr["lam"])
-        # renormalize via SQL-semantics ROUND on a 1-row frame (python
-        # round() is banker's — it would drift from the oracle's ROUND)
-        zdf = spark.createDataFrame(
-            [tuple(float(zr[f"z{d}"]) for d in range(d_))],
-            ", ".join(f"z{d} double" for d in range(d_)),
-        )
-        nrm = None
-        for d in range(d_):
-            t = F.col(f"z{d}") * F.col(f"z{d}")
-            nrm = t if nrm is None else nrm + t
-        wr = zdf.select(
-            *[
-                F.round(F.col(f"z{d}") / F.sqrt(nrm), 6).alias(f"w{d}")
-                for d in range(d_)
-            ]
-        ).collect()[0]
-        w = [float(wr[f"w{d}"]) for d in range(d_)]
-
-    xx = None
-    for d in range(d_):
-        t = (F.col("v").getItem(d) - F.lit(mu[d])) * (
-            F.col("v").getItem(d) - F.lit(mu[d])
-        )
-        xx = t if xx is None else xx + t
-    frow = (
-        emb.select(s_expr(w).alias("s"), xx.alias("xx"))
-        .agg(dec(F.col("s") * F.col("s")).alias("lam"), dec(F.col("xx")).alias("tv"))
-        .collect()[0]
+        .collect()
     )
-    lams.append(frow["lam"])
+    mu = [0.0] * d_
+    for r in mu_rows:
+        mu[int(r.pos)] = float(r.m)
+    n = int(mu_rows[0].n)
+
+    mu_lit = F.lit(mu)
+    cov_rows = (
+        emb.select("v", F.posexplode("v").alias("i", "xi"))
+        .select("i", "xi", F.posexplode("v").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            dec(
+                (F.col("xi") - F.element_at(mu_lit, F.col("i") + 1))
+                * (F.col("xj") - F.element_at(mu_lit, F.col("j") + 1))
+            ).alias("c")
+        )
+        .collect()
+    )
+    # symmetric fill; float(Decimal) is correctly rounded, same as the
+    # oracle's CAST(DECIMAL AS DOUBLE)
+    C = [[0.0] * d_ for _ in range(d_)]
+    tv_dec = None
+    for r in cov_rows:
+        i, j = int(r.i), int(r.j)
+        C[i][j] = C[j][i] = float(r.c)
+        if i == j:
+            tv_dec = r.c if tv_dec is None else tv_dec + r.c
+    tv = float(tv_dec)
+
+    # driver-side power iteration — every op below is an IEEE double
+    # chain the oracle replays verbatim (left-associated, j ascending)
+    import math
+
+    w = [0.125] * d_
+    lams = []
+    for _ in range(POWER_ITERS):
+        z = []
+        for i in range(d_):
+            acc = C[i][0] * w[0]
+            for j in range(1, d_):
+                acc = acc + C[i][j] * w[j]
+            z.append(acc)
+        lam = w[0] * z[0]
+        for j in range(1, d_):
+            lam = lam + w[j] * z[j]
+        lams.append(lam)
+        nrm = z[0] * z[0]
+        for j in range(1, d_):
+            nrm = nrm + z[j] * z[j]
+        nrm = math.sqrt(nrm)
+        w = [zi / nrm for zi in z]
+    z = []
+    for i in range(d_):
+        acc = C[i][0] * w[0]
+        for j in range(1, d_):
+            acc = acc + C[i][j] * w[j]
+        z.append(acc)
+    lam = w[0] * z[0]
+    for j in range(1, d_):
+        lam = lam + w[j] * z[j]
+    lams.append(lam)
+
     rep = spark.createDataFrame(
         [(t, lams[t]) for t in range(POWER_ITERS + 1)],
-        "iter long, lam decimal(28,6)",
+        "iter long, lam double",
     )
-    const = spark.createDataFrame(
-        [(frow["tv"], n)], "tv decimal(28,6), n long"
-    )
+    const = spark.createDataFrame([(tv, n)], "tv double, n long")
     return (
         rep.join(F.broadcast(const))
         .select(
             "iter",
-            F.round(F.col("lam").cast("double") / F.col("n"), 6).alias(
-                "var_along"
-            ),
-            F.floor(
-                F.lit(1000000.0)
-                * F.col("lam").cast("double")
-                / F.col("tv").cast("double")
-            )
+            F.round(F.col("lam") / F.col("n"), 6).alias("var_along"),
+            F.floor(F.lit(1000000.0) * F.col("lam") / F.col("tv"))
             .cast("long")
             .alias("var_share_ppm"),
-            F.round(F.col("tv").cast("double") / F.col("n"), 6).alias(
-                "var_total"
-            ),
+            F.round(F.col("tv") / F.col("n"), 6).alias("var_total"),
         )
         .orderBy("iter")
     )
 
 
 def _pca_oracle() -> str:
-    """Generated DuckDB twin of the power iteration: mean CTE ->
-    POWER_ITERS x (per-row centered-dot CTE + decimal-sum z/Rayleigh
-    CTE + renormalized w CTE) -> final Rayleigh + total variance,
-    every stage expression-for-expression the Spark aggregates."""
+    """Generated DuckDB twin: mean CTE -> upper-triangle covariance
+    (same decimal-sum cells) -> per-dimension covariance-row LISTS ->
+    POWER_ITERS+1 tiny list-CTE steps. Every cross-row sum is a
+    decimal sum; every state op is list_dot_product / list_transform
+    — DuckDB's sequential left folds, the proven bit-twins of the
+    driver-side python loops (same convention as _dot everywhere
+    else). The first cut pivoted the covariance to 64x64 CASE columns
+    with explicit 64-term chains per z component — ~1.3M planner
+    expression nodes, which OOMs DuckDB before execution starts;
+    the list formulation is ~200x smaller and identical in value."""
     d_ = PCA_DIM
-
-    def sterm(wref):
-        return " + ".join(
-            f"(e.v[{d + 1}] - m.m{d}) * {wref}.c{d}" for d in range(d_)
-        )
 
     mu_cols = ",\n         ".join(
         f"ROUND(CAST(SUM(CAST(ROUND(v[{d + 1}], 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS m{d}"
         for d in range(d_)
     )
-    w0_cols = ", ".join(f"0.125 AS c{d}" for d in range(d_))
     its = []
     prev = "w0"
-    for t in range(1, POWER_ITERS + 1):
-        z_cols = ",\n         ".join(
-            f"CAST(SUM(CAST(ROUND(s * (v[{d + 1}] - m{d}), 6) AS DECIMAL(18,6))) AS DOUBLE) AS z{d}"
-            for d in range(d_)
-        )
-        nrm = " + ".join(f"z{d} * z{d}" for d in range(d_))
-        wn_cols = ", ".join(
-            f"ROUND(z{d} / sqrt({nrm}), 6) AS c{d}" for d in range(d_)
-        )
-        its.append(
-            f"""s{t} AS (
-  SELECT e.v, {", ".join(f"m.m{d}" for d in range(d_))},
-         {sterm(prev)} AS s
-  FROM e CROSS JOIN mu m CROSS JOIN {prev}
+    for t in range(POWER_ITERS + 1):
+        step = f"""zr{t} AS (
+  SELECT cl.i, list_dot_product(cl.cl, w.wl) AS z
+  FROM cov_list cl CROSS JOIN {prev} w
 ),
-z{t} AS (
-  SELECT SUM(CAST(ROUND(s * s, 6) AS DECIMAL(18,6))) AS lam,
-         {z_cols}
-  FROM s{t}
-),
-w{t} AS (SELECT {wn_cols} FROM z{t})"""
-        )
-        prev = f"w{t}"
-    xx = " + ".join(
-        f"(e.v[{d + 1}] - m.m{d}) * (e.v[{d + 1}] - m.m{d})"
-        for d in range(d_)
-    )
+zl{t} AS (SELECT list(z ORDER BY i) AS zl FROM zr{t}),
+lam{t} AS (
+  SELECT list_dot_product(w.wl, z.zl) AS lam
+  FROM {prev} w CROSS JOIN zl{t} z
+)"""
+        if t < POWER_ITERS:
+            step += f""",
+w{t + 1} AS (
+  SELECT list_transform(
+           zl, x -> x / sqrt(list_dot_product(zl, zl))
+         ) AS wl
+  FROM zl{t}
+)"""
+        its.append(step)
+        prev = f"w{t + 1}"
+    w0_list = ", ".join("0.125" for _ in range(d_))
     lam_rows = "\n  UNION ALL ".join(
-        f"SELECT {t} AS iter, lam FROM z{t + 1}" for t in range(POWER_ITERS)
+        f"SELECT {t} AS iter, lam FROM lam{t}" for t in range(POWER_ITERS + 1)
     )
     return f"""
 WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3010,26 +3014,38 @@ mu AS (
          {mu_cols}
   FROM e
 ),
-w0 AS (SELECT {w0_cols}),
+mu_l AS (SELECT n, [{", ".join(f"m{d}" for d in range(d_))}] AS ml FROM mu),
+cov AS (
+  SELECT i.i, j.j,
+         SUM(CAST(ROUND((e.v[i.i + 1] - m.ml[i.i + 1])
+                        * (e.v[j.j + 1] - m.ml[j.j + 1]), 6)
+                  AS DECIMAL(18,6))) AS c
+  FROM e CROSS JOIN mu_l m
+       CROSS JOIN generate_series(0, {d_ - 1}) i(i)
+       CROSS JOIN generate_series(0, {d_ - 1}) j(j)
+  WHERE j.j >= i.i
+  GROUP BY i.i, j.j
+),
+cov_full AS (
+  SELECT i, j, c FROM cov
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cov WHERE j > i
+),
+cov_list AS (
+  SELECT i, list(CAST(c AS DOUBLE) ORDER BY j) AS cl
+  FROM cov_full GROUP BY i
+),
+tv AS (SELECT CAST(SUM(c) AS DOUBLE) AS tv FROM cov WHERE i = j),
+w0 AS (SELECT [{w0_list}] AS wl),
 {",".join(its)},
-fin AS (
-  SELECT {sterm(prev)} AS s, {xx} AS xx
-  FROM e CROSS JOIN mu m CROSS JOIN {prev}
-),
-zf AS (
-  SELECT SUM(CAST(ROUND(s * s, 6) AS DECIMAL(18,6))) AS lam,
-         SUM(CAST(ROUND(xx, 6) AS DECIMAL(18,6))) AS tv
-  FROM fin
-),
 report AS (
   {lam_rows}
-  UNION ALL SELECT {POWER_ITERS} AS iter, lam FROM zf
 )
 SELECT CAST(r.iter AS BIGINT) AS iter,
-       ROUND(CAST(r.lam AS DOUBLE) / m.n, 6) AS var_along,
-       CAST(FLOOR(1000000.0 * CAST(r.lam AS DOUBLE) / CAST(z.tv AS DOUBLE)) AS BIGINT) AS var_share_ppm,
-       ROUND(CAST(z.tv AS DOUBLE) / m.n, 6) AS var_total
-FROM report r CROSS JOIN zf z CROSS JOIN mu m
+       ROUND(r.lam / m.n, 6) AS var_along,
+       CAST(FLOOR(1000000.0 * r.lam / t.tv) AS BIGINT) AS var_share_ppm,
+       ROUND(t.tv / m.n, 6) AS var_total
+FROM report r CROSS JOIN tv t CROSS JOIN mu_l m
 ORDER BY iter
 """
 
