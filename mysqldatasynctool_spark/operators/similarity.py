@@ -3052,3 +3052,142 @@ ORDER BY iter
 
 QUERIES["similarity_pca_power_iteration"] = similarity_pca_power_iteration
 ORACLES["similarity_pca_power_iteration"] = _pca_oracle()
+
+
+#: incremental-index split: every 5th vector plays the incoming batch
+INCR_INDEX_MOD = 5
+
+
+def similarity_incremental_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ANN index maintenance — the FAISS ``index.add``
+    story: vectors arriving AFTER the index was trained are assigned
+    into the EXISTING trained cells (no retraining — retraining on
+    every ingest batch is exactly what production avoids), and the
+    operator reports the per-cell occupancy drift that tells the index
+    owner when a retrain IS finally due. Base corpus = vectors with
+    ``vec_id % INCR_INDEX_MOD != 0`` (the index as trained); incoming
+    batch = the rest. Output per cell: base/new member counts, each
+    side's integer-ppm occupancy share, and ``drift_milli`` — the
+    new-batch share as milli-multiples of the base share (1000 = the
+    cell ingests exactly its historical proportion; cells the batch
+    overloads read >1000). Cells the batch never touches still report
+    (n_new = 0), so starvation is as visible as overload.
+
+    Mechanics: ``_assign_cells`` is called on the BASE first (training
+    + caching the centroids under this entry's own cache key), then on
+    the incoming batch under the SAME key — the in-process centroid
+    cache guarantees the second call ASSIGNS ONLY, against the
+    base-trained cells; the call order inside this function is the
+    correctness contract. Shares are ppm-normalized BEFORE the drift
+    division (the ``similarity_cluster_topics`` int64 discipline).
+
+    100 TB: assignment stays the capped-broadcast matmul scan on both
+    sides; the report is two (cell) partial-agg shuffles of counts and
+    one full-outer equi-join on ≤4096 cell ids; totals ride literals
+    (driver counts), never a crossJoin. Reference: SURVEY.md §2B
+    similarity row — the maintenance half of the IVF family.
+    """
+    emb = _vecs(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % INCR_INDEX_MOD != 0)
+    newb = emb.filter(F.col("vec_id") % INCR_INDEX_MOD == 0)
+    ck = f"{sf_dir}::incr_base"
+    base_cells, _ = _assign_cells(spark, base, probes=1, cache_key=ck)
+    # cache hit by construction: same key, centroids just trained on
+    # the base — this call only assigns
+    new_cells, _ = _assign_cells(spark, newb, probes=1, cache_key=ck)
+    b = (
+        base_cells.select(F.element_at("cells", 1).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_base"))
+    )
+    nw = (
+        new_cells.select(F.element_at("cells", 1).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_new"))
+    )
+    total_base = base.count()
+    total_new = newb.count()
+    return (
+        b.join(nw, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn(
+            "share_base_ppm",
+            F.expr(f"n_base * 1000000 div {total_base}"),
+        )
+        .withColumn(
+            "share_new_ppm",
+            F.expr(f"n_new * 1000000 div {total_new}"),
+        )
+        .withColumn(
+            "drift_milli",
+            F.expr("share_new_ppm * 1000 div greatest(share_base_ppm, 1)"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _incremental_index_oracle() -> str:
+    # the lloyd chain trains on CTE `e`, which HERE is the base subset
+    # only — the incoming batch (`en`) is assigned against those
+    # centroids without influencing them, mirroring the Spark side's
+    # cache-ordered two-call contract
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
+  WHERE vec_id % {INCR_INDEX_MOD} <> 0
+),
+en AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
+  WHERE vec_id % {INCR_INDEX_MOD} = 0
+),
+{_lloyd_chain_sql()},
+assign_b AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) / (e.vnorm * c.cnorm) DESC,
+                      c.cid ASC) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+assign_n AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT en.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY en.vec_id
+             ORDER BY list_dot_product(en.v, c.cv) / (en.vnorm * c.cnorm) DESC,
+                      c.cid ASC) AS rn
+    FROM en CROSS JOIN c
+  ) WHERE rn = 1
+),
+b AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base FROM assign_b GROUP BY cell),
+nw AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new FROM assign_n GROUP BY cell),
+tb AS (SELECT COUNT(*) AS t FROM e),
+tn AS (SELECT COUNT(*) AS t FROM en),
+joined AS (
+  SELECT COALESCE(b.cell, nw.cell) AS cell,
+         COALESCE(b.n_base, 0) AS n_base,
+         COALESCE(nw.n_new, 0) AS n_new
+  FROM b FULL OUTER JOIN nw ON b.cell = nw.cell
+)
+SELECT j.cell, j.n_base, j.n_new,
+       (j.n_base * 1000000) // tb.t AS share_base_ppm,
+       (j.n_new * 1000000) // tn.t AS share_new_ppm,
+       ((j.n_new * 1000000) // tn.t * 1000)
+         // GREATEST((j.n_base * 1000000) // tb.t, 1) AS drift_milli
+FROM joined j CROSS JOIN tb CROSS JOIN tn
+ORDER BY j.cell
+"""
+
+
+QUERIES["similarity_incremental_index"] = similarity_incremental_index
+ORACLES["similarity_incremental_index"] = _incremental_index_oracle()

@@ -384,3 +384,29 @@ def test_pca_rayleigh_ascent_invariants(spark):
         # for the 6-dp rounding of var_along)
         approx = 1_000_000 * r.var_along / r.var_total
         assert abs(r.var_share_ppm - approx) <= 60
+
+
+def test_incremental_index_invariants(spark):
+    """Incremental index maintenance (r11): every base vector and
+    every incoming vector lands in exactly one cell (count
+    conservation on both sides); shares are the exact integer ppm of
+    the reported counts; drift_milli is the exact integer formula; a
+    cell with zero new members reports drift 0; the incoming batch is
+    non-empty and strictly smaller than the base."""
+    rows = sim.similarity_incremental_index(spark, SF).collect()
+    assert rows
+    n_vec = sim._vecs(spark, SF).count()
+    t_new = n_vec // sim.INCR_INDEX_MOD  # vec_ids are 0..n-1
+    t_base = n_vec - t_new
+    assert 0 < t_new < t_base
+    assert sum(r.n_base for r in rows) == t_base
+    assert sum(r.n_new for r in rows) == t_new
+    assert len({r.cell for r in rows}) == len(rows)
+    for r in rows:
+        assert r.share_base_ppm == (1_000_000 * r.n_base) // t_base
+        assert r.share_new_ppm == (1_000_000 * r.n_new) // t_new
+        assert r.drift_milli == (r.share_new_ppm * 1000) // max(
+            r.share_base_ppm, 1
+        )
+        if r.n_new == 0:
+            assert r.drift_milli == 0
