@@ -1876,14 +1876,18 @@ ORACLES["similarity_pq_audit"] = _pq_audit_oracle()
 #: (the cheapest recall lever — exact stage is O(queries×SHORTLIST)).
 #: PROBES: IVF cells searched per query (recall/scan-volume knob; the
 #: single biggest recall lever once the √N cell rule shrinks cells).
-#: With Lloyd-trained cells + codebook (r11), PROBES=16 / SHORTLIST=128
-#: measures recall@5 ≈ 0.90 at sf0.01 and ≈ 0.73 at sf0.1 (vs 0.40
-#: untrained at PROBES=4/SHORTLIST=40). Both knobs are FIXED counts,
-#: not corpus fractions: at the production k = 4096 cell cap, 16
-#: probes touch 0.4% of the index — the FAISS nprobe shape — and the
-#: exact stage stays O(queries × 128).
-IVFPQ_SHORTLIST = 128
-IVFPQ_PROBES = 16
+#: r11 retune, measured on the live operator vs the bruteforce truth:
+#: PROBES=16/SHORTLIST=128 gave recall@5 0.90 (sf0.01) / 0.73 (sf0.1)
+#: / 0.75 (×10 stress); the sweep showed SHORTLIST as binding as
+#: PROBES (ADC quantization error needs the deeper exact re-rank:
+#: 32/128 → 0.80 but 16/256 → 0.78 and 32/256 → 0.90 at sf0.1), so
+#: the shipped point is PROBES=32 / SHORTLIST=256 — recall@5 0.90 at
+#: sf0.1 and 0.84 at the ×10 stress at unchanged fixture wall. Both
+#: knobs stay FIXED counts, not corpus fractions: at the production
+#: k = 4096 cell cap, 32 probes touch 0.8% of the index — the FAISS
+#: nprobe shape — and the exact stage stays O(queries × 256).
+IVFPQ_SHORTLIST = 256
+IVFPQ_PROBES = 32
 
 
 #: per-process cache of trained PQ codebooks, keyed by (sf_dir, iters)
