@@ -93,6 +93,9 @@ HEADLINE = [
     "similarity_cluster_topics",
     "pipeline_cluster_balanced_sample",
     "similarity_pca_power_iteration",
+    # index-maintenance throughput: two assignment scans (train-on-base
+    # + assign-only) and the drift join
+    "similarity_incremental_index",
 ]
 
 
