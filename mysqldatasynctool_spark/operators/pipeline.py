@@ -39,7 +39,9 @@ NGRAM_N = 4
 
 # the engine-portable 60-bit md5 idiom lives in functions/hashing.py
 # (shared with the checksum discipline in operators/compare.py)
+from ..functions.hashing import duck_md5_low60 as _duck_md5_low60
 from ..functions.hashing import duck_md5_mod as _duck_md5_mod
+from ..functions.hashing import md5_low60 as _md5_low60
 from ..functions.hashing import md5_mod as _md5_mod
 
 
@@ -870,6 +872,99 @@ ORDER BY j.cell, j.rk
 """
 
 
+#: quality-weighted acceptance: floor probability (ppm) for a
+#: zero-quality doc, plus per-decile gain — decile 10 keeps everything
+QWS_FLOOR_PPM = 100_000
+QWS_GAIN_PPM = 90_000
+
+
+def pipeline_quality_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-weighted corpus subsampling — the upsample-good/
+    downsample-bad step between hard quality GATES (gopher rules:
+    in/out) and uniform sampling: each doc is kept with probability
+    proportional to its heuristic quality, so low-quality text is
+    thinned rather than erased. Mirrors the quality-weighted mixture
+    moves of DoReMi/DCLM-style curation in deterministic form.
+
+    Determinism: quality is re-derived as an INTEGER decile (the same
+    three components as ``text_quality_score``, weighted 4/3/3 —
+    integer arithmetic sidesteps the double*int truncation hazard of
+    0.7*900000 = 629999.999…), keep-probability is ``QWS_FLOOR_PPM +
+    decile*QWS_GAIN_PPM`` ppm, and acceptance compares it against the
+    doc's engine-portable md5-uniform draw (``functions/hashing.py``
+    low-60-bit idiom, salted 'qws:' so this sampler is independent of
+    the split/shard/sample hashes). Reproducible across runs, engines
+    and partitionings; no rand() anywhere.
+
+    100 TB: one scan, all row-local expressions (regexp counts +
+    hash compare), zero shuffles before the output sort — the sampler
+    itself is a pure map-side filter that composes with any
+    downstream op.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|and|is)\b"))
+    alpha_chars = F.length(
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", "")
+    )
+    mean_tok_len = alpha_chars / n_tokens
+    decile = (
+        F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(4)).otherwise(
+            F.lit(0)
+        )
+        + F.when((n_stop / n_tokens) > 0.05, F.lit(3)).otherwise(F.lit(0))
+        + F.when(
+            (mean_tok_len >= 3) & (mean_tok_len <= 10), F.lit(3)
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    u_ppm = _md5_low60(
+        F.concat(F.lit("qws:"), F.col("doc_id").cast("string"))
+    ) % 1_000_000
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            decile.alias("quality_decile"),
+            (F.lit(QWS_FLOOR_PPM) + decile * QWS_GAIN_PPM).alias("keep_ppm"),
+            u_ppm.alias("draw_ppm"),
+        )
+        .filter(F.col("draw_ppm") < F.col("keep_ppm"))
+        .orderBy("doc_id")
+    )
+
+
+def _quality_weighted_sample_oracle() -> str:
+    u = _duck_md5_low60("concat('qws:', CAST(doc_id AS VARCHAR))")
+    return rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS n_stopwords,
+         length(regexp_replace(trim(text), '\s+', '', 'g')) AS alpha_chars,
+         {u} % 1000000 AS draw_ppm
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, draw_ppm,
+         CAST(
+           (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 4 ELSE 0 END)
+           + (CASE WHEN n_stopwords * 1.0 / n_tokens > 0.05 THEN 3 ELSE 0 END)
+           + (CASE WHEN alpha_chars * 1.0 / n_tokens BETWEEN 3 AND 10 THEN 3 ELSE 0 END)
+         AS BIGINT) AS quality_decile
+  FROM d
+)
+SELECT doc_id, source, quality_decile,
+       {QWS_FLOOR_PPM} + quality_decile * {QWS_GAIN_PPM} AS keep_ppm,
+       draw_ppm
+FROM scored
+WHERE draw_ppm < {QWS_FLOOR_PPM} + quality_decile * {QWS_GAIN_PPM}
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_pack_sequences": pipeline_pack_sequences,
@@ -883,6 +978,7 @@ QUERIES = {
     "pipeline_sample_per_group": pipeline_sample_per_group,
     "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
     "pipeline_cluster_balanced_sample": pipeline_cluster_balanced_sample,
+    "pipeline_quality_weighted_sample": pipeline_quality_weighted_sample,
 }
 
 ORACLES = {
@@ -898,4 +994,5 @@ ORACLES = {
     "pipeline_sample_per_group": PIPELINE_SAMPLE_PER_GROUP_ORACLE,
     "pipeline_leakage_safe_split": _leakage_safe_split_oracle(),
     "pipeline_cluster_balanced_sample": _cluster_balanced_sample_oracle(),
+    "pipeline_quality_weighted_sample": _quality_weighted_sample_oracle(),
 }

