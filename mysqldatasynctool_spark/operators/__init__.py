@@ -47,9 +47,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:    r3-era pipeline/events-asof/TPC-H blocks (overlap with the r10
 #:    slate: 5 names, all from the re-changed seeding family);
 #: 3) everything else oldest-green-record-first, unchanged relative
-#:    order. Full registry re-verified locally this round at sf0.01
-#:    (driver_sim sweep, 194/194), changed entries re-swept after
-#:    every edit at sf0.001/0.01/0.1.
+#:    order. Full registry re-verified locally this round by WHOLESALE
+#:    driver_sim sweeps at sf0.001, sf0.01 AND sf0.1 (199/199 each;
+#:    the 200th entry landed after and was swept at all three scales
+#:    individually), changed entries re-swept after every edit.
 VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_lsh_multiprobe",
     "streaming_run_funnel_join",

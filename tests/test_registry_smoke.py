@@ -17,7 +17,7 @@ def test_registry_imports_and_is_complete():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    assert len(queries) >= 192, f"registry shrank: {len(queries)} queries"
+    assert len(queries) >= 200, f"registry shrank: {len(queries)} queries"
     assert set(oracles) <= set(queries), "oracle for unknown query"
     missing = set(queries) - set(oracles)
     assert not missing, f"queries without oracles: {sorted(missing)}"
