@@ -184,3 +184,63 @@ def make_frame_sample_batches(
             yield _pd.DataFrame(out, columns=cols)
 
     return _batches
+
+
+#: audio windowing: treat the payload as 8-bit PCM samples and emit
+#: OVERLAPPING analysis windows — window 256 samples, hop 128 (50%
+#: overlap), full windows only. The hop<window overlap is what
+#: distinguishes the audio/STFT shape from the video sampler's
+#: disjoint strided frames.
+AUDIO_WINDOW = 256
+AUDIO_HOP = 128
+
+AUDIO_SCHEMA = (
+    "doc_id long, win_idx int, start int, n_samples int, "
+    "energy long, digest string"
+)
+
+
+def make_audio_window_batches(
+    payload_col: str = "payload",
+    window: int = AUDIO_WINDOW,
+    hop: int = AUDIO_HOP,
+):
+    """Factory for the audio-windowing mapInPandas body: each payload
+    fans out to one row per full overlapping window with its start
+    sample, EXACT integer energy (sum of squared centered 8-bit
+    samples — (b-128)^2 summed as python ints, so the value is
+    engine-exact with no float anywhere), and the window's content
+    digest. Closure-factory pattern — see make_decode_batches; the
+    real PCM decoder swaps in the same way the image codec does."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        cols = ["doc_id", "win_idx", "start", "n_samples", "energy", "digest"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                idx = 0
+                for start in range(0, len(data) - window + 1, hop):
+                    win = data[start : start + window]
+                    energy = 0
+                    for b in win:
+                        c = b - 128
+                        energy += c * c
+                    out.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            start,
+                            window,
+                            energy,
+                            hashlib.md5(win).hexdigest(),
+                        )
+                    )
+                    idx += 1
+            yield _pd.DataFrame(out, columns=cols)
+
+    return _batches

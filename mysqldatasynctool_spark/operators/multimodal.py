@@ -13,9 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.multimodal import (
+    AUDIO_HOP,
+    AUDIO_SCHEMA,
+    AUDIO_WINDOW,
     DECODE_SCHEMA,
     RESIZE_SCHEMA,
     RESIZE_TARGET,
+    make_audio_window_batches,
     make_resize_batches,
     FRAME_BYTES,
     FRAME_SCHEMA,
@@ -201,3 +205,57 @@ ORACLES = {
     "multimodal_frame_sample": MULTIMODAL_FRAME_ORACLE,
     "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
 }
+
+
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing for PCM-shaped payloads — the STFT-prep shape
+    every audio pipeline runs before feature extraction: each payload
+    fans out to one row per OVERLAPPING analysis window (256 samples,
+    hop 128 — the 50% overlap is exactly what the video sampler's
+    disjoint strided frames cannot express) carrying the start
+    sample, an EXACT integer energy (sum of squared centered 8-bit
+    samples, no float anywhere), and the window digest. Completes the
+    multimodal quartet's audio corner; the real PCM decode swaps in
+    at the same closure point as the image codec
+    (functions/multimodal.py).
+
+    100 TB shape: pure map-side fan-out (mapInPandas), zero shuffles;
+    rows carry a digest + three ints, never sample buffers; windows
+    per payload is ~n/hop, so output scales linearly with corpus
+    bytes regardless of overlap.
+    """
+    payloads = _with_payload(spark, sf_dir).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        make_audio_window_batches(), schema=AUDIO_SCHEMA
+    ).orderBy("doc_id", "win_idx")
+
+
+MULTIMODAL_AUDIO_ORACLE = f"""
+-- fixture text is pure ASCII (BLOB==VARCHAR slicing, ascii() == the
+-- byte value), so the energy and digest replicate exactly
+WITH wins AS (
+  SELECT doc_id, text, CAST(s AS INT) AS start,
+         CAST(s / {AUDIO_HOP} AS INT) AS win_idx
+  FROM documents,
+       LATERAL (
+         SELECT unnest(range(
+           0,
+           GREATEST(octet_length(CAST(text AS BLOB)) - {AUDIO_WINDOW} + 1, 0),
+           {AUDIO_HOP})) AS s
+       )
+),
+pos AS (SELECT unnest(range(0, {AUDIO_WINDOW})) AS j)
+SELECT w.doc_id, w.win_idx, w.start,
+       CAST({AUDIO_WINDOW} AS INT) AS n_samples,
+       CAST(SUM(
+         (ascii(substring(w.text, CAST(w.start + p.j + 1 AS BIGINT), 1)) - 128)
+         * (ascii(substring(w.text, CAST(w.start + p.j + 1 AS BIGINT), 1)) - 128)
+       ) AS BIGINT) AS energy,
+       md5(substring(w.text, CAST(w.start + 1 AS BIGINT), {AUDIO_WINDOW})) AS digest
+FROM wins w CROSS JOIN pos p
+GROUP BY w.doc_id, w.win_idx, w.start, w.text
+ORDER BY w.doc_id, w.win_idx
+"""
+
+QUERIES["multimodal_audio_windows"] = multimodal_audio_windows
+ORACLES["multimodal_audio_windows"] = MULTIMODAL_AUDIO_ORACLE

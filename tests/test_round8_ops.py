@@ -437,3 +437,48 @@ def test_quality_weighted_sample_invariants(spark):
     full = text_quality_score(spark, SF).collect()
     n_ten_corpus = sum(1 for r in full if abs(r.quality_score - 1.0) < 1e-9)
     assert len(ten) == n_ten_corpus
+
+
+def test_audio_windows_invariants(spark):
+    """Audio windowing (r11): window starts advance by HOP with 50%
+    OVERLAP (consecutive windows share bytes — the property the
+    disjoint frame sampler can't have), indices are contiguous per
+    doc, only full windows emit (start + WINDOW <= payload length),
+    and the integer energy is bounded by WINDOW * 128^2."""
+    from mysqldatasynctool_spark.functions.multimodal import (
+        AUDIO_HOP,
+        AUDIO_WINDOW,
+    )
+    from mysqldatasynctool_spark.operators.multimodal import (
+        multimodal_audio_windows,
+    )
+    from mysqldatasynctool_spark.sources.fixtures import load
+
+    rows = multimodal_audio_windows(spark, SF).collect()
+    assert rows
+    n_bytes = {
+        r.doc_id: r.n
+        for r in load(spark, SF, "documents")
+        .select("doc_id", F.length(F.encode("text", "utf-8")).alias("n"))
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert AUDIO_HOP < AUDIO_WINDOW  # the overlap contract itself
+    for doc_id, rs in by_doc.items():
+        rs = sorted(rs, key=lambda r: r.win_idx)
+        assert [r.win_idx for r in rs] == list(range(len(rs)))
+        for i, r in enumerate(rs):
+            assert r.start == i * AUDIO_HOP
+            assert r.n_samples == AUDIO_WINDOW
+            assert r.start + AUDIO_WINDOW <= n_bytes[doc_id]
+            assert 0 <= r.energy <= AUDIO_WINDOW * 128 * 128
+        # every full window emitted: the count is exactly
+        # floor((n - WINDOW)/HOP) + 1
+        expect = (n_bytes[doc_id] - AUDIO_WINDOW) // AUDIO_HOP + 1
+        assert len(rs) == expect
+    # docs shorter than one window emit nothing
+    for doc_id, n in n_bytes.items():
+        if n < AUDIO_WINDOW:
+            assert doc_id not in by_doc
