@@ -32,7 +32,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: stable order.
 #:
 #: ROUND-11 ROTATION (tools/correctness_union.py):
-#: 1) positions 1–19: every entry the r11 work changed — the
+#: 1) positions 1–20: every entry the r11 work changed — the
 #:    stale-green list (multiprobe LSH rewritten multi-table; the
 #:    IVF/k-means/IVFPQ family and dedup_semantic_cells on trained
 #:    centroids; the r8-era streaming_run_funnel_join and
@@ -43,7 +43,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:    pipeline_cluster_balanced_sample (first records), and both
 #:    MMR entries (9-dp pick hardening lives in shared helpers the
 #:    union tool's function-span blame cannot see);
-#: 2) positions 20–50: the union tool's oldest-green rotation — the
+#: 2) positions 21–50: the union tool's oldest-green rotation — the
 #:    r3-era pipeline/events-asof/TPC-H blocks (overlap with the r10
 #:    slate: 5 names, all from the re-changed seeding family);
 #: 3) everything else oldest-green-record-first, unchanged relative
@@ -71,6 +71,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_incremental_index",
     "pipeline_quality_weighted_sample",
     "multimodal_audio_windows",
+    "pipeline_token_budget_planner",
     # r11 semantics change the union tool's function-span blame CANNOT
     # see (the 9-dp pick hardening lives in the shared _mmr_select +
     # oracle template, outside both entries' own spans) — fresh records

@@ -965,6 +965,160 @@ ORDER BY doc_id
 """
 
 
+#: token-budget planner: budget as a fraction of the corpus (9/10 —
+#: high enough that temperature-upweighted small languages exceed
+#: their availability and the water-filling branch actually runs)
+PLAN_BUDGET_NUM, PLAN_BUDGET_DEN = 9, 10
+
+
+def pipeline_token_budget_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-constrained token-budget planning — the step
+    ``pipeline_mix_weights`` stops short of: a temperature-scaled
+    quota is a WISH, and a small language cannot supply more tokens
+    than it has (Muennighoff et al. 2023's data-constrained regime).
+    Per language: availability, the T=2 temperature quota against a
+    budget of 9/10 of the corpus, the capped first-round allocation,
+    and ONE water-filling round that redistributes the capped
+    languages' shortfall across the uncapped ones in proportion to
+    their weights (re-capped; integer flooring leaves a small
+    documented ``unallocated`` remainder rather than looping to
+    exhaustion). ``epochs_milli`` = 1000·alloc/avail is the
+    how-many-epochs-of-each-language readout the sampler consumes.
+    On the fixture, four of five languages cap and ``en`` absorbs the
+    overflow — both branches execute.
+
+    Engine-bit-exactness: the sqrt weights are quantized to
+    DECIMAL(18,6) before every normalizing sum (the
+    ``pipeline_mix_weights`` discipline), so each FLOOR sees
+    identical doubles in both engines; everything else is integer.
+
+    100 TB: one scan with a map-side token count to #languages rows;
+    the plan itself is window math over those few rows — the heavy
+    data never shuffles, and the output IS the sampler's config.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select("lang", F.size(tokens_col(F.col("text"))).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("avail"))
+    )
+    whole = W.partitionBy()
+    w_raw = F.round(F.sqrt(F.col("avail").cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
+    r1 = (
+        per.withColumn("w_raw", w_raw)
+        .withColumn("denom", F.sum("w_raw").over(whole))
+        .withColumn(
+            "budget",
+            F.expr(
+                f"(sum(avail) over () * {PLAN_BUDGET_NUM})"
+                f" div {PLAN_BUDGET_DEN}"
+            ),
+        )
+        .withColumn(
+            "quota",
+            F.floor(
+                (F.col("w_raw").cast("double") / F.col("denom").cast("double"))
+                * F.col("budget")
+            ).cast("long"),
+        )
+        .withColumn("alloc1", F.least("quota", "avail"))
+        .withColumn("capped", F.col("quota") > F.col("avail"))
+    )
+    r2 = (
+        r1.withColumn(
+            "leftover", F.col("budget") - F.sum("alloc1").over(whole)
+        )
+        .withColumn(
+            "uncap_denom",
+            F.sum(F.when(~F.col("capped"), F.col("w_raw"))).over(whole),
+        )
+        .withColumn(
+            "extra",
+            F.when(
+                F.col("capped") | F.col("uncap_denom").isNull(), F.lit(0)
+            ).otherwise(
+                F.floor(
+                    F.col("leftover")
+                    * (
+                        F.col("w_raw").cast("double")
+                        / F.col("uncap_denom").cast("double")
+                    )
+                ).cast("long")
+            ),
+        )
+        .withColumn(
+            "alloc", F.least(F.col("alloc1") + F.col("extra"), F.col("avail"))
+        )
+    )
+    return (
+        r2.withColumn(
+            "unallocated", F.col("budget") - F.sum("alloc").over(whole)
+        )
+        .select(
+            "lang",
+            F.col("avail").alias("avail_tokens"),
+            "budget",
+            "quota",
+            "capped",
+            "alloc",
+            F.expr("(1000 * alloc) div avail").alias("epochs_milli"),
+            "unallocated",
+        )
+        .orderBy("lang")
+    )
+
+
+def _token_budget_planner_oracle() -> str:
+    return rf"""
+WITH per AS (
+  SELECT lang,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, avail,
+         CAST(ROUND(sqrt(avail), 6) AS DECIMAL(18,6)) AS w_raw,
+         SUM(CAST(ROUND(sqrt(avail), 6) AS DECIMAL(18,6))) OVER () AS denom,
+         CAST((SUM(avail) OVER () * {PLAN_BUDGET_NUM}) // {PLAN_BUDGET_DEN}
+              AS BIGINT) AS budget
+  FROM per
+),
+r1 AS (
+  SELECT *,
+         CAST(FLOOR((CAST(w_raw AS DOUBLE) / CAST(denom AS DOUBLE)) * budget) AS BIGINT) AS quota
+  FROM w
+),
+r1b AS (
+  SELECT *, LEAST(quota, avail) AS alloc1, quota > avail AS capped FROM r1
+),
+r2 AS (
+  SELECT *,
+         budget - SUM(alloc1) OVER () AS leftover,
+         SUM(CASE WHEN NOT capped THEN w_raw END) OVER () AS uncap_denom
+  FROM r1b
+),
+r2b AS (
+  SELECT *,
+         CASE WHEN capped OR uncap_denom IS NULL THEN 0
+              ELSE CAST(FLOOR(leftover * (CAST(w_raw AS DOUBLE) / CAST(uncap_denom AS DOUBLE))) AS BIGINT)
+         END AS extra
+  FROM r2
+),
+r3 AS (
+  SELECT *, LEAST(alloc1 + extra, avail) AS alloc FROM r2b
+)
+SELECT lang, avail AS avail_tokens, budget, quota, capped, alloc,
+       CAST((1000 * alloc) // avail AS BIGINT) AS epochs_milli,
+       CAST(budget - SUM(alloc) OVER () AS BIGINT) AS unallocated
+FROM r3
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_pack_sequences": pipeline_pack_sequences,
@@ -979,6 +1133,7 @@ QUERIES = {
     "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
     "pipeline_cluster_balanced_sample": pipeline_cluster_balanced_sample,
     "pipeline_quality_weighted_sample": pipeline_quality_weighted_sample,
+    "pipeline_token_budget_planner": pipeline_token_budget_planner,
 }
 
 ORACLES = {
@@ -995,4 +1150,5 @@ ORACLES = {
     "pipeline_leakage_safe_split": _leakage_safe_split_oracle(),
     "pipeline_cluster_balanced_sample": _cluster_balanced_sample_oracle(),
     "pipeline_quality_weighted_sample": _quality_weighted_sample_oracle(),
+    "pipeline_token_budget_planner": _token_budget_planner_oracle(),
 }

@@ -482,3 +482,34 @@ def test_audio_windows_invariants(spark):
     for doc_id, n in n_bytes.items():
         if n < AUDIO_WINDOW:
             assert doc_id not in by_doc
+
+
+def test_token_budget_planner_invariants(spark):
+    """Token-budget planner (r11): both branches execute on the
+    fixture (some language caps, at least one absorbs overflow);
+    allocations never exceed availability; capped languages allocate
+    exactly their availability (epochs_milli == 1000); the budget is
+    conserved (sum(alloc) + unallocated == budget, unallocated >= 0
+    and small — integer flooring dust only, bounded by #langs after
+    one water-filling round when capacity remains)."""
+    from mysqldatasynctool_spark.operators import pipeline as pl
+
+    rows = pl.pipeline_token_budget_planner(spark, SF).collect()
+    assert rows
+    assert len({r.budget for r in rows}) == 1
+    budget = rows[0].budget
+    assert any(r.capped for r in rows)
+    assert any(not r.capped for r in rows)
+    for r in rows:
+        assert 0 <= r.alloc <= r.avail_tokens
+        assert r.epochs_milli == (1000 * r.alloc) // r.avail_tokens
+        if r.capped:
+            assert r.alloc == r.avail_tokens
+            assert r.epochs_milli == 1000
+    assert sum(r.alloc for r in rows) + rows[0].unallocated == budget
+    assert rows[0].unallocated >= 0
+    # if any uncapped language still has headroom, the leftover is
+    # flooring dust: strictly less than one token per language
+    headroom = [r for r in rows if not r.capped and r.alloc < r.avail_tokens]
+    if headroom:
+        assert rows[0].unallocated <= len(rows)
