@@ -49,7 +49,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: 3) everything else oldest-green-record-first, unchanged relative
 #:    order. Full FINAL registry re-verified locally this round by
 #:    WHOLESALE driver_sim sweeps at sf0.001, sf0.01 AND sf0.1
-#:    (201/201 each), changed entries re-swept after every edit.
+#:    (202/202 each), changed entries re-swept after every edit.
 VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_lsh_multiprobe",
     "streaming_run_funnel_join",
