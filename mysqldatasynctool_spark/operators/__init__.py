@@ -31,98 +31,138 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-11 ROTATION (tools/correctness_union.py):
-#: 1) positions 1–20: every entry the r11 work changed — the
-#:    stale-green list (multiprobe LSH rewritten multi-table; the
-#:    IVF/k-means/IVFPQ family and dedup_semantic_cells on trained
-#:    centroids; the r8-era streaming_run_funnel_join and
-#:    dedup_minhash_lsh), similarity_ann_recall_report (own span
-#:    unchanged, composed oracles changed), the two NEW retrieval
-#:    entries (text_bm25_topk, similarity_hybrid_rrf — first
-#:    records), similarity_cluster_topics and
-#:    pipeline_cluster_balanced_sample (first records), and both
-#:    MMR entries (9-dp pick hardening lives in shared helpers the
-#:    union tool's function-span blame cannot see);
-#: 2) positions 21–50: the union tool's oldest-green rotation — the
-#:    r3-era pipeline/events-asof/TPC-H blocks (overlap with the r10
-#:    slate: 5 names, all from the re-changed seeding family);
-#: 3) everything else oldest-green-record-first, unchanged relative
-#:    order. Full FINAL registry re-verified locally this round by
-#:    WHOLESALE driver_sim sweeps at sf0.001, sf0.01 AND sf0.1
-#:    (202/202 each), changed entries re-swept after every edit.
+#: ROUND-12 ROTATION (r11 verdict item 3 + tools/correctness_union.py):
+#: 1) positions 1–4: every entry whose code or shared helpers changed
+#:    this round — similarity_incremental_index (assign-only is now an
+#:    explicit centroids= parameter), both MMR entries (the greedy
+#:    decision key moved from round-9dp to floor(score*1e9) in BOTH
+#:    engines — the change lives in the shared _mmr_select + oracle
+#:    template, outside the union tool's function-span blame), and
+#:    streaming_run_funnel_join_left (horizon staging rewrites INT96
+#:    and re-keys its cache on source mtime/size);
+#: 2) positions 5–6: the two NEW r12 entries (similarity_range_search,
+#:    similarity_knn_label_vote) — first records;
+#: 3) positions 7–27: the 21 r6-era stale records the r11 verdict
+#:    ordered to the head of this round's slate;
+#: 4) positions 28–50: the union tool's oldest-green rotation (all
+#:    r7-era records);
+#: 5) everything else oldest-green-record-first, stable relative
+#:    order. Overlap with the r11 slate: 4 names (the changed-code
+#:    block), well under the <20 target.
 VERIFY_PRIORITY: tuple[str, ...] = (
-    "similarity_lsh_multiprobe",
-    "streaming_run_funnel_join",
-    "dedup_minhash_lsh",
-    "similarity_ivf_pandas",
-    "similarity_kmeans_step",
-    "similarity_ivfpq_topk",
-    "dedup_semantic_cells",
-    "similarity_ann_recall_report",
-    # new in r11 (BM25 lexical retrieval + hybrid RRF fusion + cluster
-    # topic profiling) — need their first records
-    "text_bm25_topk",
-    "similarity_hybrid_rrf",
-    "similarity_cluster_topics",
-    # new in r11: cluster-balanced subsampling over the same trained
-    # cells, and the power-iteration spectral audit — first records
-    "pipeline_cluster_balanced_sample",
-    "similarity_pca_power_iteration",
     "similarity_incremental_index",
-    "pipeline_quality_weighted_sample",
-    "multimodal_audio_windows",
-    "pipeline_token_budget_planner",
-    # r11 semantics change the union tool's function-span blame CANNOT
-    # see (the 9-dp pick hardening lives in the shared _mmr_select +
-    # oracle template, outside both entries' own spans) — fresh records
-    # required
     "similarity_mmr_rerank",
     "similarity_mmr_ann",
-    # new in r11: the LEFT OUTER stream-stream interval join run
-    # (sentinel-forced watermark closure) — first record
     "streaming_run_funnel_join_left",
-    "pipeline_decontaminate",
-    "pipeline_pack_sequences",
-    "pipeline_sample_stratified",
-    "pipeline_repetition_score",
-    "pipeline_mix_weights",
-    "pipeline_train_val_split",
-    "pipeline_global_shuffle",
-    "pipeline_end_to_end",
-    "events_asof_join",
-    "events_asof_join_salted",
-    "events_hypertable_rollup",
-    "migration_cdc_apply",
-    "text_pii_scrub",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q21_waiting_supplier_agg",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q20_potential_promotion",
-    "dedup_substring_spans",
-    "text_heavy_hitters",
+    "similarity_range_search",
+    "similarity_knn_label_vote",
     "agg_key_skew_report",
-    "join_fuzzy_ed1",
+    "dedup_substring_spans",
+    "events_anomaly_zscore",
+    "events_json_variant",
     "events_session_window_builtin",
     "events_sliding_distinct_users",
+    "events_zorder_key",
+    "graph_degree_stats",
+    "graph_pagerank_purchases",
     "join_bloom_pruned_semi",
-    "window_time_range_frame",
-    "events_json_variant",
-    "text_gopher_rules",
+    "join_fuzzy_ed1",
+    "migration_schema_audit",
+    "multimodal_resize",
+    "pipeline_incremental_dedup",
     "text_char_entropy",
+    "text_gopher_rules",
+    "text_heavy_hitters",
     "text_source_stats",
+    "text_unigram_perplexity",
+    "window_ewma_dyadic",
+    "window_time_range_frame",
+    "migration_column_profile",
+    "setop_except_distinct",
+    "setop_intersect_all",
+    "text_bpe_merge_step",
+    "migration_scd2_history",
+    "pipeline_sample_per_group",
+    "events_sliding_distinct_approx",
+    "join_point_in_time",
+    "events_ohlc_bars",
+    "sql_recursive_supplier_tree",
+    "migration_fk_discovery",
+    "migration_dq_expectations",
+    "similarity_dim_truncation_audit",
+    "migration_page_checksums",
+    "agg_market_basket",
+    "agg_rfm_segmentation",
+    "setop_symmetric_diff",
+    "streaming_run_ohlc",
+    "streaming_run_session_window",
+    "streaming_run_ewma",
+    "events_incremental_rollup",
+    "events_cusum_changepoint",
+    "window_running_drawdown",
+    "agg_cohort_ltv",
+    "events_markov_transitions",
+    "agg_gini_concentration",
+    "events_burst_detection",
+    "agg_robust_outliers",
+    "udf_udtf_windows",
+    "dedup_simhash",
+    "migration_row_diff",
+    "q21_waiting_supplier",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "project_filter",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_range_nonequi",
+    "agg_rollup",
+    "agg_cube",
+    "agg_distinct",
+    "dedup_minhash_containment",
+    "streaming_run_dedup",
+    "migration_partition_advisor",
+    "dedup_shrink_report",
+    "q1_pricing_summary_fast",
+    "dedup_clusters",
+    "dedup_lsh_recall_report",
+    "pipeline_leakage_safe_split",
+    "events_interval_overlap_join",
+    "agg_linear_fit",
+    "events_funnel_conversion",
+    "graph_triangle_count",
+    "q11_important_stock",
+    "q22_global_sales_opportunity",
+    "scalar_functions",
+    "sort_limit_topk",
+    "date_arithmetic",
+    "join_cross",
+    "pivot_status_priority",
+    "unpivot_part_metrics",
+    "agg_grouping_sets",
+    "agg_max_by",
+    "agg_moments_manual",
+    "agg_correlation_manual",
+    "agg_percentiles_exact",
+    "join_asof",
+    "string_functions2",
+    "null_conditional",
+    "sql_cte_subqueries",
+    "window_value_functions",
+    "window_topk_per_group",
+    "window_rank_functions",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_range_frame",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except_all",
+    "setop_distinct_rows",
     "similarity_pq_audit",
     "events_gap_fill",
     "events_date_functions",
@@ -168,102 +208,66 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "multimodal_decode_features",
     "multimodal_size_partitioned",
     "multimodal_frame_sample",
-    "dedup_minhash_containment",
-    "streaming_run_dedup",
-    "migration_partition_advisor",
-    "dedup_shrink_report",
-    "q1_pricing_summary_fast",
-    "dedup_clusters",
-    "dedup_lsh_recall_report",
-    "pipeline_leakage_safe_split",
-    "events_interval_overlap_join",
-    "agg_linear_fit",
-    "events_funnel_conversion",
-    "graph_triangle_count",
-    "q11_important_stock",
-    "q22_global_sales_opportunity",
-    "scalar_functions",
-    "sort_limit_topk",
-    "date_arithmetic",
-    "join_cross",
-    "pivot_status_priority",
-    "unpivot_part_metrics",
-    "agg_grouping_sets",
-    "agg_max_by",
-    "agg_moments_manual",
-    "agg_correlation_manual",
-    "agg_percentiles_exact",
-    "join_asof",
-    "string_functions2",
-    "null_conditional",
-    "sql_cte_subqueries",
-    "window_value_functions",
-    "window_topk_per_group",
-    "window_rank_functions",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_range_frame",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except_all",
-    "setop_distinct_rows",
-    "migration_column_profile",
-    "setop_except_distinct",
-    "setop_intersect_all",
-    "text_bpe_merge_step",
-    "migration_scd2_history",
-    "pipeline_sample_per_group",
-    "events_sliding_distinct_approx",
-    "join_point_in_time",
-    "events_ohlc_bars",
-    "sql_recursive_supplier_tree",
-    "migration_fk_discovery",
-    "migration_dq_expectations",
-    "similarity_dim_truncation_audit",
-    "migration_page_checksums",
-    "agg_market_basket",
-    "agg_rfm_segmentation",
-    "setop_symmetric_diff",
-    "streaming_run_ohlc",
-    "streaming_run_session_window",
-    "streaming_run_ewma",
-    "events_incremental_rollup",
-    "events_cusum_changepoint",
-    "window_running_drawdown",
-    "agg_cohort_ltv",
-    "events_markov_transitions",
-    "agg_gini_concentration",
-    "events_burst_detection",
-    "agg_robust_outliers",
-    "udf_udtf_windows",
-    "dedup_simhash",
-    "migration_row_diff",
-    "q21_waiting_supplier",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "project_filter",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_range_nonequi",
-    "agg_rollup",
-    "agg_cube",
-    "agg_distinct",
-    "events_anomaly_zscore",
-    "text_unigram_perplexity",
-    "events_zorder_key",
-    "multimodal_resize",
-    "migration_schema_audit",
-    "graph_pagerank_purchases",
-    "graph_degree_stats",
-    "window_ewma_dyadic",
-    "pipeline_incremental_dedup",
+    "similarity_lsh_multiprobe",
+    "streaming_run_funnel_join",
+    "dedup_minhash_lsh",
+    "similarity_ivf_pandas",
+    "similarity_kmeans_step",
+    "similarity_ivfpq_topk",
+    "dedup_semantic_cells",
+    "similarity_ann_recall_report",
+    "text_bm25_topk",
+    "similarity_hybrid_rrf",
+    "similarity_cluster_topics",
+    "pipeline_cluster_balanced_sample",
+    "similarity_pca_power_iteration",
+    "pipeline_quality_weighted_sample",
+    "multimodal_audio_windows",
+    "pipeline_token_budget_planner",
+    "pipeline_decontaminate",
+    "pipeline_pack_sequences",
+    "pipeline_sample_stratified",
+    "pipeline_repetition_score",
+    "pipeline_mix_weights",
+    "pipeline_train_val_split",
+    "pipeline_global_shuffle",
+    "pipeline_end_to_end",
+    "events_asof_join",
+    "events_asof_join_salted",
+    "events_hypertable_rollup",
+    "migration_cdc_apply",
+    "text_pii_scrub",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q21_waiting_supplier_agg",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q20_potential_promotion",
 )
+
+
+def teardown_caches() -> int:
+    """Registry-level cache teardown (r11 verdict item 2): release any
+    persisted frames operators cached across calls — today that is the
+    similarity family's one-per-dataset ANN assignment frame. Harnesses
+    that run MANY registry entries in one process (bench.py,
+    tools/driver_sim.py) call this between entries/families so no
+    operator's amortization cache taxes an unrelated query's storage
+    memory. Returns the number of frames released."""
+    from .similarity import teardown_persisted_caches
+
+    return teardown_persisted_caches()
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -730,6 +730,7 @@ def _assign_cells(
     probes: int = 1,
     n: int | None = None,
     cache_key: str | None = None,
+    centroids: list | None = None,
 ) -> tuple[DataFrame, list]:
     """IVF coarse-cell assignment shared by ``similarity_ivf_pandas``,
     ``similarity_kmeans_step``, ``similarity_ivfpq_topk`` and
@@ -755,8 +756,15 @@ def _assign_cells(
     """
     import numpy as np
 
+    # ``centroids`` makes assign-only an EXPLICIT contract: callers
+    # that must assign against a previously trained index (incremental
+    # ingest) pass the trained list instead of relying on a cache hit
+    # under a shared key — a cache eviction there would silently
+    # retrain on the new batch and diverge (r11 advice, medium)
     ck = (cache_key, LLOYD_ITERS) if cache_key else None
-    if ck and ck in _TRAINED_CENTS:
+    if centroids is not None:
+        cents = centroids
+    elif ck and ck in _TRAINED_CENTS:
         cents = _TRAINED_CENTS[ck]
     else:
         if n is None:
@@ -1398,6 +1406,8 @@ def _mmr_select(cand: DataFrame) -> DataFrame:
     lam = MMR_LAMBDA
 
     def mmr(pdf):
+        import math as _math
+
         import pandas as _pd
 
         rows = list(
@@ -1427,15 +1437,20 @@ def _mmr_select(cand: DataFrame) -> DataFrame:
                     score = lam * rels[c] - (1.0 - lam) * penalty
                 else:
                     score = lam * rels[c]
-                # the PICK compares scores rounded to 9 dp (ties then
-                # by ascending vec_id): a greedy loop amplifies any
+                # the PICK compares floor(score·1e9) (ties then by
+                # ascending vec_id): a greedy loop amplifies any
                 # near-tie instability into a cascade of different
                 # picks, so the decision key must be rounding-robust
                 # — same discipline as every rank window in this
                 # module, three decimals tighter than the reported
-                # 6-dp score. The EMITTED score stays raw (rounded to
-                # 6 dp at the output projection, like before).
-                key = round(score, 9)
+                # 6-dp score. FLOOR (not round): Python's round is
+                # banker's half-to-even while DuckDB ROUND is
+                # half-away-from-zero, so a score landing exactly on
+                # a 1e-9 midpoint would pick differently (r11 advice);
+                # floor of the identical product double is the same
+                # integer in both engines. The EMITTED score stays raw
+                # (rounded to 6 dp at the output projection).
+                key = _math.floor(score * 1e9)
                 if (
                     best_key is None
                     or key > best_key
@@ -1488,15 +1503,18 @@ simt AS MATERIALIZED (
   FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
 ),
 sel(qid, rank, vec_id, mmr_score, sel_ids) AS (
-  -- picks compare scores ROUNDED to 9 dp (ties by ascending vec_id),
+  -- picks compare FLOOR(score * 1e9) (ties by ascending vec_id),
   -- mirroring the Spark greedy's decision key: a near-tie flip in a
   -- greedy loop cascades, so the pick must be rounding-robust even
   -- though both engines' raw scores are built from bit-identical
-  -- sequential folds
+  -- sequential folds. FLOOR, not ROUND: DuckDB rounds half away
+  -- from zero while Python rounds half to even, so a 1e-9 midpoint
+  -- would diverge under ROUND (r11 advice); floor of the identical
+  -- product double is the same integer everywhere.
   SELECT qid, 1, vec_id, {MMR_LAMBDA} * rel, [vec_id] FROM (
     SELECT qid, vec_id, rel,
            ROW_NUMBER() OVER (PARTITION BY qid
-                              ORDER BY ROUND({MMR_LAMBDA} * rel, 9) DESC,
+                              ORDER BY FLOOR(({MMR_LAMBDA} * rel) * 1000000000.0) DESC,
                                        vec_id ASC) AS rn
     FROM cand
   ) WHERE rn = 1
@@ -1513,7 +1531,7 @@ sel(qid, rank, vec_id, mmr_score, sel_ids) AS (
              ) AS score
       FROM cand c
       WHERE c.qid = s.qid AND NOT list_contains(s.sel_ids, c.vec_id)
-    ) ORDER BY ROUND(score, 9) DESC, vec_id ASC
+    ) ORDER BY FLOOR(score * 1000000000.0) DESC, vec_id ASC
     LIMIT 1
   ) pick
   WHERE s.rank < {MMR_K}
@@ -1897,6 +1915,32 @@ _TRAINED_CB: dict = {}
 #: the one LIVE cached assignment frame per dataset (see
 #: similarity_ivfpq_topk) — repeat calls swap it, never accumulate
 _PERSISTED_WITH_CELLS: dict = {}
+
+
+def teardown_persisted_caches() -> int:
+    """Release every live cached ANN assignment frame (r11 verdict
+    item 2): within the similarity family the persisted assignment is
+    a legitimate amortization (the training scan runs once and three
+    consumers read it), but after the family's last consumer finishes
+    the frame would otherwise stay persisted for the life of the
+    process and pressure every LATER query's storage/GC budget.
+    bench.py calls this between headline queries and driver_sim after
+    its sweep; returns the number of frames released so callers/tests
+    can assert the cache is actually empty afterwards. Driver-side
+    trained-state dicts (_TRAINED_CENTS/_TRAINED_CB, ≤ a few MB of
+    Python lists) are kept: they cost no executor storage memory and
+    re-deriving them is 3 corpus scans each."""
+    n = 0
+    for key in list(_PERSISTED_WITH_CELLS):
+        frame = _PERSISTED_WITH_CELLS.pop(key, None)
+        if frame is None:
+            continue
+        try:
+            frame.unpersist()
+        except Exception:  # noqa: BLE001 — a dead session must not
+            pass  # turn cleanup into a crash
+        n += 1
+    return n
 
 
 def _pq_train_blocks(
@@ -3081,10 +3125,9 @@ def similarity_incremental_index(
 
     Mechanics: ``_assign_cells`` is called on the BASE first (training
     + caching the centroids under this entry's own cache key), then on
-    the incoming batch under the SAME key — the in-process centroid
-    cache guarantees the second call ASSIGNS ONLY, against the
-    base-trained cells; the call order inside this function is the
-    correctness contract. Shares are ppm-normalized BEFORE the drift
+    the incoming batch with the trained list passed EXPLICITLY via
+    ``centroids=`` — assign-only is a parameter contract, never a
+    cache-hit assumption. Shares are ppm-normalized BEFORE the drift
     division (the ``similarity_cluster_topics`` int64 discipline).
 
     100 TB: assignment stays the capped-broadcast matmul scan on both
@@ -3097,10 +3140,13 @@ def similarity_incremental_index(
     base = emb.filter(F.col("vec_id") % INCR_INDEX_MOD != 0)
     newb = emb.filter(F.col("vec_id") % INCR_INDEX_MOD == 0)
     ck = f"{sf_dir}::incr_base"
-    base_cells, _ = _assign_cells(spark, base, probes=1, cache_key=ck)
-    # cache hit by construction: same key, centroids just trained on
-    # the base — this call only assigns
-    new_cells, _ = _assign_cells(spark, newb, probes=1, cache_key=ck)
+    base_cells, cents = _assign_cells(spark, base, probes=1, cache_key=ck)
+    # assign-only against the base-trained centroids, passed
+    # EXPLICITLY: the correctness contract is the parameter, not the
+    # in-process cache's hit/miss behavior (r11 advice, medium —
+    # an eviction between the two calls used to mean a silent
+    # retrain-on-batch divergence)
+    new_cells, _ = _assign_cells(spark, newb, probes=1, centroids=cents)
     b = (
         base_cells.select(F.element_at("cells", 1).alias("cell"))
         .groupBy("cell")
@@ -3195,3 +3241,201 @@ ORDER BY j.cell
 
 QUERIES["similarity_incremental_index"] = similarity_incremental_index
 ORACLES["similarity_incremental_index"] = _incremental_index_oracle()
+
+
+#: range-search radius: bucket-mates at or above this cosine are "in
+#: range" (fixture embeddings are near-isotropic — cosines cluster
+#: near 0, max ≈0.44 — so 0.20 keeps the result non-degenerate at
+#: every fixture scale: 29/26/489 pairs at sf0.001/0.01/0.1)
+RANGE_SEARCH_MIN_COS = 0.20
+
+
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (radius query) — the retrieval semantics top-k
+    cannot express: EVERY neighbor with cosine ≥ RANGE_SEARCH_MIN_COS,
+    however many there are, instead of a fixed k. This is the shape
+    near-duplicate sweeps and policy filters want ("give me everything
+    at least this similar"), where a k cap would silently truncate
+    dense neighborhoods and pad sparse ones. Candidate generation is
+    the ``similarity_lsh_bucketed`` single-probe sign-bit bucket
+    (recall < 1 by design; the oracle replicates the same bucketed
+    semantics so results match exactly).
+
+    100 TB: one bucket equi-join (shuffle keyed on the 4-bit bucket;
+    production passes ``lsh_dims_for(N)`` so bucket count tracks N),
+    per-pair scoring is one sequential-fold dot, and the threshold
+    filter is applied BEFORE any window/sort — output size is
+    data-dependent by definition, which is exactly why the operator
+    carries no per-query state. No crossJoin, no BNLJ anywhere.
+
+    Reference: SURVEY.md §2B similarity row (ABSENT in the reference —
+    the radius complement of the top-k family).
+    """
+    emb = _with_norm(_vecs(spark, sf_dir)).withColumn(
+        "bucket", _bucket_expr(F.col("v"), LSH_DIMS)
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+        "bucket",
+    )
+    return (
+        emb.join(queries, "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm")), 6
+            ),
+        )
+        .filter(F.col("cosine") >= RANGE_SEARCH_MIN_COS)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .orderBy("qid", F.desc("cosine"), "neighbor_id")
+    )
+
+
+SIMILARITY_RANGE_SEARCH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, vnorm, {_lsh_bits_sql()} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, vnorm AS qnorm, bucket FROM b WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.qid, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, b.v) / (q.qnorm * b.vnorm), 6) AS cosine
+  FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.qid
+)
+SELECT qid, neighbor_id, cosine FROM scored
+WHERE cosine >= {RANGE_SEARCH_MIN_COS}
+ORDER BY qid, cosine DESC, neighbor_id
+"""
+
+
+QUERIES["similarity_range_search"] = similarity_range_search
+ORACLES["similarity_range_search"] = SIMILARITY_RANGE_SEARCH_ORACLE
+
+
+#: kNN vote width for the label-agreement audit
+KNN_VOTE_K = 10
+
+
+def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement audit: for every query vector, take its
+    KNN_VOTE_K nearest bucket-mates (the ``similarity_lsh_bucketed``
+    candidate path), majority-vote their ``label`` column, and report
+    the vote against the query's own label. This is the standard
+    label-quality / leakage probe over a labeled embedding corpus: a
+    label whose holders are geometrically coherent agrees with its
+    neighborhood vote; random or corrupted labels agree at ~1/n_labels
+    (the fixture's labels are i.i.d. relative to the geometry, so the
+    expected agreement HERE is chance — the operator's value is the
+    readout, exercised per-round like the recall reports).
+
+    Per query: ``pred_label`` = the label with the most votes among
+    the top-K (ties by ascending label), ``votes`` its count,
+    ``n_neighbors`` the actual neighborhood size (< K when the bucket
+    is thin), and ``agree`` ∈ {{0,1}}.
+
+    100 TB: bucket equi-join + per-query top-K window + one (qid,
+    label) partial-agg shuffle + one argmax window over ≤ n_labels
+    rows per query. The vote never touches vectors after scoring; no
+    crossJoin.
+    """
+    emb = _with_norm(_vecs(spark, sf_dir)).withColumn(
+        "bucket", _bucket_expr(F.col("v"), LSH_DIMS)
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+        F.col("label").alias("qlabel"),
+        "bucket",
+    )
+    ranked = (
+        emb.join(queries, "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm")), 6
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rn") <= KNN_VOTE_K)
+    )
+    votes = ranked.groupBy("qid", "qlabel", "label").agg(
+        F.count("*").alias("n")
+    )
+    pred = (
+        votes.withColumn(
+            "vr",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("n"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("vr") == 1)
+        .select(
+            "qid",
+            F.col("qlabel").alias("true_label"),
+            F.col("label").alias("pred_label"),
+            F.col("n").alias("votes"),
+        )
+    )
+    sizes = ranked.groupBy("qid").agg(F.count("*").alias("n_neighbors"))
+    return (
+        pred.join(sizes, "qid")
+        .withColumn(
+            "agree",
+            (F.col("pred_label") == F.col("true_label")).cast("int"),
+        )
+        .orderBy("qid")
+    )
+
+
+SIMILARITY_KNN_LABEL_VOTE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm,
+         label
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, vnorm, label, {_lsh_bits_sql()} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, vnorm AS qnorm, label AS qlabel, bucket
+      FROM b WHERE vec_id % 50 = 0),
+ranked AS (
+  SELECT q.qid, q.qlabel, b.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY ROUND(list_dot_product(q.qv, b.v) / (q.qnorm * b.vnorm), 6) DESC,
+                    b.vec_id ASC) AS rn
+  FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.qid
+),
+kept AS (SELECT * FROM ranked WHERE rn <= {KNN_VOTE_K}),
+votes AS (
+  SELECT qid, qlabel, label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM kept GROUP BY qid, qlabel, label
+),
+pred AS (
+  SELECT qid, qlabel AS true_label, label AS pred_label, n AS votes FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n DESC, label ASC) AS vr
+    FROM votes
+  ) WHERE vr = 1
+),
+sizes AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_neighbors FROM kept GROUP BY qid)
+SELECT p.qid, p.true_label, p.pred_label, p.votes, s.n_neighbors,
+       CAST(CASE WHEN p.pred_label = p.true_label THEN 1 ELSE 0 END AS INT) AS agree
+FROM pred p JOIN sizes s USING (qid)
+ORDER BY p.qid
+"""
+
+
+QUERIES["similarity_knn_label_vote"] = similarity_knn_label_vote
+ORACLES["similarity_knn_label_vote"] = SIMILARITY_KNN_LABEL_VOTE_ORACLE

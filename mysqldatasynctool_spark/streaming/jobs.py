@@ -488,9 +488,23 @@ def make_topk_processor(k: int):
 
 
 #: per-process cache of horizon-staged stream directories, keyed by
-#: sf_dir — the combined file is deterministic, so repeat runs (bench
-#: times every query twice) reuse one staging
+#: (sf_dir, source mtime_ns, source size) — the combined file is a
+#: deterministic function of the source bytes, so repeat runs (bench
+#: times every query multiple times) reuse one staging, while a
+#: fixture REGENERATED mid-process gets a fresh staging instead of
+#: being graded against a stale copy (r11 advice)
 _HORIZON_STAGED: dict = {}
+
+
+def _cleanup_horizon_staged() -> None:
+    """atexit hook: remove every staged temp copy this process made
+    (each is an sf-sized parquet in /tmp — r11 advice flagged the
+    leak)."""
+    import shutil
+
+    for root in _HORIZON_STAGED.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _HORIZON_STAGED.clear()
 
 #: sentinel identity: a user id no fixture row uses; filtered from
 #: results AFTER the sink (see streaming_funnel_join_left docstring)
@@ -519,27 +533,44 @@ def stage_events_with_horizon(sf_dir: str, hours: int = 2) -> str:
     source file's exact arrow types (unit-preserving for every ts
     encoding the fixture has shipped), because the file source's
     initial listing is offset-logged per file and a separate sentinel
-    file complicates replay. Returns a directory usable as ``sf_dir``
-    by :func:`read_events_stream`; cached per process.
+    file complicates replay. INT96 sources (Spark's own legacy
+    timestamp output) are handled by REWRITE, not refusal (r11
+    verdict item 5): pyarrow reads INT96 as tz-naive timestamp[ns]
+    and the staged copy is written back int64-annotated (µs), which
+    lands on :func:`read_events_stream`'s standard TIMESTAMP_NTZ
+    path — value-identical under the UTC session TZ pinned
+    everywhere. Returns a directory usable as ``sf_dir`` by
+    :func:`read_events_stream`; cached per process keyed on the
+    source file's identity + mtime/size, staged copies removed at
+    process exit.
     """
+    import atexit
     import datetime
     import os
     import tempfile
 
-    cached = _HORIZON_STAGED.get(sf_dir)
-    if cached and os.path.isdir(cached):
-        return cached
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     src = f"{sf_dir}/events.parquet"
-    if _probe_ts_unit(src) == "int96":
-        raise NotImplementedError(
-            "INT96 events fixture: pyarrow cannot append sentinel rows "
-            "in the legacy encoding — regenerate the fixture or use "
-            "the inner-join runner"
-        )
+    st = os.stat(src)
+    cache_key = (sf_dir, st.st_mtime_ns, st.st_size)
+    cached = _HORIZON_STAGED.get(cache_key)
+    if cached and os.path.isdir(cached):
+        return cached
+
     orig = pq.read_table(src)
+    if _probe_ts_unit(src) == "int96":
+        # the rewrite fallback: arrow has already decoded INT96 to
+        # timestamp[ns] (no tz); cast to µs so the staged copy is a
+        # plain annotated-int64 file — Spark µs precision means the
+        # cast is lossless for anything Spark ever wrote as INT96
+        idx = orig.schema.get_field_index("ts")
+        orig = orig.set_column(
+            idx,
+            pa.field("ts", pa.timestamp("us")),
+            orig.column("ts").cast(pa.timestamp("us")),
+        )
     sch = orig.schema
     names = [f.name for f in sch]
     max_ts = pa.compute.max(orig.column("ts")).as_py()
@@ -566,7 +597,9 @@ def stage_events_with_horizon(sf_dir: str, hours: int = 2) -> str:
         pa.concat_tables([orig.select(names), sent]),
         os.path.join(staged, "events-000.parquet"),
     )
-    _HORIZON_STAGED[sf_dir] = root
+    if not _HORIZON_STAGED:
+        atexit.register(_cleanup_horizon_staged)
+    _HORIZON_STAGED[cache_key] = root
     return root
 
 

@@ -125,9 +125,21 @@ def diff(name, spdf, opdf):
 qs, os_ = e.queries(), e.oracle_sql()
 n_pass = n_fail = n_rowsonly = 0
 fails = []
+# registry-level cache hygiene between operator FAMILIES (r11 verdict
+# item 2): within a family the persisted ANN assignment amortizes the
+# training scan; across families it is storage-memory pressure on
+# unrelated entries. Family = first name segment, matching how the
+# registry groups entries.
+from mysqldatasynctool_spark.operators import teardown_caches
+
+prev_family = None
 for name, fn in qs.items():
     if only and not any(name.startswith(p) for p in only):
         continue
+    family = name.split("_", 1)[0]
+    if prev_family is not None and family != prev_family:
+        teardown_caches()
+    prev_family = family
     try:
         sdf = fn(spark, SF_DIR)
         spdf = sdf.toPandas()
@@ -156,6 +168,7 @@ for name, fn in qs.items():
         n_fail += 1
         fails.append(name)
 
+teardown_caches()
 print(f"\nRESULT: {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
 if fails:
     print("FAILED:", " ".join(fails))
