@@ -177,6 +177,19 @@ def main() -> None:
                     "noop"
                 ).save()
                 runs.append(round(time.monotonic() - t0, 3))
+            # bounded adaptive extension: the box shows 5-20x
+            # host-level CPU-steal spikes, and a spike landing in 2 of
+            # 3 runs inflates the MEDIAN (observed [30.6, 9.3, 2.2] on
+            # a steady 2.2 s query). While the median still reads >2x
+            # the fastest run, add samples (max 5 total) — the median
+            # of the grown set converges to steady state without ever
+            # reverting to a lucky-minimum statistic.
+            while len(runs) < 5 and _median(runs) > 2 * min(runs):
+                t0 = time.monotonic()
+                queries[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                runs.append(round(time.monotonic() - t0, 3))
         except Exception as exc:  # noqa: BLE001 — isolate per query
             failed[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
@@ -423,7 +436,7 @@ def main() -> None:
         # distinguishable from single-run box noise without
         # re-running the whole suite.
         "runs": all_runs,
-        "query_stat": "median_of_3",
+        "query_stat": "median_of_3_adaptive_to_5",
     }
     if phase_split:
         out["phase_split"] = phase_split

@@ -35,6 +35,12 @@ def read_table(
     - a 'range' plan maps to partitionColumn/bounds;
     - a 'predicates' plan maps to spark.read.jdbc(predicates=[...]).
     """
+    from .sinks import _is_embedded_derby, tune_embedded_derby
+
+    if _is_embedded_derby(endpoint):
+        # engine sizing must precede the JVM's first embedded boot —
+        # a read can be the first Derby touch (see tune_embedded_derby)
+        tune_embedded_derby()
     src = f"({custom_sql}) q" if custom_sql else table
     if plan is None or plan.mode == "single":
         # the single-connection full scan is exactly where streaming
