@@ -100,9 +100,31 @@ HEADLINE = [
 ]
 
 
+def _cpu_probe() -> float:
+    """Fixed-work single-thread CPU calibration: median-of-3 wall time
+    of 64 MiB of md5 (pure compute, no allocation churn, no Spark).
+    Recorded at the START and END of every bench run so a cross-round
+    delta can be attributed: if the probe moved with the workload, the
+    BOX was slower, not the plans — the disambiguation the r11 record
+    lacked when its +30.7% turned out to be session contention."""
+    import hashlib
+
+    blob = bytes(range(256)) * 4096  # 1 MiB
+    walls = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        h = hashlib.md5()
+        for _ in range(64):
+            h.update(blob)
+        h.hexdigest()
+        walls.append(time.monotonic() - t0)
+    return round(sorted(walls)[1], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace("sf", "")
+    probe_start = _cpu_probe()
     spark = get_spark(app_name="bench")
     queries, _ = collect_registry()
     # The registry's q1_pricing_summary_fast is the oracle-gated form
@@ -437,6 +459,9 @@ def main() -> None:
         # re-running the whole suite.
         "runs": all_runs,
         "query_stat": "median_of_3_adaptive_to_5",
+        # box-speed calibration bracketing the run (see _cpu_probe):
+        # compare this across rounds BEFORE reading per-query deltas
+        "cpu_probe": {"start": probe_start, "end": _cpu_probe()},
     }
     if phase_split:
         out["phase_split"] = phase_split

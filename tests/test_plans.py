@@ -261,3 +261,29 @@ def test_incremental_rollup_touched_set_broadcast(spark):
         "LeftAnti" in plan and "BroadcastHashJoin" in plan
     )
     assert "LeftSemi" in plan
+
+
+def test_range_search_is_bucket_equi_join(spark):
+    """r12: range search must plan as one EQUI-join on the LSH bucket
+    key with the cosine threshold applied as a plain Filter — never a
+    nested-loop radius scan, and no per-query window/sort (the
+    operator's whole point is that output is threshold-bounded, not
+    rank-bounded)."""
+    plan = _plan(spark, similarity.similarity_range_search(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "Window" not in plan
+
+
+def test_knn_label_vote_is_bucketed_topk_then_agg(spark):
+    """r12: the kNN vote must generate candidates via the bucket
+    equi-join, rank with a per-qid window (top-K), and vote with
+    partial-aggregated counts — no nested loop anywhere."""
+    plan = _plan(spark, similarity.similarity_knn_label_vote(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "partial_count" in plan or "partial_" in plan

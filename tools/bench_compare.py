@@ -89,8 +89,24 @@ def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
-    old_q, old_runs = load_queries(_resolve(sys.argv[1]))
-    new_q, new_runs = load_queries(_resolve(sys.argv[2]))
+    old_path, new_path = _resolve(sys.argv[1]), _resolve(sys.argv[2])
+    old_q, old_runs = load_queries(old_path)
+    new_q, new_runs = load_queries(new_path)
+    # box-speed calibration context (r12+ records carry cpu_probe):
+    # if the probe moved with the workload, attribute the delta to the
+    # box before reading any per-query ratio as a plan change
+    try:
+        po = json.load(open(old_path)).get("cpu_probe")
+        pn = json.load(open(new_path)).get("cpu_probe")
+        if po and pn:
+            ro = (po["start"] + po["end"]) / 2
+            rn = (pn["start"] + pn["end"]) / 2
+            print(
+                f"cpu probe (64 MiB md5): {ro:.3f}s -> {rn:.3f}s "
+                f"({(rn / ro - 1) * 100:+.1f}% box-speed shift)"
+            )
+    except Exception:  # noqa: BLE001 — context line is additive
+        pass
     common = sorted(set(old_q) & set(new_q))
     t_old = sum(old_q[k] for k in common)
     t_new = sum(new_q[k] for k in common)
