@@ -78,6 +78,9 @@ HEADLINE = [
     # with runaway wall time)
     "similarity_ivfpq_topk",
     "similarity_mmr_ann",
+    # r12: radius retrieval — the threshold-bounded (not rank-bounded)
+    # bucket join's timing next to the top-k rows
+    "similarity_range_search",
     "text_token_stats",
     "text_quality_score",
     "text_token_count_bpe",
@@ -100,25 +103,34 @@ HEADLINE = [
 ]
 
 
-def _cpu_probe() -> float:
-    """Fixed-work single-thread CPU calibration: median-of-3 wall time
-    of 64 MiB of md5 (pure compute, no allocation churn, no Spark).
-    Recorded at the START and END of every bench run so a cross-round
-    delta can be attributed: if the probe moved with the workload, the
-    BOX was slower, not the plans — the disambiguation the r11 record
-    lacked when its +30.7% turned out to be session contention."""
+def _cpu_probe_once() -> float:
+    """One fixed-work single-thread sample: 64 MiB of md5 (~0.12 s,
+    pure compute, no allocation churn, no Spark)."""
     import hashlib
 
     blob = bytes(range(256)) * 4096  # 1 MiB
-    walls = []
-    for _ in range(3):
-        t0 = time.monotonic()
-        h = hashlib.md5()
-        for _ in range(64):
-            h.update(blob)
-        h.hexdigest()
-        walls.append(time.monotonic() - t0)
-    return round(sorted(walls)[1], 4)
+    t0 = time.monotonic()
+    h = hashlib.md5()
+    for _ in range(64):
+        h.update(blob)
+    h.hexdigest()
+    return round(time.monotonic() - t0, 4)
+
+
+def _cpu_probe() -> float:
+    """Fixed-work single-thread CPU calibration: median-of-3 wall time
+    of the 64 MiB md5 sample. Recorded at the START and END of every
+    bench run so a cross-round delta can be attributed: if the probe
+    moved with the workload, the BOX was slower, not the plans — the
+    disambiguation the r11 record lacked when its +30.7% turned out to
+    be session contention. Additionally ONE sample is taken right
+    before each headline query (``probe_by_query``): this box shows
+    minute-scale contention BURSTS that inflate a handful of adjacent
+    queries while the run-level bracket stays clean, and the per-query
+    sample is what lets a flagged row be attributed to the burst
+    instead of the plan."""
+    walls = [_cpu_probe_once() for _ in range(3)]
+    return sorted(walls)[1]
 
 
 def main() -> None:
@@ -184,6 +196,8 @@ def main() -> None:
         "pipeline_cluster_balanced_sample",
     }
     cold_steady: dict[str, dict] = {}
+    #: per-query box-speed sample taken just before each query's runs
+    probe_by_query: dict[str, float] = {}
     for name in HEADLINE:
         # cache hygiene BETWEEN queries (never between a query's own
         # runs — within-query reuse is the amortization being
@@ -191,6 +205,7 @@ def main() -> None:
         # persisted frames or pay their storage-memory pressure
         spark.catalog.clearCache()
         teardown_caches()
+        probe_by_query[name] = _cpu_probe_once()
         runs: list[float] = []
         try:
             for _ in range(3):
@@ -303,11 +318,11 @@ def main() -> None:
         run_phases = []
         jdbc_bad = 0
         for i in range(3):
-            # third run only when the first two disagree >2x (observed
-            # [22s, 52s] under contention — same policy as the headline
-            # queries' adaptive re-run)
-            if i == 2 and max(runs) <= 2 * min(runs):
-                break
+            # unconditional 3 runs (r12: the adaptive skip saved ~15 s
+            # but left the headline metric resting on 2 samples — a
+            # [18.2s, 14.5s] burst pair recorded 14.5 where the third
+            # sample lands ~12.5; same 3-sample floor as the directory
+            # migrate)
             dest_ep = Endpoint(
                 url_override=f"jdbc:derby:{derby_root}/dest{i};create=true", driver=drv
             )
@@ -462,6 +477,9 @@ def main() -> None:
         # box-speed calibration bracketing the run (see _cpu_probe):
         # compare this across rounds BEFORE reading per-query deltas
         "cpu_probe": {"start": probe_start, "end": _cpu_probe()},
+        # one sample per query, taken just before its runs — the
+        # burst-attribution evidence bench_compare reads when flagging
+        "probe_by_query": probe_by_query,
     }
     if phase_split:
         out["phase_split"] = phase_split

@@ -129,3 +129,18 @@ def test_stage_horizon_cache_keys_on_source_identity(spark, tmp_path):
     jobs._cleanup_horizon_staged()
     assert not jobs._HORIZON_STAGED
     assert not os.path.isdir(first) and not os.path.isdir(second)
+
+
+def test_tune_embedded_derby_sets_engine_properties(spark):
+    """The embedded-Derby engine sizing must be set in the JVM before
+    boot and be a once-only no-op afterwards (engine properties are
+    read at boot; see sinks.tune_embedded_derby)."""
+    from mysqldatasynctool_spark.sources import sinks
+
+    sinks.tune_embedded_derby()
+    jvm_sys = spark._jvm.java.lang.System
+    assert jvm_sys.getProperty("derby.storage.pageCacheSize") == "8000"
+    assert jvm_sys.getProperty("derby.storage.logBufferSize") == "262144"
+    assert sinks._DERBY_TUNED
+    # idempotent re-entry
+    sinks.tune_embedded_derby()

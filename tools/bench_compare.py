@@ -95,9 +95,16 @@ def main() -> int:
     # box-speed calibration context (r12+ records carry cpu_probe):
     # if the probe moved with the workload, attribute the delta to the
     # box before reading any per-query ratio as a plan change
+    probes_new: dict[str, float] = {}
+    probe_med = None
     try:
+        new_rec = json.load(open(new_path))
+        probes_new = new_rec.get("probe_by_query") or {}
+        if probes_new:
+            vals = sorted(probes_new.values())
+            probe_med = vals[len(vals) // 2]
         po = json.load(open(old_path)).get("cpu_probe")
-        pn = json.load(open(new_path)).get("cpu_probe")
+        pn = new_rec.get("cpu_probe")
         if po and pn:
             ro = (po["start"] + po["end"]) / 2
             rn = (pn["start"] + pn["end"]) / 2
@@ -133,6 +140,16 @@ def main() -> int:
             and new_q[k] > max(old_runs[k])
         )
         flag = "  REGRESSED (outside old noise band)" if regressed else ""
+        # burst attribution: the new record samples box speed right
+        # before each query — a flagged row whose own sample ran >33%
+        # over the run's median probe was measured DURING a host
+        # contention burst, not after a plan change
+        if (
+            regressed
+            and probe_med
+            and probes_new.get(k, 0) > 1.33 * probe_med
+        ):
+            flag += f" [box burst during sample: probe {probes_new[k]:.3f}s vs median {probe_med:.3f}s]"
         print(f"{d:+8.3f} {ratio:5.2f}x  {k}{flag}")
     return 0
 
