@@ -40,11 +40,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:    template, outside the union tool's function-span blame), and
 #:    streaming_run_funnel_join_left (horizon staging rewrites INT96
 #:    and re-keys its cache on source mtime/size);
-#: 2) positions 5–6: the two NEW r12 entries (similarity_range_search,
-#:    similarity_knn_label_vote) — first records;
-#: 3) positions 7–27: the 21 r6-era stale records the r11 verdict
+#: 2) positions 5–7: the three NEW r12 entries (similarity_range_search,
+#:    similarity_knn_label_vote, pipeline_dataset_card) — first records;
+#: 3) positions 8–28: the 21 r6-era stale records the r11 verdict
 #:    ordered to the head of this round's slate;
-#: 4) positions 28–50: the union tool's oldest-green rotation (all
+#: 4) positions 29–50: the union tool's oldest-green rotation (all
 #:    r7-era records);
 #: 5) everything else oldest-green-record-first, stable relative
 #:    order. Overlap with the r11 slate: 4 names (the changed-code
@@ -56,6 +56,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "streaming_run_funnel_join_left",
     "similarity_range_search",
     "similarity_knn_label_vote",
+    "pipeline_dataset_card",
     "agg_key_skew_report",
     "dedup_substring_spans",
     "events_anomaly_zscore",

@@ -1152,3 +1152,75 @@ ORACLES = {
     "pipeline_quality_weighted_sample": _quality_weighted_sample_oracle(),
     "pipeline_token_budget_planner": _token_budget_planner_oracle(),
 }
+
+
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics — the per-(lang, source) summary block
+    every corpus release ships (HuggingFace dataset cards, Dolma/DCLM
+    data sheets): document count, corpus share, volume, mean document
+    length, and the within-group exact-duplicate rate. This is the
+    one-scan readout a pipeline owner checks BEFORE spending compute
+    on the heavier near-dup / quality passes — a group with a high
+    exact-dup ppm gets hash-dedup first; a group with a tiny share
+    needs no balancing work.
+
+    Per (lang, source): ``n_docs``, ``share_ppm`` (integer ppm of the
+    corpus), ``total_chars``, ``mean_chars`` (decimal-exact avg,
+    6 dp), and ``exact_dup_ppm`` = (n_docs − distinct md5(text)) ppm —
+    the fraction of rows that exact hash-dedup would drop.
+
+    100 TB: ONE documents scan into one (lang, source) partial-agg
+    shuffle (count/sum combine map-side; COUNT(DISTINCT md5) is
+    Spark's standard two-phase distinct-agg expansion on the same
+    keys); the corpus total rides a literal from a driver-side count,
+    never a crossJoin. Group count is bounded by the label
+    cardinality, so the result is dashboard-sized at any corpus size.
+    Reference: SURVEY.md §2B pipeline row (ABSENT in the reference).
+    """
+    docs = load(spark, sf_dir, "documents")
+    total = docs.count()
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct(F.md5("text")).alias("n_distinct"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.expr(f"n_docs * 1000000 div {total}").alias("share_ppm"),
+            "total_chars",
+            F.round(
+                F.col("total_chars").cast("decimal(28,6)") / F.col("n_docs"), 6
+            ).cast("double").alias("mean_chars"),
+            F.expr("(n_docs - n_distinct) * 1000000 div n_docs").alias(
+                "exact_dup_ppm"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+PIPELINE_DATASET_CARD_ORACLE = """
+WITH t AS (SELECT COUNT(*) AS total FROM documents),
+g AS (
+  SELECT lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+  FROM documents GROUP BY lang, source
+)
+SELECT g.lang, g.source, g.n_docs,
+       g.n_docs * 1000000 // t.total AS share_ppm,
+       g.total_chars,
+       CAST(ROUND(CAST(g.total_chars AS DECIMAL(28,6)) / g.n_docs, 6) AS DOUBLE) AS mean_chars,
+       (g.n_docs - g.n_distinct) * 1000000 // g.n_docs AS exact_dup_ppm
+FROM g CROSS JOIN t
+ORDER BY g.lang, g.source
+"""
+
+
+QUERIES["pipeline_dataset_card"] = pipeline_dataset_card
+ORACLES["pipeline_dataset_card"] = PIPELINE_DATASET_CARD_ORACLE
