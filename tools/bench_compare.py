@@ -103,7 +103,15 @@ def main() -> int:
         if probes_new:
             vals = sorted(probes_new.values())
             probe_med = vals[len(vals) // 2]
-        po = json.load(open(old_path)).get("cpu_probe")
+        old_rec = json.load(open(old_path))
+        so = old_rec.get("query_stat", "min_of_runs(pre-r12)")
+        sn = new_rec.get("query_stat", "min_of_runs(pre-r12)")
+        if so != sn:
+            print(
+                f"note: statistic changed {so} -> {sn} — medians read "
+                "slightly above minima at identical plans"
+            )
+        po = old_rec.get("cpu_probe")
         pn = new_rec.get("cpu_probe")
         if po and pn:
             ro = (po["start"] + po["end"]) / 2
@@ -150,6 +158,22 @@ def main() -> int:
             and probes_new.get(k, 0) > 1.33 * probe_med
         ):
             flag += f" [box burst during sample: probe {probes_new[k]:.3f}s vs median {probe_med:.3f}s]"
+        # the CPU probe cannot see I/O-side bursts; the run arrays can:
+        # if the new record's BEST run still lands inside the old
+        # record's observed band, the plan still reaches its old speed
+        # and only the sampling around it was inflated
+        if (
+            regressed
+            and k in new_runs
+            and k in old_runs
+            and new_runs[k]
+            and old_runs[k]
+            and min(new_runs[k]) <= max(old_runs[k])
+        ):
+            flag += (
+                f" [best run {min(new_runs[k]):.2f}s inside old band "
+                f"(max {max(old_runs[k]):.2f}s) — sampling, not plan]"
+            )
         print(f"{d:+8.3f} {ratio:5.2f}x  {k}{flag}")
     return 0
 
