@@ -31,75 +31,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-12 ROTATION (r11 verdict item 3 + tools/correctness_union.py):
-#: 1) positions 1–4: every entry whose code or shared helpers changed
-#:    this round — similarity_incremental_index (assign-only is now an
-#:    explicit centroids= parameter), both MMR entries (the greedy
-#:    decision key moved from round-9dp to floor(score*1e9) in BOTH
-#:    engines — the change lives in the shared _mmr_select + oracle
-#:    template, outside the union tool's function-span blame), and
-#:    streaming_run_funnel_join_left (horizon staging rewrites INT96
-#:    and re-keys its cache on source mtime/size);
-#: 2) positions 5–7: the three NEW r12 entries (similarity_range_search,
-#:    similarity_knn_label_vote, pipeline_dataset_card) — first records;
-#: 3) positions 8–28: the 21 r6-era stale records the r11 verdict
-#:    ordered to the head of this round's slate;
-#: 4) positions 29–50: the union tool's oldest-green rotation (all
-#:    r7-era records);
-#: 5) everything else oldest-green-record-first, stable relative
-#:    order. Overlap with the r11 slate: 4 names (the changed-code
+#: ROUND-13 ROTATION (r12 verdict item 3 + tools/correctness_union.py):
+#: 1) positions 1–2: the entries whose shared code changed this round
+#:    — both MMR entries (the greedy pick key in _mmr_select grew a
+#:    non-finite guard and sim() a zero-norm guard; a shared-helper
+#:    change the union tool's function-span blame cannot see);
+#: 2) positions 3–50: the union tool's suggested oldest-green
+#:    rotation head-on — the r7/r8-era stale tail the r12 verdict
+#:    ordered into this slate (window_running_drawdown, agg_cohort_ltv,
+#:    … through join_asof); its last two suggestions
+#:    (string_functions2, null_conditional) sit at positions 51–52
+#:    and lead the next rotation;
+#: 3) everything else oldest-green-record-first, stable relative
+#:    order. Overlap with the r12 slate: 2 names (the changed-code
 #:    block), well under the <20 target.
 VERIFY_PRIORITY: tuple[str, ...] = (
-    "similarity_incremental_index",
     "similarity_mmr_rerank",
     "similarity_mmr_ann",
-    "streaming_run_funnel_join_left",
-    "similarity_range_search",
-    "similarity_knn_label_vote",
-    "pipeline_dataset_card",
-    "agg_key_skew_report",
-    "dedup_substring_spans",
-    "events_anomaly_zscore",
-    "events_json_variant",
-    "events_session_window_builtin",
-    "events_sliding_distinct_users",
-    "events_zorder_key",
-    "graph_degree_stats",
-    "graph_pagerank_purchases",
-    "join_bloom_pruned_semi",
-    "join_fuzzy_ed1",
-    "migration_schema_audit",
-    "multimodal_resize",
-    "pipeline_incremental_dedup",
-    "text_char_entropy",
-    "text_gopher_rules",
-    "text_heavy_hitters",
-    "text_source_stats",
-    "text_unigram_perplexity",
-    "window_ewma_dyadic",
-    "window_time_range_frame",
-    "migration_column_profile",
-    "setop_except_distinct",
-    "setop_intersect_all",
-    "text_bpe_merge_step",
-    "migration_scd2_history",
-    "pipeline_sample_per_group",
-    "events_sliding_distinct_approx",
-    "join_point_in_time",
-    "events_ohlc_bars",
-    "sql_recursive_supplier_tree",
-    "migration_fk_discovery",
-    "migration_dq_expectations",
-    "similarity_dim_truncation_audit",
-    "migration_page_checksums",
-    "agg_market_basket",
-    "agg_rfm_segmentation",
-    "setop_symmetric_diff",
-    "streaming_run_ohlc",
-    "streaming_run_session_window",
-    "streaming_run_ewma",
-    "events_incremental_rollup",
-    "events_cusum_changepoint",
     "window_running_drawdown",
     "agg_cohort_ltv",
     "events_markov_transitions",
@@ -148,6 +96,54 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_correlation_manual",
     "agg_percentiles_exact",
     "join_asof",
+    "similarity_incremental_index",
+    "streaming_run_funnel_join_left",
+    "similarity_range_search",
+    "similarity_knn_label_vote",
+    "pipeline_dataset_card",
+    "agg_key_skew_report",
+    "dedup_substring_spans",
+    "events_anomaly_zscore",
+    "events_json_variant",
+    "events_session_window_builtin",
+    "events_sliding_distinct_users",
+    "events_zorder_key",
+    "graph_degree_stats",
+    "graph_pagerank_purchases",
+    "join_bloom_pruned_semi",
+    "join_fuzzy_ed1",
+    "migration_schema_audit",
+    "multimodal_resize",
+    "pipeline_incremental_dedup",
+    "text_char_entropy",
+    "text_gopher_rules",
+    "text_heavy_hitters",
+    "text_source_stats",
+    "text_unigram_perplexity",
+    "window_ewma_dyadic",
+    "window_time_range_frame",
+    "migration_column_profile",
+    "setop_except_distinct",
+    "setop_intersect_all",
+    "text_bpe_merge_step",
+    "migration_scd2_history",
+    "pipeline_sample_per_group",
+    "events_sliding_distinct_approx",
+    "join_point_in_time",
+    "events_ohlc_bars",
+    "sql_recursive_supplier_tree",
+    "migration_fk_discovery",
+    "migration_dq_expectations",
+    "similarity_dim_truncation_audit",
+    "migration_page_checksums",
+    "agg_market_basket",
+    "agg_rfm_segmentation",
+    "setop_symmetric_diff",
+    "streaming_run_ohlc",
+    "streaming_run_session_window",
+    "streaming_run_ewma",
+    "events_incremental_rollup",
+    "events_cusum_changepoint",
     "string_functions2",
     "null_conditional",
     "sql_cte_subqueries",
@@ -269,6 +265,20 @@ def teardown_caches() -> int:
     from .similarity import teardown_persisted_caches
 
     return teardown_persisted_caches()
+
+
+def reset_trained_state() -> int:
+    """Registry-level FULL ANN-state reset: persisted frames AND the
+    driver-side trained dicts (IVF centroids, PQ codebooks).
+    ``teardown_caches`` keeps the trained dicts by design (production
+    amortization); bench.py calls THIS before each COLD_STEADY
+    entry's first run so its "cold" sample genuinely includes Lloyd +
+    codebook training (r12 advice — shared ``cache_key=sf_dir`` made
+    every COLD_STEADY entry after the first report a train-free
+    "cold"). Returns the number of trained states dropped."""
+    from .similarity import reset_trained_state as _reset
+
+    return _reset()
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

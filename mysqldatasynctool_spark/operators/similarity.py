@@ -1424,7 +1424,16 @@ def _mmr_select(cand: DataFrame) -> DataFrame:
             return s
 
         def sim(a, b):
-            return seq_dot(vecs[a], vecs[b]) / (norms[a] * norms[b])
+            # zero-norm degenerates: pure-Python 0.0/0.0 RAISES
+            # ZeroDivisionError (unlike numpy's NaN), so a degenerate
+            # candidate or pick must yield a defined no-information
+            # similarity instead of crashing the whole group (r12
+            # advice — same degradation contract as the key guard
+            # below: degenerates lose, they don't raise)
+            d = norms[a] * norms[b]
+            if d == 0.0:
+                return 0.0
+            return seq_dot(vecs[a], vecs[b]) / d
 
         remaining = sorted(vecs)
         picked: list[int] = []
@@ -1450,7 +1459,17 @@ def _mmr_select(cand: DataFrame) -> DataFrame:
                 # floor of the identical product double is the same
                 # integer in both engines. The EMITTED score stays raw
                 # (rounded to 6 dp at the output projection).
-                key = _math.floor(score * 1e9)
+                # Non-finite scores (a zero-norm candidate makes sim()
+                # divide 0/0 → NaN) must LOSE every comparison, not
+                # raise: math.floor raises on NaN/inf where the
+                # pre-r12 round(·, 9) key silently lost (r12 advice).
+                # (0, 0) sorts below every finite (1, k) key; ties
+                # among degenerates still break by ascending vec_id.
+                key = (
+                    (1, _math.floor(score * 1e9))
+                    if _math.isfinite(score)
+                    else (0, 0)
+                )
                 if (
                     best_key is None
                     or key > best_key
@@ -1940,6 +1959,153 @@ def teardown_persisted_caches() -> int:
         except Exception:  # noqa: BLE001 — a dead session must not
             pass  # turn cleanup into a crash
         n += 1
+    return n
+
+
+def reset_trained_state() -> int:
+    """Drop every driver-side trained-ANN dict (IVF centroids +
+    PQ codebooks) IN ADDITION to the persisted assignment frames.
+    ``teardown_persisted_caches`` deliberately keeps the trained dicts
+    (re-deriving them is 3 corpus scans each and they cost no executor
+    memory), which is right for production amortization but WRONG for
+    a cold-cost measurement: bench.py's COLD_STEADY rows label a
+    query's first run "cold", and for every COLD_STEADY entry after
+    the first in a suite the shared ``cache_key=sf_dir`` dicts were
+    already warm, so "cold" silently excluded training (r12 advice).
+    bench.py calls this before each COLD_STEADY entry's first run so
+    the cold sample always pays Lloyd + codebook training. Returns the
+    number of trained states dropped."""
+    n = len(_TRAINED_CENTS) + len(_TRAINED_CB)
+    _TRAINED_CENTS.clear()
+    _TRAINED_CB.clear()
+    teardown_persisted_caches()
+    return n
+
+
+#: artifact format version — bumped whenever the trained-state layout
+#: or any knob that changes training output moves, so a stale on-disk
+#: index can never be silently loaded under different semantics
+def _index_version() -> str:
+    return (
+        f"v1:LLOYD{LLOYD_ITERS}:CB{CB_LLOYD_ITERS}"
+        f":PQ{PQ_BLOCKS}x{PQ_BLOCK_DIM}:{IVF_SEED_SALT}{CB_SEED_SALT}"
+    )
+
+
+def save_trained_index(spark: SparkSession, path: str) -> int:
+    """Persist the driver-side trained ANN state (IVF centroids +
+    per-block PQ codebooks) as a parquet artifact (r12 verdict item
+    7): on a real cluster the ``_TRAINED_CENTS``/``_TRAINED_CB``
+    dicts die with the driver process, and a restart would silently
+    RETRAIN — 3 corpus scans each and, for an incremental-ingest
+    caller that lost its base centroids, a semantic divergence. The
+    FAISS story writes an index file; this is that file, Spark-native.
+
+    Layout: one row per centroid/codeword —
+    ``(version, kind, cache_key, iters, block, pos, cid, vec)`` where
+    ``pos`` is the row's position in its list/matrix so reassembly is
+    ORDER-EXACT (code index = matrix row), not sort-reconstructed.
+    Training is deterministic (md5-rank seeding + DECIMAL-exact Lloyd
+    updates), so the artifact is reproducible: saving, restarting and
+    loading yields bit-identical state to retraining. Returns the
+    number of rows written. Queries() never call this — it is an ops
+    API; the dicts stay the in-process source of truth."""
+    from pyspark.sql import types as T
+
+    ver = _index_version()
+    rows = []
+    for (ck, iters), cents in _TRAINED_CENTS.items():
+        for pos, (cid, cv) in enumerate(cents):
+            rows.append(
+                (
+                    ver,
+                    "ivf",
+                    str(ck),
+                    int(iters),
+                    -1,
+                    pos,
+                    int(cid),
+                    [float(x) for x in cv],
+                )
+            )
+    for (ck, iters), blocks in _TRAINED_CB.items():
+        for b, (ids, mat) in enumerate(blocks):
+            for pos, cid in enumerate(ids):
+                rows.append(
+                    (
+                        ver,
+                        "pq",
+                        str(ck),
+                        int(iters),
+                        b,
+                        pos,
+                        int(cid),
+                        [float(x) for x in mat[pos]],
+                    )
+                )
+    schema = T.StructType(
+        [
+            T.StructField("version", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("cache_key", T.StringType()),
+            T.StructField("iters", T.IntegerType()),
+            T.StructField("block", T.IntegerType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    # bounded by construction: ≤4096 centroids + PQ_BLOCKS×256
+    # codewords per trained dataset — KBs-to-MBs, one parquet file
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return len(rows)
+
+
+def load_trained_index(spark: SparkSession, path: str) -> int:
+    """Load a ``save_trained_index`` artifact back into the driver
+    dicts, REPLACING any in-process trained state for the keys it
+    carries. Refuses (ValueError) an artifact whose version string
+    does not match the current knobs — a silently-loaded index
+    trained under different LLOYD_ITERS/PQ geometry would break the
+    oracle contract. Returns the number of rows loaded.
+
+    In-process dict keys are ``(sf_dir, iters)`` tuples; the artifact
+    stores the two components as columns and reassembly re-keys on
+    them, so a fresh process must load with the same sf_dir paths it
+    will query with — same contract as the in-process dicts."""
+    import numpy as np
+
+    ver = _index_version()
+    rows = spark.read.parquet(path).collect()
+    bad = {r.version for r in rows if r.version != ver}
+    if bad:
+        raise ValueError(
+            f"trained-index version mismatch: artifact {sorted(bad)} "
+            f"vs current {ver!r} — retrain or rebuild the artifact"
+        )
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault((r.kind, r.cache_key, r.iters), []).append(r)
+    n = 0
+    for (kind, ck_s, iters), rs in by_key.items():
+        ck = (ck_s, int(iters))
+        if kind == "ivf":
+            rs.sort(key=lambda r: r.pos)
+            _TRAINED_CENTS[ck] = [(int(r.cid), list(r.vec)) for r in rs]
+        else:
+            blocks: dict[int, list] = {}
+            for r in rs:
+                blocks.setdefault(r.block, []).append(r)
+            out = []
+            for b in sorted(blocks):
+                brs = sorted(blocks[b], key=lambda r: r.pos)
+                ids = [int(r.cid) for r in brs]
+                mat = np.array([list(r.vec) for r in brs], dtype=np.float64)
+                out.append((ids, mat))
+            _TRAINED_CB[ck] = out
+        n += len(rs)
     return n
 
 

@@ -66,9 +66,15 @@ def tune_embedded_derby() -> None:
     cache and a 32 KB log buffer — absurdly small next to the
     reference target's MySQL defaults (128 MB buffer pool, 16 MB
     redo buffer), so the embedded destination was being benchmarked
-    with its parking brake on. 8000 pages (~32 MB) + a 256 KB log
+    with its parking brake on. 8000 pages (~32 MB) + a 1 MB log
     buffer is still conservative and measured the 600k-row lineitem
-    copy at 11.4 s → ~9 s on this box.
+    copy at 11.4 s (untuned) → 7.9 s (256 KB log buffer, r12) →
+    ~7.1-7.2 s on this box. The r13 sweep pinned the remaining floor
+    as single-writer insert CPU, not configuration: log buffer
+    {256 KB, 1 MB, 4 MB} × batch {1000, 2000, 4000} all land
+    7.1-8.0 s, ``derby.system.durability=test`` (no log syncs at
+    all — diagnostic only, never shipped) still costs 6.3-6.7 s, and
+    2/4/32 parallel writers measure 9.5/10.8/14.6 s (lock thrash).
 
     Engine properties are read once at Derby boot, so this must run
     BEFORE the first embedded connection of the JVM — write_jdbc /
@@ -76,6 +82,18 @@ def tune_embedded_derby() -> None:
     covers the first touch; after boot it is a silent no-op (hence
     the once-guard). Client/server Derby and every other dialect are
     untouched: a real server's memory is the DBA's knob, not ours.
+
+    LOCAL-MODE ASSUMPTION (r12 advice): this sets java.lang.System
+    properties in the DRIVER JVM only. That is the JVM that opens
+    embedded-Derby connections in local[*] (this sandbox) AND in any
+    cluster deployment where the embedded file-path URL is only
+    reachable from the driver; but if executor JVMs ever open
+    embedded connections (a shared-filesystem deployment), they boot
+    their own Derby engine and need the properties via
+    ``spark.executor.extraJavaOptions=-Dderby.storage...`` instead.
+    The guard flips only after the read-back below confirms the
+    property actually landed in this JVM, so a failed set can retry
+    on the next call instead of silently reporting tuned.
     """
     global _DERBY_TUNED
     if _DERBY_TUNED:
@@ -87,8 +105,10 @@ def tune_embedded_derby() -> None:
         return
     jvm_sys = spark._jvm.java.lang.System
     jvm_sys.setProperty("derby.storage.pageCacheSize", "8000")
-    jvm_sys.setProperty("derby.storage.logBufferSize", "262144")
-    _DERBY_TUNED = True
+    jvm_sys.setProperty("derby.storage.logBufferSize", "1048576")
+    _DERBY_TUNED = (
+        jvm_sys.getProperty("derby.storage.pageCacheSize") == "8000"
+    )
 
 
 def supports_bulk_load(endpoint: Endpoint, df: DataFrame) -> bool:

@@ -140,7 +140,7 @@ def test_tune_embedded_derby_sets_engine_properties(spark):
     sinks.tune_embedded_derby()
     jvm_sys = spark._jvm.java.lang.System
     assert jvm_sys.getProperty("derby.storage.pageCacheSize") == "8000"
-    assert jvm_sys.getProperty("derby.storage.logBufferSize") == "262144"
+    assert jvm_sys.getProperty("derby.storage.logBufferSize") == "1048576"
     assert sinks._DERBY_TUNED
     # idempotent re-entry
     sinks.tune_embedded_derby()

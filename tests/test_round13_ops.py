@@ -1,0 +1,157 @@
+"""Round-13 additions: trained-ANN artifact persistence, MMR degenerate
+-input degradation, bench compact-line size budget."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def test_trained_index_artifact_roundtrip_bit_identical(spark, tmp_path):
+    """save_trained_index -> reset_trained_state -> load_trained_index
+    must reproduce the driver-side trained state BIT-identically (r12
+    verdict item 7: on a real cluster a driver restart would silently
+    retrain; the artifact is the FAISS index-file analogue). Training
+    is deterministic, so the loaded state must equal the retrained
+    state float-for-float — and a query run on the loaded state must
+    equal the retrained run row-for-row."""
+    import numpy as np
+
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    # populate both dicts via the production entry (trains IVF cells
+    # AND the PQ codebook under cache_key=sf_dir)
+    retrained = [
+        tuple(r)
+        for r in S.similarity_ivfpq_topk(spark, SF_SMALL).collect()
+    ]
+    assert (SF_SMALL, S.LLOYD_ITERS) in S._TRAINED_CENTS
+    assert any(k[0] == SF_SMALL for k in S._TRAINED_CB)
+    snap_cents = {k: [(c, list(v)) for c, v in vs] for k, vs in S._TRAINED_CENTS.items()}
+    snap_cb = {
+        k: [(list(ids), mat.copy()) for ids, mat in blocks]
+        for k, blocks in S._TRAINED_CB.items()
+    }
+
+    path = str(tmp_path / "trained_index")
+    n_saved = S.save_trained_index(spark, path)
+    assert n_saved > 0
+
+    dropped = S.reset_trained_state()
+    assert dropped >= 2
+    assert not S._TRAINED_CENTS and not S._TRAINED_CB
+
+    n_loaded = S.load_trained_index(spark, path)
+    assert n_loaded == n_saved
+    assert set(S._TRAINED_CENTS) == set(snap_cents)
+    for k, vs in snap_cents.items():
+        got = S._TRAINED_CENTS[k]
+        assert [c for c, _ in got] == [c for c, _ in vs]
+        for (_, a), (_, b) in zip(got, vs):
+            assert list(a) == list(b)  # exact float equality
+    assert set(S._TRAINED_CB) == set(snap_cb)
+    for k, blocks in snap_cb.items():
+        got = S._TRAINED_CB[k]
+        assert len(got) == len(blocks)
+        for (gids, gmat), (ids, mat) in zip(got, blocks):
+            assert gids == ids
+            assert np.array_equal(gmat, mat)
+
+    # the query on LOADED state must reproduce the retrained run
+    reloaded = [
+        tuple(r)
+        for r in S.similarity_ivfpq_topk(spark, SF_SMALL).collect()
+    ]
+    assert reloaded == retrained
+
+
+def test_trained_index_artifact_version_gate(spark, tmp_path):
+    """An artifact written under different knobs must be REFUSED, not
+    silently loaded: a stale index trained under other LLOYD_ITERS /
+    PQ geometry would break the oracle contract."""
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    if not S._TRAINED_CENTS:
+        S._assign_cells(
+            spark, S._vecs(spark, SF_SMALL), probes=1, cache_key=SF_SMALL
+        )
+    path = str(tmp_path / "stale_index")
+    S.save_trained_index(spark, path)
+    # rewrite with a corrupted version string
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    df.withColumn("version", F.lit("v0:other-knobs")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "stale_index2"))
+    with pytest.raises(ValueError, match="version mismatch"):
+        S.load_trained_index(spark, str(tmp_path / "stale_index2"))
+
+
+def test_mmr_degenerate_candidates_lose_not_raise(spark):
+    """A zero-norm candidate makes rel/sim non-finite; the greedy pick
+    key must let it LOSE every comparison (pre-r12 round() behavior)
+    instead of raising from math.floor (r12 advice). Degenerates are
+    picked only when nothing finite remains, ties by ascending id."""
+    from pyspark.sql import types as T
+
+    from mysqldatasynctool_spark.operators.similarity import MMR_K, _mmr_select
+
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("rel", T.DoubleType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("vnorm", T.DoubleType()),
+        ]
+    )
+    nan = float("nan")
+    rows = [
+        (1, 10, 0.9, [1.0, 0.0], 1.0),
+        (1, 11, 0.5, [0.0, 1.0], 1.0),
+        # zero-norm degenerates: upstream cosine rel is NaN
+        (1, 12, nan, [0.0, 0.0], 0.0),
+        (1, 13, nan, [0.0, 0.0], 0.0),
+    ]
+    cand = spark.createDataFrame(rows, schema)
+    out = _mmr_select(cand).collect()
+    got = [(r.rank, r.vec_id) for r in out]
+    k = min(MMR_K, 4)
+    # finite candidates first (10 best rel, then 11), degenerates
+    # last in ascending-id order — and no exception anywhere
+    assert got[:2] == [(1, 10), (2, 11)]
+    assert [v for _, v in got[2:k]] == [12, 13][: k - 2]
+
+
+def test_bench_compact_line_fits_driver_tail():
+    """bench.py's final BENCH_JSON line must stay under the driver's
+    2000-char stdout tail with the full current registry priced in —
+    the whole point of the line is surviving tail truncation (r12
+    verdict item 4)."""
+    # simulate the worst case: every HEADLINE query present at 4-char
+    # values (e.g. 12.57)
+    import bench
+
+    timings = {name: 99.99 for name in bench.HEADLINE}
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "query_stat": "median_of_3_adaptive_to_5",
+        "record": "BENCH_LOCAL_r99.json",
+        "n_failed": 99,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        keep = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
+        compact["queries"] = {k: round(v, 2) for k, v in keep.items()}
+        compact["queries_truncated_to"] = 40
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) + len("BENCH_JSON: ") <= 1990

@@ -102,7 +102,12 @@ def main() -> int:
         probes_new = new_rec.get("probe_by_query") or {}
         if probes_new:
             vals = sorted(probes_new.values())
-            probe_med = vals[len(vals) // 2]
+            m = len(vals) // 2
+            # true median for even counts too (r12 advice: vals[n//2]
+            # over-picks the upper middle and skews burst attribution)
+            probe_med = (
+                vals[m] if len(vals) % 2 else (vals[m - 1] + vals[m]) / 2
+            )
         old_rec = json.load(open(old_path))
         so = old_rec.get("query_stat", "min_of_runs(pre-r12)")
         sn = new_rec.get("query_stat", "min_of_runs(pre-r12)")

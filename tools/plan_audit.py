@@ -96,6 +96,73 @@ ALLOWED_CARTESIAN = {
 #: operator genuinely cannot batch).
 ALLOWED_ROW_UDF: dict[str, str] = {}
 
+#: minimum table width for the full-scan check: an unpruned unfiltered
+#: read of a <=4-column table costs what a pruned one does; the check
+#: exists to catch a 2-column projection paying a 16-column scan.
+FULL_SCAN_MIN_COLS = 5
+
+#: queries whose plan legitimately contains an all-columns no-filter
+#: parquet scan of a wide table, and why (whole-row consumers: content
+#: checksums, full-corpus statistics, dedup over every field). Each
+#: entry was reviewed against its source: the scan width IS the
+#: operator's contract, not a pruning regression.
+ALLOWED_FULL_SCAN: dict[str, str] = {
+    # the migration family's job is moving/verifying WHOLE ROWS — a
+    # row digest or stringify that pruned a column would be wrong
+    "migration_stringify": "row-level NULL/BLOB stringify of every column (reference root.go conversion)",
+    "migration_row_diff": "full-row digest on both sides — a pruned column would hide a diff",
+    "migration_page_checksums": "per-page content checksum over every column",
+    "migration_compare_checksums": "whole-table content checksum, both sides x 3 tables",
+    "migration_cdc_apply": "CDC merge materializes complete rows into the snapshot",
+    # scalar-function coverage query: consumes all 6 part columns in
+    # its projection by design (relational.py:565)
+    "scalar_functions": "projection genuinely reads every part column",
+}
+
+
+def _table_widths(spark, sf_dir: str) -> dict[str, int]:
+    """Column count per fixture table (parquet footer only)."""
+    import glob
+
+    widths = {}
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        t = os.path.basename(p).removesuffix(".parquet")
+        widths[t] = len(spark.read.parquet(p).columns)
+    return widths
+
+
+def _full_scans(formatted: str, widths: dict[str, int]) -> list[str]:
+    """Scan nodes reading EVERY column of a wide fixture table with NO
+    pushed filters — the shape where a pruning/pushdown regression
+    hides (r12 verdict item 8: pruning was only asserted for
+    fixtures.load in tests/test_plans.py; this audits it per query,
+    per scan, across the whole registry)."""
+    import re
+
+    hits = []
+    # formatted explain: each scan node is a "(n) Scan parquet" block
+    # whose detail lines (Output/Location/PushedFilters/ReadSchema)
+    # follow below, separated from the next node by a blank line
+    for block in re.split(r"\n\n", formatted):
+        if "Scan parquet" not in block:
+            continue
+        loc = re.search(r"Location:.*?\[(?:file:)?([^\]]+)\]", block)
+        out = re.search(r"Output \[(\d+)\]", block)
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        if not loc or not out:
+            continue
+        table = os.path.basename(loc.group(1).rstrip("/")).removesuffix(
+            ".parquet"
+        )
+        width = widths.get(table)
+        if width is None or width < FULL_SCAN_MIN_COLS:
+            continue
+        n_read = int(out.group(1))
+        has_filter = bool(pushed and pushed.group(1).strip())
+        if n_read >= width and not has_filter:
+            hits.append(f"{table}({n_read}/{width} cols, no pushdown)")
+    return hits
+
 
 def audit(spark, sf_dir: str):
     """Returns (rows, violations): per-query plan-feature table and
@@ -103,13 +170,20 @@ def audit(spark, sf_dir: str):
     from mysqldatasynctool_spark.operators import collect_registry
 
     queries, _ = collect_registry()
+    widths = _table_widths(spark, sf_dir)
     rows, violations = [], []
     for name, fn in sorted(queries.items()):
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().explainString(
+            qe = df._jdf.queryExecution()
+            plan = qe.explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "simple"
+                )
+            )
+            formatted = qe.explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
                 )
             )
         except Exception as exc:  # noqa: BLE001 — audit must see every query
@@ -118,6 +192,13 @@ def audit(spark, sf_dir: str):
             continue
         cartesian = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
         row_udf = "BatchEvalPython" in plan
+        full_scans = _full_scans(formatted, widths)
+        if full_scans:
+            detail = ";".join(full_scans)
+            if name in ALLOWED_FULL_SCAN:
+                pass  # recorded in flags below as allowed
+            else:
+                violations.append((name, "unpruned unfiltered scan", detail))
         flags = []
         if cartesian:
             flags.append(
@@ -133,6 +214,12 @@ def audit(spark, sf_dir: str):
             )
             if name not in ALLOWED_ROW_UDF:
                 violations.append((name, "row-at-a-time Python UDF", ""))
+        if full_scans:
+            flags.append(
+                "fullscan:allowed"
+                if name in ALLOWED_FULL_SCAN
+                else "fullscan:VIOLATION"
+            )
         rows.append((name, ",".join(flags) or "clean", ""))
     return rows, violations
 
