@@ -32,22 +32,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: stable order.
 #:
 #: ROUND-13 ROTATION (r12 verdict item 3 + tools/correctness_union.py):
-#: 1) positions 1–2: the entries whose shared code changed this round
-#:    — both MMR entries (the greedy pick key in _mmr_select grew a
-#:    non-finite guard and sim() a zero-norm guard; a shared-helper
-#:    change the union tool's function-span blame cannot see);
-#: 2) positions 3–50: the union tool's suggested oldest-green
+#: 1) positions 1–4: the entries whose code or shared helpers changed
+#:    this round — both MMR entries (the greedy pick key in
+#:    _mmr_select grew a non-finite guard and sim() a zero-norm
+#:    guard), similarity_ivfpq_topk (index-state frames — assignment
+#:    + PQ codes — are now persisted and REUSED across calls instead
+#:    of swapped; seeding/count jobs gated behind the trained caches)
+#:    and similarity_ann_recall_report (embeds the ivfpq funnel);
+#:    shared-helper changes the union tool's function-span blame
+#:    cannot see;
+#: 2) positions 5–50: the union tool's suggested oldest-green
 #:    rotation head-on — the r7/r8-era stale tail the r12 verdict
 #:    ordered into this slate (window_running_drawdown, agg_cohort_ltv,
-#:    … through join_asof); its last two suggestions
-#:    (string_functions2, null_conditional) sit at positions 51–52
-#:    and lead the next rotation;
+#:    … through agg_moments_manual); its trailing suggestions
+#:    (agg_correlation_manual, agg_percentiles_exact, join_asof,
+#:    string_functions2, null_conditional) sit at positions 51+ and
+#:    lead the next rotation;
 #: 3) everything else oldest-green-record-first, stable relative
-#:    order. Overlap with the r12 slate: 2 names (the changed-code
-#:    block), well under the <20 target.
+#:    order. Overlap with the r12 slate: 2 names, well under the <20
+#:    target.
 VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_mmr_rerank",
     "similarity_mmr_ann",
+    "similarity_ivfpq_topk",
+    "similarity_ann_recall_report",
     "window_running_drawdown",
     "agg_cohort_ltv",
     "events_markov_transitions",
@@ -210,9 +218,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "similarity_ivf_pandas",
     "similarity_kmeans_step",
-    "similarity_ivfpq_topk",
     "dedup_semantic_cells",
-    "similarity_ann_recall_report",
     "text_bm25_topk",
     "similarity_hybrid_rrf",
     "similarity_cluster_topics",

