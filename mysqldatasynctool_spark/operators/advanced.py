@@ -345,6 +345,211 @@ ORDER BY purchase_id
 """
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')`` — the variant ``join_asof`` can't express): for every
+    purchase, the user's view event with the SMALLEST absolute time
+    gap, looking both backward and forward; exact-distance ties go
+    backward (the pandas contract).
+
+    Implementation stays the one-shuffle union-window shape of
+    ``join_asof``: tag both streams, order by (ts, kind, id) per user,
+    take the running backward candidate (``last`` ignore-nulls over
+    the preceding frame) AND the forward candidate (``first``
+    ignore-nulls over the following frame), then pick the nearer by
+    millisecond gap. A same-timestamp view sorts before the purchase
+    (kind 0 < 1), so it is a 0-gap BACKWARD match in both engines.
+    Candidate (ts, id) pairs ride two ignore-nulls window columns
+    that are null on exactly the same rows, so they always come from
+    the same event — no struct packing needed, which keeps the oracle
+    a verbatim window replay instead of DuckDB's ASOF (whose
+    duplicate-key pick order is not contractual).
+
+    100 TB: identical cost to join_asof — ONE hash shuffle on
+    user_id, two linear window passes within each partition (Spark
+    runs both frames off the same sort), no join of the streams
+    against each other. Gaps compared in exact BIGINT milliseconds
+    (unix_millis / epoch_ms), never float seconds.
+    """
+    ev = load(spark, sf_dir, "events")
+    combined = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.col("event_id").alias("eid"),
+        )
+        .unionByName(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id",
+                "ts",
+                F.lit(1).alias("kind"),
+                F.col("event_id").alias("eid"),
+            )
+        )
+    )
+    order = [F.col("ts"), F.col("kind"), F.col("eid")]
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    v_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    v_id = F.when(F.col("kind") == 0, F.col("eid"))
+    m = (
+        combined.withColumn("back_ts", F.last(v_ts, ignorenulls=True).over(w_back))
+        .withColumn("back_id", F.last(v_id, ignorenulls=True).over(w_back))
+        .withColumn("fwd_ts", F.first(v_ts, ignorenulls=True).over(w_fwd))
+        .withColumn("fwd_id", F.first(v_id, ignorenulls=True).over(w_fwd))
+        .filter(F.col("kind") == 1)
+        .filter(F.col("back_id").isNotNull() | F.col("fwd_id").isNotNull())
+    )
+    back_gap = F.unix_millis("ts") - F.unix_millis("back_ts")
+    fwd_gap = F.unix_millis("fwd_ts") - F.unix_millis("ts")
+    pick_back = F.col("fwd_id").isNull() | (
+        F.col("back_id").isNotNull() & (back_gap <= fwd_gap)
+    )
+    return (
+        m.select(
+            F.col("eid").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(pick_back, F.col("back_id")).otherwise(F.col("fwd_id")).alias("view_id"),
+            F.when(pick_back, F.col("back_ts")).otherwise(F.col("fwd_ts")).alias("view_ts"),
+            F.when(pick_back, F.lit("backward")).otherwise(F.lit("forward")).alias("direction"),
+            F.when(pick_back, back_gap).otherwise(fwd_gap).alias("gap_ms"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+JOIN_ASOF_NEAREST_ORACLE = """
+WITH combined AS (
+  SELECT user_id, ts, 0 AS kind, event_id AS eid
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1 AS kind, event_id AS eid
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT *,
+    LAST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, kind, eid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+    LAST_VALUE(CASE WHEN kind = 0 THEN eid END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, kind, eid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_id,
+    FIRST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, kind, eid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts,
+    FIRST_VALUE(CASE WHEN kind = 0 THEN eid END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, kind, eid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_id
+  FROM combined
+), picked AS (
+  SELECT *,
+    (fwd_id IS NULL OR (back_id IS NOT NULL
+       AND epoch_ms(ts) - epoch_ms(back_ts)
+           <= epoch_ms(fwd_ts) - epoch_ms(ts))) AS pick_back
+  FROM m
+  WHERE kind = 1 AND (back_id IS NOT NULL OR fwd_id IS NOT NULL)
+)
+SELECT eid AS purchase_id,
+       user_id,
+       ts AS purchase_ts,
+       CASE WHEN pick_back THEN back_id ELSE fwd_id END AS view_id,
+       CASE WHEN pick_back THEN back_ts ELSE fwd_ts END AS view_ts,
+       CASE WHEN pick_back THEN 'backward' ELSE 'forward' END AS direction,
+       CASE WHEN pick_back THEN epoch_ms(ts) - epoch_ms(back_ts)
+            ELSE epoch_ms(fwd_ts) - epoch_ms(ts) END AS gap_ms
+FROM picked
+ORDER BY purchase_id
+"""
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quantiles (median + p90) of extended price
+    weighted by quantity, per return flag — the weighted-percentile
+    operator the plain ``percentile()`` family can't express (every
+    training-data mixture audit wants "the price/length under which
+    half the WEIGHT sits", not half the rows).
+
+    Definition (deterministic, oracle-replayable): the weighted
+    q-quantile is the smallest value v with cumweight(<= v) >=
+    q * totalweight — weights summed as DECIMAL(18,2) so the crossing
+    comparison (``2·cum >= total``, ``10·cum >= 9·total``) is exact
+    integer-scaled arithmetic in both engines, never a float
+    threshold.
+
+    100 TB shape: values are pre-aggregated to (group, value, weight)
+    by a map-side-combining groupBy BEFORE any window — the running
+    cumsum then runs over DISTINCT values per group, not rows, so the
+    per-group window task is bounded by the value domain (prices here;
+    bin continuous domains to fixed precision first). The crossing
+    pick is tie-order independent: within a run of equal values at
+    least the run's last row crosses and no earlier-value row can,
+    so MIN(value | crossed) is stable whatever the intra-run order.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w")
+    )
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = agg.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(F.col("cw") * 2 >= F.col("tw"), F.col("l_extendedprice"))
+            ).alias("weighted_median"),
+            F.min(
+                F.when(
+                    F.col("cw") * 10 >= F.col("tw") * 9, F.col("l_extendedprice")
+                )
+            ).alias("weighted_p90"),
+            F.max("tw").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_WEIGHTED_MEDIAN_ORACLE = """
+WITH agg AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+  FROM lineitem
+  GROUP BY l_returnflag, l_extendedprice
+), c AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM agg
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN cw * 2 >= tw THEN l_extendedprice END) AS weighted_median,
+       MIN(CASE WHEN cw * 10 >= tw * 9 THEN l_extendedprice END) AS weighted_p90,
+       CAST(MAX(tw) AS DOUBLE) AS total_weight
+FROM c
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface over the embedding vectors: size, slice,
     indexed access, sort/reverse of (rounded) prefixes."""
@@ -1192,7 +1397,9 @@ QUERIES = {
     "agg_correlation_manual": agg_correlation_manual,
     "agg_percentiles_exact": agg_percentiles_exact,
     "agg_percentiles": agg_percentiles,
+    "agg_weighted_median": agg_weighted_median,
     "join_asof": join_asof,
+    "join_asof_nearest": join_asof_nearest,
     "array_functions": array_functions,
     "string_functions2": string_functions2,
     "null_conditional": null_conditional,
@@ -1209,6 +1416,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_weighted_median": AGG_WEIGHTED_MEDIAN_ORACLE,
+    "join_asof_nearest": JOIN_ASOF_NEAREST_ORACLE,
     "agg_key_skew_report": AGG_KEY_SKEW_ORACLE,
     "agg_linear_fit": AGG_LINEAR_FIT_ORACLE,
     "sql_recursive_supplier_tree": SQL_RECURSIVE_TREE_ORACLE,
