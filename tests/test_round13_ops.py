@@ -69,6 +69,74 @@ def test_trained_index_artifact_roundtrip_bit_identical(spark, tmp_path):
     assert reloaded == retrained
 
 
+def test_trained_index_artifact_fresh_process_bit_identical(spark, tmp_path):
+    """The literal driver-restart scenario (r12 verdict item 7): a
+    FRESH python process with its own SparkSession loads the artifact
+    and must hold bit-identical trained state — floats compared via
+    repr, which round-trips doubles exactly."""
+    import subprocess
+    import sys as _sys
+
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    if (SF_SMALL, S.LLOYD_ITERS) not in S._TRAINED_CENTS or not any(
+        k[0] == SF_SMALL for k in S._TRAINED_CB
+    ):
+        S.similarity_ivfpq_topk(spark, SF_SMALL).count()
+    path = str(tmp_path / "restart_index")
+    S.save_trained_index(spark, path)
+
+    def snapshot(cents, cb):
+        return {
+            "cents": {
+                repr(k): [(c, [repr(x) for x in v]) for c, v in vs]
+                for k, vs in cents.items()
+            },
+            "cb": {
+                repr(k): [
+                    (list(ids), [[repr(x) for x in row] for row in mat])
+                    for ids, mat in blocks
+                ]
+                for k, blocks in cb.items()
+            },
+        }
+
+    mine = json.dumps(snapshot(S._TRAINED_CENTS, S._TRAINED_CB), sort_keys=True)
+    (tmp_path / "parent.json").write_text(mine)
+
+    child = f"""
+import json, sys
+sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+from mysqldatasynctool_spark.session import get_spark
+from mysqldatasynctool_spark.operators import similarity as S
+spark = get_spark(app_name="artifact-restart", master="local[4]", shuffle_partitions=4)
+assert not S._TRAINED_CENTS and not S._TRAINED_CB
+S.load_trained_index(spark, {path!r})
+def snapshot(cents, cb):
+    return {{
+        "cents": {{repr(k): [(c, [repr(x) for x in v]) for c, v in vs]
+                   for k, vs in cents.items()}},
+        "cb": {{repr(k): [(list(ids), [[repr(x) for x in row] for row in mat])
+                 for ids, mat in blocks] for k, blocks in cb.items()}},
+    }}
+open({repr(str(tmp_path / "child.json"))}, "w").write(
+    json.dumps(snapshot(S._TRAINED_CENTS, S._TRAINED_CB), sort_keys=True))
+spark.stop()
+"""
+    subprocess.run(
+        [_sys.executable, "-c", child], check=True, timeout=300, cwd="/tmp"
+    )
+    theirs = (tmp_path / "child.json").read_text()
+    # fresh-process state must cover every key this process trained
+    # for SF_SMALL and match it float-for-float; this process may
+    # additionally hold other datasets' training (session fixture)
+    mine_d, theirs_d = json.loads(mine), json.loads(theirs)
+    for kind in ("cents", "cb"):
+        for k, v in theirs_d[kind].items():
+            assert mine_d[kind][k] == v
+        assert any(SF_SMALL in k for k in theirs_d[kind])
+
+
 def test_trained_index_artifact_version_gate(spark, tmp_path):
     """An artifact written under different knobs must be REFUSED, not
     silently loaded: a stale index trained under other LLOYD_ITERS /
