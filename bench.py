@@ -44,6 +44,8 @@ HEADLINE = [
     "events_sliding_window",
     "events_asof_join",
     "events_asof_join_salted",
+    "join_asof_nearest",
+    "agg_weighted_median",
     "events_hypertable_rollup",
     # a REAL Structured Streaming run (file source -> watermarked agg
     # -> memory sink) timed per round: streaming-layer throughput is a
