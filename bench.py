@@ -91,6 +91,7 @@ HEADLINE = [
     "text_bm25_topk",
     "multimodal_decode_features",
     "multimodal_frame_sample",
+    "multimodal_phash_dedup",
     "pipeline_global_shuffle",
     # r11 late additions: cluster curation (topic profiling + balanced
     # subsample, both riding the shared trained-cell assignment) and

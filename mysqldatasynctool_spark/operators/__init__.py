@@ -41,9 +41,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:    and similarity_ann_recall_report (embeds the ivfpq funnel);
 #:    shared-helper changes the union tool's function-span blame
 #:    cannot see;
-#: 1b) positions 5–6: the two NEW r13 entries (join_asof_nearest,
-#:    agg_weighted_median) — first records;
-#: 2) positions 7–50: the union tool's suggested oldest-green
+#: 1b) positions 5–7: the three NEW r13 entries (join_asof_nearest,
+#:    agg_weighted_median, multimodal_phash_dedup) — first records;
+#: 2) positions 8–50: the union tool's suggested oldest-green
 #:    rotation head-on — the r7/r8-era stale tail the r12 verdict
 #:    ordered into this slate (window_running_drawdown, agg_cohort_ltv,
 #:    … through agg_moments_manual); its trailing suggestions
@@ -60,6 +60,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_ann_recall_report",
     "join_asof_nearest",
     "agg_weighted_median",
+    "multimodal_phash_dedup",
     "window_running_drawdown",
     "agg_cohort_ltv",
     "events_markov_transitions",

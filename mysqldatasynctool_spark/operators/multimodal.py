@@ -259,3 +259,110 @@ ORDER BY w.doc_id, w.win_idx
 
 QUERIES["multimodal_audio_windows"] = multimodal_audio_windows
 ORACLES["multimodal_audio_windows"] = MULTIMODAL_AUDIO_ORACLE
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the binary
+    payloads — the image-dedup staple (aHash/pHash bucket-join) the
+    multimodal family lacked: documents whose CONTENT hashes to the
+    same coarse 16-bit average-hash land in one bucket; buckets with
+    >= 2 members are the near-dup report (at production scale a
+    verify stage re-checks members pairwise, exactly like
+    dedup_minhash_lsh's banding -> verify split).
+
+    The hash is the classic average-hash over the 1-D byte stream:
+    split the payload into 16 position blocks, bit b = 1 iff block
+    b's byte mean >= the whole payload's mean. All decisions are
+    EXACT integer cross-multiplications (block_sum * n_total >=
+    total_sum * block_len) — no float mean ever exists, so the oracle
+    replays the identical bits from ascii() codes (fixture text is
+    pure ASCII; payload bytes == character codes, the invariant
+    multimodal_binary_meta's oracle already pins). A real pHash (DCT
+    over decoded pixels) swaps in at the same mapInPandas closure
+    point as the image codec (functions/multimodal.py).
+
+    100 TB shape: one Arrow map pass emits (doc_id, phash) — 2 longs
+    per payload, never the bytes — then ONE hash-shuffle groupBy on
+    the 16-bit key; bucket sizes are bounded by hash collisions, and
+    the coarse key is the blocking stage, not the verdict.
+    """
+    payloads = _with_payload(spark, sf_dir).select("doc_id", "payload")
+
+    def ahash(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                n = a.shape[0]
+                if n == 0:
+                    continue
+                idx = (_np.arange(n, dtype=_np.int64) * 16) // n
+                sums = _np.zeros(16, dtype=_np.int64)
+                _np.add.at(sums, idx, a.astype(_np.int64))
+                lens = _np.bincount(idx, minlength=16).astype(_np.int64)
+                total = int(sums.sum())
+                bits = (sums * n) >= (total * lens)
+                ph = 0
+                for b in range(16):
+                    if lens[b] and bits[b]:
+                        ph |= 1 << b
+                ids.append(int(doc_id))
+                hashes.append(ph)
+            yield _pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    hashed = payloads.mapInPandas(ahash, schema="doc_id long, phash long")
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("phash")
+    )
+
+
+MULTIMODAL_PHASH_ORACLE = """
+-- fixture text is pure ASCII (payload bytes == ascii codes); the
+-- average-hash bits are exact integer cross-multiplications, so the
+-- oracle replays them bit-for-bit from character codes
+WITH pos AS (
+  SELECT doc_id,
+         unnest(range(1, length(text) + 1)) AS i,
+         text,
+         length(text) AS n
+  FROM documents
+  WHERE length(text) > 0
+), px AS (
+  SELECT doc_id,
+         ascii(substring(text, CAST(i AS INT), 1)) AS b,
+         ((i - 1) * 16) // n AS blk,
+         n
+  FROM pos
+), blocks AS (
+  SELECT doc_id, blk, n,
+         CAST(SUM(b) AS BIGINT) AS bs,
+         CAST(COUNT(*) AS BIGINT) AS bl
+  FROM px GROUP BY doc_id, blk, n
+), tot AS (
+  SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS ts FROM blocks GROUP BY doc_id
+), bits AS (
+  SELECT b.doc_id,
+         CAST(SUM(CASE WHEN b.bs * b.n >= t.ts * b.bl
+                       THEN CAST(1 AS BIGINT) << CAST(b.blk AS INT)
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM blocks b JOIN tot t USING (doc_id)
+  GROUP BY b.doc_id
+)
+SELECT phash, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM bits GROUP BY phash HAVING COUNT(*) > 1
+ORDER BY phash
+"""
+
+QUERIES["multimodal_phash_dedup"] = multimodal_phash_dedup
+ORACLES["multimodal_phash_dedup"] = MULTIMODAL_PHASH_ORACLE
