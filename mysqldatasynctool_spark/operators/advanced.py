@@ -472,6 +472,13 @@ ORDER BY purchase_id
 """
 
 
+#: coarse bucket width for the weighted-quantile two-phase search —
+#: floor(value / WQ_BUCKET) — picked so the fixture's ~100k price
+#: range yields ~1.6k buckets/group (phase-1 frame is KBs) while a
+#: crossing bucket holds only a few hundred exact values
+WQ_BUCKET = 64.0
+
+
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted quantiles (median + p90) of extended price
     weighted by quantity, per return flag — the weighted-percentile
@@ -481,45 +488,99 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Definition (deterministic, oracle-replayable): the weighted
     q-quantile is the smallest value v with cumweight(<= v) >=
-    q * totalweight — weights summed as DECIMAL(18,2) so the crossing
-    comparison (``2·cum >= total``, ``10·cum >= 9·total``) is exact
+    q * totalweight — weights summed as DECIMAL(18,2) so every
+    crossing comparison (``cum·q_den >= total·q_num``) is exact
     integer-scaled arithmetic in both engines, never a float
     threshold.
 
-    100 TB shape: values are pre-aggregated to (group, value, weight)
-    by a map-side-combining groupBy BEFORE any window — the running
-    cumsum then runs over DISTINCT values per group, not rows, so the
-    per-group window task is bounded by the value domain (prices here;
-    bin continuous domains to fixed precision first). The crossing
-    pick is tie-order independent: within a run of equal values at
-    least the run's last row crosses and no earlier-value row can,
-    so MIN(value | crossed) is stable whatever the intra-run order.
+    100 TB shape — TWO-PHASE bucket search, not a per-group global
+    sort (the first cut ran one cumsum window over every distinct
+    value per group: with ~594k distinct prices in 600k rows that is
+    a ~200k-row single-task sort per group, and at warehouse scale
+    the "distinct values" defense saturates). Phase 1 aggregates to
+    coarse integer buckets (floor(value / WQ_BUCKET)) with map-side
+    combine — the per-group bucket frame is KBs — and a window over
+    BUCKETS finds each quantile's crossing bucket plus the exact
+    DECIMAL weight prefix before it. Phase 2 re-aggregates ONLY the
+    crossing buckets' rows (a broadcast semi-filter join) and runs
+    the exact within-bucket cumsum over a few hundred values. Both
+    phases shuffle-bounded and parallel; no task ever sorts a
+    group's whole domain. The crossing pick is tie-order independent
+    (within a run of equal values at least the run's last row
+    crosses and no earlier-value row can).
+
+    The tiny 2-row quantile dim rides a broadcast NLJ against the
+    KB-scale bucket stats (allowlisted: the scalar-subquery class).
     """
-    li = load(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
     )
-    w_cum = (
+    bkt = F.floor(F.col("l_extendedprice") / WQ_BUCKET).cast("long")
+    # phase 1 buckets RAW rows (map-side combine into ~1.6k
+    # buckets/group) — no distinct-value frame is ever materialized
+    b = li.groupBy("l_returnflag", bkt.alias("bkt")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("bw")
+    )
+    w_b = (
         W.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = b.select(
+        "l_returnflag",
+        "bkt",
+        "bw",
+        F.sum("bw").over(w_b).alias("cbw"),
+        F.sum("bw").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    # quantile dim: q = q_num/q_den, crossing test cum*q_den >= tw*q_num
+    qs = spark.createDataFrame(
+        [(1, 2), (9, 10)], "q_num int, q_den int"
+    )
+    crossing = (
+        c.join(qs)
+        .filter(F.col("cbw") * F.col("q_den") >= F.col("tw") * F.col("q_num"))
+        .groupBy("l_returnflag", "q_num", "q_den")
+        .agg(
+            F.min("bkt").alias("bkt"),
+            F.max("tw").alias("tw"),
+        )
+    )
+    # exact DECIMAL weight strictly before the crossing bucket
+    crossing = crossing.join(c.select("l_returnflag", "bkt", "cbw", "bw"), ["l_returnflag", "bkt"]).select(
+        "l_returnflag",
+        "q_num",
+        "q_den",
+        "bkt",
+        "tw",
+        (F.col("cbw") - F.col("bw")).alias("prefix"),
+    )
+    # phase 2: broadcast-filter the RAW scan to the crossing buckets
+    # (a few hundred rows/group), aggregate per-price weights there,
+    # then the exact within-bucket cumsum
+    sel = li.withColumn("bkt", bkt).join(
+        F.broadcast(crossing), ["l_returnflag", "bkt"]
+    )
+    pv = sel.groupBy(
+        "l_returnflag", "q_num", "q_den", "tw", "prefix", "l_extendedprice"
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w"))
+    w_v = (
+        W.partitionBy("l_returnflag", "q_num")
         .orderBy("l_extendedprice")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    c = agg.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum("w").over(w_cum).alias("cw"),
-        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tw"),
+    picked = pv.withColumn("cw", F.sum("w").over(w_v)).filter(
+        (F.col("prefix") + F.col("cw")) * F.col("q_den")
+        >= F.col("tw") * F.col("q_num")
     )
     return (
-        c.groupBy("l_returnflag")
+        picked.groupBy("l_returnflag")
         .agg(
             F.min(
-                F.when(F.col("cw") * 2 >= F.col("tw"), F.col("l_extendedprice"))
+                F.when(F.col("q_den") == 2, F.col("l_extendedprice"))
             ).alias("weighted_median"),
             F.min(
-                F.when(
-                    F.col("cw") * 10 >= F.col("tw") * 9, F.col("l_extendedprice")
-                )
+                F.when(F.col("q_den") == 10, F.col("l_extendedprice"))
             ).alias("weighted_p90"),
             F.max("tw").cast("double").alias("total_weight"),
         )
@@ -527,24 +588,52 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-AGG_WEIGHTED_MEDIAN_ORACLE = """
-WITH agg AS (
-  SELECT l_returnflag, l_extendedprice,
-         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
-  FROM lineitem
-  GROUP BY l_returnflag, l_extendedprice
+AGG_WEIGHTED_MEDIAN_ORACLE = f"""
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice / {WQ_BUCKET}) AS BIGINT) AS bkt,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS bw
+  FROM lineitem GROUP BY 1, 2
 ), c AS (
-  SELECT l_returnflag, l_extendedprice,
-         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
-         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
-  FROM agg
+  SELECT l_returnflag, bkt, bw,
+         SUM(bw) OVER (PARTITION BY l_returnflag ORDER BY bkt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cbw,
+         SUM(bw) OVER (PARTITION BY l_returnflag) AS tw
+  FROM b
+), qs AS (
+  SELECT 1 AS q_num, 2 AS q_den UNION ALL SELECT 9, 10
+), crossing0 AS (
+  SELECT l_returnflag, q_num, q_den, MIN(bkt) AS bkt, MAX(tw) AS tw
+  FROM c CROSS JOIN qs
+  WHERE cbw * q_den >= tw * q_num
+  GROUP BY l_returnflag, q_num, q_den
+), crossing AS (
+  SELECT x.l_returnflag, x.q_num, x.q_den, x.bkt, x.tw,
+         c.cbw - c.bw AS prefix
+  FROM crossing0 x JOIN c
+    ON x.l_returnflag = c.l_returnflag AND x.bkt = c.bkt
+), pv AS (
+  SELECT a.l_returnflag, a.l_extendedprice, x.q_num, x.q_den, x.tw, x.prefix,
+         SUM(CAST(a.l_quantity AS DECIMAL(18,2))) AS w
+  FROM lineitem a
+  JOIN crossing x
+    ON a.l_returnflag = x.l_returnflag
+   AND CAST(FLOOR(a.l_extendedprice / {WQ_BUCKET}) AS BIGINT) = x.bkt
+  GROUP BY a.l_returnflag, a.l_extendedprice, x.q_num, x.q_den, x.tw, x.prefix
+), picked AS (
+  SELECT l_returnflag, l_extendedprice, q_num, q_den, tw, prefix,
+         SUM(w) OVER (PARTITION BY l_returnflag, q_num
+                      ORDER BY l_extendedprice
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM pv
 )
 SELECT l_returnflag,
-       MIN(CASE WHEN cw * 2 >= tw THEN l_extendedprice END) AS weighted_median,
-       MIN(CASE WHEN cw * 10 >= tw * 9 THEN l_extendedprice END) AS weighted_p90,
+       MIN(CASE WHEN q_den = 2 AND (prefix + cw) * q_den >= tw * q_num
+                THEN l_extendedprice END) AS weighted_median,
+       MIN(CASE WHEN q_den = 10 AND (prefix + cw) * q_den >= tw * q_num
+                THEN l_extendedprice END) AS weighted_p90,
        CAST(MAX(tw) AS DOUBLE) AS total_weight
-FROM c
+FROM picked
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """

@@ -82,6 +82,9 @@ ALLOWED_CARTESIAN = {
     # grid; every candidate-scoring join downstream is equi-keyed
     "similarity_ivfpq_topk": "ADC distance-table grid (query panel x KB codebook)",
     "events_burst_detection": "1-row global-rate broadcast (scalar subquery)",
+    # 2-row quantile dim x KB-scale bucket stats: the two-phase
+    # weighted-quantile search's phase-1 frame is tiny by construction
+    "agg_weighted_median": "2-row quantile dim x per-bucket stats (scalar-subquery class)",
     # r11 additions, both the scalar-subquery class: attaching a 1-row
     # aggregate to every row via broadcast NLJ is the optimal plan
     "similarity_cluster_topics": "1-row corpus-grand-total broadcast (scalar subquery)",
