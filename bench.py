@@ -202,6 +202,9 @@ def main() -> None:
         "pipeline_cluster_balanced_sample",
     }
     cold_steady: dict[str, dict] = {}
+    #: per-entry statistic overrides (COLD_STEADY rows report the
+    #: steady median; everything else uses the top-level query_stat)
+    stat_by_query: dict[str, str] = {}
     #: per-query box-speed sample taken just before each query's runs
     probe_by_query: dict[str, float] = {}
     for name in HEADLINE:
@@ -245,7 +248,16 @@ def main() -> None:
             # the fastest run, add samples (max 5 total) — the median
             # of the grown set converges to steady state without ever
             # reverting to a lucky-minimum statistic.
-            while len(runs) < 5 and _median(runs) > 2 * min(runs):
+            # (COLD_STEADY: judge the spread on the steady tail only —
+            # cold > 2x steady is the expected amortization shape, and
+            # letting run0 trip this would burn the extra samples on
+            # every COLD_STEADY row of an idle box)
+            def _spread(rs: list[float]) -> list[float]:
+                return rs[1:] if name in COLD_STEADY else rs
+
+            while len(runs) < (6 if name in COLD_STEADY else 5) and _median(
+                _spread(runs)
+            ) > 2 * min(_spread(runs)):
                 t0 = time.monotonic()
                 queries[name](spark, sf_dir).write.mode("overwrite").format(
                     "noop"
@@ -255,8 +267,17 @@ def main() -> None:
             failed[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
         all_runs[name] = runs
-        timings[name] = _median(runs)
+        # COLD_STEADY headline medians EXCLUDE runs[0] (r13 advice):
+        # the first run is the training-inclusive cold sample — already
+        # reported separately in ann_cold_vs_steady — and including it
+        # both mislabels the statistic (the other rows are steady-state
+        # medians) and can trip the adaptive extension below on an idle
+        # box (cold > 2x steady is the EXPECTED shape, not a burst).
+        # stat_by_query records the per-entry statistic so cross-round
+        # comparisons know r14+ numbers for these entries are steady.
+        timings[name] = _median(runs[1:]) if name in COLD_STEADY else _median(runs)
         if name in COLD_STEADY:
+            stat_by_query[name] = "steady_median_excl_cold_run0"
             cold_steady[name] = {
                 "cold": runs[0],
                 "steady": _median(runs[1:]),
@@ -498,6 +519,10 @@ def main() -> None:
         # re-running the whole suite.
         "runs": all_runs,
         "query_stat": "median_of_3_adaptive_to_5",
+        # per-entry overrides: COLD_STEADY rows exclude the cold run
+        # from their headline median (r13 advice — the label travels
+        # with the record so cross-round tooling reads the right stat)
+        "stat_by_query": stat_by_query,
         # box-speed calibration bracketing the run (see _cpu_probe):
         # compare this across rounds BEFORE reading per-query deltas
         "cpu_probe": {"start": probe_start, "end": _cpu_probe()},
@@ -536,6 +561,15 @@ def main() -> None:
     # compact twin carries the headline value + every per-query
     # median at 2 dp; runs/phase/quality diagnostics live in the
     # committed BENCH_LOCAL_r{N}.json the full line also feeds.
+    print(f"BENCH_JSON: {compact_bench_line(out, timings, failed)}")
+    spark.stop()
+
+
+def compact_bench_line(out: dict, timings: dict, failed: dict) -> str:
+    """The final-stdout-line builder, extracted so the size-budget test
+    (tests/test_round13_ops.py) exercises THE shipped truncation logic
+    instead of re-implementing it (r13 advice: the inline copy let the
+    test keep passing against drifted behavior)."""
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -558,8 +592,7 @@ def main() -> None:
         compact["queries"] = {k: round(v, 2) for k, v in keep.items()}
         compact["queries_truncated_to"] = 40
         line = json.dumps(compact, separators=(",", ":"))
-    print(f"BENCH_JSON: {line}")
-    spark.stop()
+    return line
 
 
 def _current_round() -> int:

@@ -1429,7 +1429,22 @@ def _mmr_select(cand: DataFrame) -> DataFrame:
             # candidate or pick must yield a defined no-information
             # similarity instead of crashing the whole group (r12
             # advice — same degradation contract as the key guard
-            # below: degenerates lose, they don't raise)
+            # below: degenerates lose, they don't raise).
+            #
+            # ORACLE-PARITY INVARIANT (r13 advice): the DuckDB oracle's
+            # simt yields NULL for a zero-norm pair (0/0 → NULL) and
+            # its MAX ignores NULLs, while this returns 0.0 — so the
+            # two engines would compute DIFFERENT penalties if a
+            # zero-norm vector were ever IN the picked set while
+            # finite candidates remain. That cannot happen: a
+            # zero-norm candidate's rel is NaN, its pick key is the
+            # (0, id) sentinel below, and every finite candidate's
+            # (1, k) key beats it — degenerates are picked only after
+            # all finite candidates are exhausted, at which point the
+            # remaining candidates are all degenerate too and both
+            # engines' penalties are no-information (0.0 here; NULL →
+            # empty MAX → NULL-handled in the oracle). The assert at
+            # the pick site encodes the invariant where it's relied on.
             d = norms[a] * norms[b]
             if d == 0.0:
                 return 0.0
@@ -1476,6 +1491,22 @@ def _mmr_select(cand: DataFrame) -> DataFrame:
                     or (key == best_key and c < best_id)
                 ):
                     best_id, best_key, best_score = c, key, score
+            # oracle-parity invariant (see sim() above): a zero-norm
+            # vector may be picked only through the (0, ·) sentinel
+            # key — i.e. only when every remaining candidate scored
+            # non-finite too (max semantics then make it last-resort).
+            # Were a zero-norm ever picked with a FINITE key, this
+            # engine's 0.0-penalty and the oracle's NULL-ignoring MAX
+            # would diverge on later ranks. The assert turns any
+            # future key-scheme change that breaks this into a loud
+            # failure instead of a silent hash mismatch; it cannot
+            # fire on degraded-but-valid inputs (a zero-norm candidate
+            # always has NaN rel → NaN score → sentinel key).
+            if norms[best_id] == 0.0:
+                assert best_key[0] == 0, (
+                    "zero-norm pick via a finite score key — "
+                    "MMR oracle parity broken"
+                )
             picked.append(best_id)
             remaining.remove(best_id)
             out["rank"].append(rank)
@@ -2047,6 +2078,14 @@ def save_trained_index(spark: SparkSession, path: str) -> int:
                         [float(x) for x in mat[pos]],
                     )
                 )
+    if not rows:
+        # writing an empty artifact would arm the silent-retrain trap
+        # on the load side (r13 advice): fail at save time, where the
+        # caller can see training never ran
+        raise ValueError(
+            "no trained ANN state to save — run a training query "
+            "(e.g. similarity_ivfpq_topk) before save_trained_index"
+        )
     schema = T.StructType(
         [
             T.StructField("version", T.StringType()),
@@ -2083,6 +2122,16 @@ def load_trained_index(spark: SparkSession, path: str) -> int:
 
     ver = _index_version()
     rows = spark.read.parquet(path).collect()
+    if not rows:
+        # an empty artifact would pass the version gate VACUOUSLY,
+        # return 0, and the next query call would silently retrain —
+        # the exact failure this artifact exists to prevent (r13
+        # advice). Refuse loudly instead.
+        raise ValueError(
+            f"trained-index artifact at {path!r} contains zero rows — "
+            "nothing was saved (was save_trained_index called before "
+            "training?); retrain and re-save"
+        )
     bad = {r.version for r in rows if r.version != ver}
     if bad:
         raise ValueError(

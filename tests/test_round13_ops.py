@@ -225,24 +225,26 @@ def test_bench_compact_line_fits_driver_tail():
     the whole point of the line is surviving tail truncation (r12
     verdict item 4)."""
     # simulate the worst case: every HEADLINE query present at 4-char
-    # values (e.g. 12.57)
+    # values (e.g. 12.57), plus the migrate rows bench adds — and call
+    # bench.compact_bench_line itself (r13 advice: an inline
+    # re-implementation kept passing against drifted shipped logic)
     import bench
 
     timings = {name: 99.99 for name in bench.HEADLINE}
-    compact = {
+    timings["migrate_full_db_with_verify"] = 99.99
+    timings["migrate_jdbc_db_to_db"] = 99.99
+    out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": 0.1,
-        "queries": {k: round(v, 2) for k, v in timings.items()},
         "query_stat": "median_of_3_adaptive_to_5",
-        "record": "BENCH_LOCAL_r99.json",
-        "n_failed": 99,
     }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
-        keep = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
-        compact["queries"] = {k: round(v, 2) for k, v in keep.items()}
-        compact["queries_truncated_to"] = 40
-        line = json.dumps(compact, separators=(",", ":"))
+    failed = {f"_fail{i}": "x" for i in range(99)}
+    line = bench.compact_bench_line(out, timings, failed)
     assert len(line) + len("BENCH_JSON: ") <= 1990
+    # the line must parse and carry the headline value + a queries map
+    parsed = json.loads(line)
+    assert parsed["value"] == out["value"]
+    assert parsed["n_failed"] == 99
+    assert parsed["queries"]

@@ -123,23 +123,31 @@ ALLOWED_FULL_SCAN: dict[str, str] = {
 }
 
 
-def _table_widths(spark, sf_dir: str) -> dict[str, int]:
-    """Column count per fixture table (parquet footer only)."""
+def _table_columns(spark, sf_dir: str) -> dict[str, set[str]]:
+    """Column-name set per fixture table (parquet footer only)."""
     import glob
 
-    widths = {}
+    cols = {}
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         t = os.path.basename(p).removesuffix(".parquet")
-        widths[t] = len(spark.read.parquet(p).columns)
-    return widths
+        cols[t] = set(spark.read.parquet(p).columns)
+    return cols
 
 
-def _full_scans(formatted: str, widths: dict[str, int]) -> list[str]:
+def _full_scans(formatted: str, tables: dict[str, set[str]]) -> list[str]:
     """Scan nodes reading EVERY column of a wide fixture table with NO
-    pushed filters — the shape where a pruning/pushdown regression
+    filter of any kind — the shape where a pruning/pushdown regression
     hides (r12 verdict item 8: pruning was only asserted for
     fixtures.load in tests/test_plans.py; this audits it per query,
-    per scan, across the whole registry)."""
+    per scan, across the whole registry).
+
+    "Filtered" means ANY of PushedFilters / PartitionFilters /
+    DataFilters is non-empty (r13 advice: PushedFilters alone
+    mis-flags partition-pruned scans and filters Parquet can't push,
+    e.g. on complex expressions — those scans are not unfiltered).
+    Table identity comes from the FIRST Location path; when Spark
+    truncates a long path list the fallback matches the ReadSchema
+    column set against the fixture schemas."""
     import re
 
     hits = []
@@ -149,19 +157,46 @@ def _full_scans(formatted: str, widths: dict[str, int]) -> list[str]:
     for block in re.split(r"\n\n", formatted):
         if "Scan parquet" not in block:
             continue
-        loc = re.search(r"Location:.*?\[(?:file:)?([^\]]+)\]", block)
         out = re.search(r"Output \[(\d+)\]", block)
-        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
-        if not loc or not out:
+        if not out:
             continue
-        table = os.path.basename(loc.group(1).rstrip("/")).removesuffix(
-            ".parquet"
+
+        def _nonempty(label: str, _b=block) -> bool:
+            m = re.search(rf"{label}: \[([^\]]*)\]", _b)
+            return bool(m and m.group(1).strip())
+
+        has_filter = (
+            _nonempty("PushedFilters")
+            or _nonempty("PartitionFilters")
+            or _nonempty("DataFilters")
         )
-        width = widths.get(table)
-        if width is None or width < FULL_SCAN_MIN_COLS:
+        # first path only — robust to Spark's ", ... N entries" list
+        # truncation, which the old full-list capture parsed as a
+        # garbage basename and silently mis-keyed
+        table = None
+        loc = re.search(r"Location:.*?\[(?:file:)?([^\],]+)", block)
+        if loc:
+            base = os.path.basename(loc.group(1).strip().rstrip("/"))
+            base = base.removesuffix(".parquet")
+            if base in tables:
+                table = base
+        if table is None:
+            rs = re.search(r"ReadSchema: struct<(.*)$", block, re.MULTILINE)
+            if rs:
+                # column names are the word tokens directly before a
+                # colon at field starts — a plain comma split breaks on
+                # parameterized types (decimal(12,2)) and nested
+                # generics (array<float>)
+                cols = set(re.findall(r"(?:^|,)(\w+):", rs.group(1)))
+                cands = [t for t, tc in tables.items() if cols and cols <= tc]
+                if len(cands) == 1:
+                    table = cands[0]
+        if table is None:
+            continue
+        width = len(tables[table])
+        if width < FULL_SCAN_MIN_COLS:
             continue
         n_read = int(out.group(1))
-        has_filter = bool(pushed and pushed.group(1).strip())
         if n_read >= width and not has_filter:
             hits.append(f"{table}({n_read}/{width} cols, no pushdown)")
     return hits
@@ -173,7 +208,7 @@ def audit(spark, sf_dir: str):
     from mysqldatasynctool_spark.operators import collect_registry
 
     queries, _ = collect_registry()
-    widths = _table_widths(spark, sf_dir)
+    widths = _table_columns(spark, sf_dir)
     rows, violations = [], []
     for name, fn in sorted(queries.items()):
         try:
