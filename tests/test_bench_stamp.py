@@ -80,6 +80,30 @@ def test_local_record_names_match_driver_records():
         ), f"BENCH_LOCAL_r{n:02d}.json has no driver-side peer"
 
 
+def test_plan_dumps_cover_every_headline_entry():
+    """The committed PLANS_HEADLINE*.md dumps must contain a `## name`
+    section for EVERY bench.HEADLINE entry — r13 shipped with three
+    headline entries missing from both dumps because the dumps were
+    regenerated mid-round, before the entries were added (VERDICT r13
+    item 1). This gate makes that drift a test failure: after touching
+    HEADLINE or any plan-affecting code, re-run tools/dump_plans.py."""
+    import bench
+
+    for fname in ("PLANS_HEADLINE.md", "PLANS_HEADLINE_SF0.1.md"):
+        path = os.path.join(HERE, fname)
+        assert os.path.exists(path), f"{fname} missing — run tools/dump_plans.py"
+        sections = {
+            line[3:].strip()
+            for line in open(path)
+            if line.startswith("## ")
+        }
+        missing = [n for n in bench.HEADLINE if n not in sections]
+        assert not missing, (
+            f"{fname} lacks sections for {missing} — "
+            "regenerate with tools/dump_plans.py"
+        )
+
+
 def test_rebalance_passthrough_on_multi_partition_input(spark, tmp_path):
     """Production shape: a table already split across enough partitions
     (many files/rowgroups) must NOT be repartitioned — _rebalance's

@@ -278,6 +278,69 @@ def test_range_search_is_bucket_equi_join(spark):
     assert "Window" not in plan
 
 
+def test_asof_nearest_single_exchange_two_frames_one_sort(spark):
+    """r13's join_asof_nearest inherits join_asof's whole 100 TB
+    contract: ONE hash exchange on user_id, NO join of the two event
+    streams, and all four ignore-nulls window columns (back/fwd ts+id)
+    ride ONE per-partition sort — Spark runs both frame directions off
+    the same (ts, kind, eid) order. The only other exchange/sort pair
+    is the presentation orderBy."""
+    from mysqldatasynctool_spark.operators import advanced
+
+    plan = _plan(spark, advanced.join_asof_nearest(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1].split("\n")[0]
+    for joinop in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert joinop not in plan, joinop
+    # both frame directions present...
+    assert plan.count("unboundedfollowing") >= 2 and plan.count("unboundedpreceding") >= 2
+    # ...off exactly one local (non-presentation) sort: `false, 0` is
+    # the per-partition sort flag; the global presentation sort is
+    # `true, 0` above the rangepartitioning exchange
+    local_sorts = [l for l in plan.splitlines() if "Sort [" in l and "false, 0" in l]
+    assert len(local_sorts) == 1, local_sorts
+
+
+def test_weighted_median_two_phase_no_full_domain_sort(spark):
+    """agg_weighted_median's scale contract: phase 1 buckets raw rows
+    with map-side combine; the phase-2 re-aggregation joins the raw
+    scan against the crossing-bucket frame as a BROADCAST hash join on
+    (l_returnflag, bkt); the only nested-loop is the 2-row quantile
+    dim (allowlisted scalar-subquery class); and no task ever sorts a
+    group's full value domain — the only rangepartitioning exchange is
+    the presentation orderBy."""
+    from mysqldatasynctool_spark.operators import advanced
+
+    plan = _plan(spark, advanced.agg_weighted_median(spark, SF), "simple")
+    assert "partial_sum" in plan  # map-side combine in both phases
+    # phase-2 join broadcast, keyed on the bucket
+    bhj_lines = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert any("bkt" in l for l in bhj_lines), bhj_lines
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # exactly the quantile-dim NLJ, nothing else
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # a full-domain sort regression would plan a global sort of the
+    # value column: only the presentation orderBy may range-partition
+    assert plan.count("Exchange rangepartitioning") == 1
+
+
+def test_phash_dedup_one_arrow_pass_one_shuffle(spark):
+    """multimodal_phash_dedup's scale contract: ONE Arrow map pass
+    emits (doc_id, phash) — 2 longs per payload — then ONE hash
+    shuffle on the 16-bit key with map-side partial aggregation; the
+    payload bytes never enter an exchange."""
+    from mysqldatasynctool_spark.operators import multimodal
+
+    plan = _plan(spark, multimodal.multimodal_phash_dedup(spark, SF), "simple")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, f"payload bytes in a shuffle: {line[:200]}"
+
+
 def test_knn_label_vote_is_bucketed_topk_then_agg(spark):
     """r12: the kNN vote must generate candidates via the bucket
     equi-join, rank with a per-qid window (top-K), and vote with
