@@ -148,7 +148,19 @@ def streaming_run_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pure store-commit overhead, byte-identical output. At
         # production volume this number scales with throughput, not
         # with the batch layer's shuffle width.
-        state_partitions=8,
+        #
+        # r14 adjudication of the r12→r13 +0.6 s drift (source
+        # unchanged): StreamingQueryProgress decomposes the run as TWO
+        # micro-batches (data batch + the watermark-advance batch that
+        # evicts state), each paying a state-store commit whose wall is
+        # DISK-bound (fsync of 4 stores/partition/side) and therefore
+        # invisible to the md5 CPU probe — measured commit totals
+        # 0.25 s at 2 partitions, 0.6 s at 4, ~1.9 s at 8, ~8 s at 16
+        # on this box. 8 partitions over-shards the 100 k-row fixture;
+        # 4 keeps real parallelism and halves the commit tax
+        # (isolated: 2.18 s vs 2.4-2.8 s total). Production sizing
+        # stays volume-driven; this is the fixture-right value.
+        state_partitions=4,
     )
     return out.orderBy("user_id", "click_id", "purchase_id")
 
