@@ -286,6 +286,53 @@ def main() -> None:
     spark.catalog.clearCache()
     teardown_caches()
 
+    # Index-artifact lifecycle demo (r13 verdict item 5): train once,
+    # save the parquet index, then cold-start a "restarted driver"
+    # (reset_trained_state wipes dicts AND persisted frames — the
+    # in-process stand-in for a fresh driver, whose bit-identity to a
+    # real fresh process is unit-proven) from the artifact and time the
+    # first query. Prediction: load skips the 3 Lloyd/codebook training
+    # scans; the first call still pays ONE assignment+encode scan to
+    # rebuild the persisted frames, so cold_with_artifact ≈ the r12
+    # steady shape (~3 s), far under the ~13 s train-inclusive cold.
+    try:
+        import shutil as _sh
+        import tempfile as _tf
+
+        from mysqldatasynctool_spark.operators import similarity as _S
+
+        reset_trained_state()
+        t0 = time.monotonic()
+        queries["similarity_ivfpq_topk"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        train_cold = round(time.monotonic() - t0, 3)
+        adir = _tf.mkdtemp(prefix="bench_annidx_")
+        try:
+            apath = os.path.join(adir, "index")
+            n_idx_rows = _S.save_trained_index(spark, apath)
+            reset_trained_state()  # driver-restart stand-in
+            spark.catalog.clearCache()
+            t1 = time.monotonic()
+            _S.load_trained_index(spark, apath)
+            queries["similarity_ivfpq_topk"](spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            cwa = round(time.monotonic() - t1, 3)
+        finally:
+            _sh.rmtree(adir, ignore_errors=True)
+        cold_steady.setdefault("similarity_ivfpq_topk", {}).update(
+            {
+                "cold_with_artifact": cwa,
+                "cold_with_artifact_train_cold": train_cold,
+                "index_artifact_rows": n_idx_rows,
+            }
+        )
+        spark.catalog.clearCache()
+        teardown_caches()
+    except Exception as exc:  # noqa: BLE001 — lifecycle row is additive
+        failed["_ann_artifact"] = f"{type(exc).__name__}: {exc}"[:300]
+
     # the reference's core job: full-DB copy + checksum verification
     # (BASELINE.md "TableData" + "compareDb" phases in one number)
     import shutil

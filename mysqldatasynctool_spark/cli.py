@@ -295,6 +295,34 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_ann_index(args) -> int:
+    """Ops lifecycle for the trained-ANN parquet index artifact
+    (VERDICT r13 item 5's user-facing path): ``save`` trains (if
+    needed) and persists; ``load`` restores a fresh process's driver
+    state from the artifact so the first query skips the 3
+    Lloyd/codebook training scans. The artifact is version-gated on
+    every training knob — a mismatch refuses to load."""
+    from .operators import similarity as S
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"annIndex:{args.action}")
+    if args.action == "save":
+        # ensure trained state exists for this dataset (trains once;
+        # no-op when the session already trained on sf_dir)
+        S.similarity_ivfpq_topk(spark, args.sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        n = S.save_trained_index(spark, args.path)
+        print(f"saved {n} index rows to {args.path}")
+    else:
+        n = S.load_trained_index(spark, args.path)
+        print(f"loaded {n} index rows from {args.path}")
+        if args.smoke:
+            rows = S.similarity_ivfpq_topk(spark, args.sf_dir).count()
+            print(f"smoke query over loaded index: {rows} rows")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mysqldatasynctool_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -379,6 +407,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     pq.add_argument("--out", default=None, help="write result parquet here instead of showing")
     pq.add_argument("--limit", type=int, default=20, help="rows to show without --out")
+    pa = sub.add_parser(
+        "annIndex",
+        help="save/load the trained-ANN parquet index artifact "
+        "(driver-restart without retraining)",
+    )
+    pa.add_argument("action", choices=("save", "load"))
+    pa.add_argument("path", help="artifact parquet path")
+    pa.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001", help="dataset dir"
+    )
+    pa.add_argument(
+        "--smoke",
+        action="store_true",
+        help="after load, run one query over the restored index",
+    )
     sub.add_parser("version", help="print version")
 
     for sp in (pm, pc, pt):
@@ -399,6 +442,7 @@ def main(argv: list[str] | None = None) -> int:
         "compareDb": cmd_compare,
         "createTable": cmd_create_table,
         "query": cmd_query,
+        "annIndex": cmd_ann_index,
         "version": cmd_version,
     }[args.command](args)
 

@@ -31,31 +31,76 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-13 ROTATION (r12 verdict item 3 + tools/correctness_union.py):
-#: 1) positions 1–4: the entries whose code or shared helpers changed
-#:    this round — both MMR entries (the greedy pick key in
-#:    _mmr_select grew a non-finite guard and sim() a zero-norm
-#:    guard), similarity_ivfpq_topk (index-state frames — assignment
-#:    + PQ codes — are now persisted and REUSED across calls instead
-#:    of swapped; seeding/count jobs gated behind the trained caches)
-#:    and similarity_ann_recall_report (embeds the ivfpq funnel);
-#:    shared-helper changes the union tool's function-span blame
-#:    cannot see;
-#: 1b) positions 5–7: the three NEW r13 entries (join_asof_nearest,
-#:    agg_weighted_median, multimodal_phash_dedup) — first records;
-#: 2) positions 8–50: the union tool's suggested oldest-green
-#:    rotation head-on — the r7/r8-era stale tail the r12 verdict
-#:    ordered into this slate (window_running_drawdown, agg_cohort_ltv,
-#:    … through agg_moments_manual); its trailing suggestions
-#:    (agg_correlation_manual, agg_percentiles_exact, join_asof,
-#:    string_functions2, null_conditional) sit at positions 51+ and
-#:    lead the next rotation;
+#: ROUND-14 ROTATION (r13 verdict item 2 + tools/correctness_union.py):
+#: 1) positions 1–3: the entries whose code changed this round —
+#:    both MMR entries (_mmr_select gained the zero-norm oracle-parity
+#:    assert at the pick site; shared-helper change the union tool's
+#:    function-span blame cannot see) and streaming_run_funnel_join
+#:    (state_partitions 8→4, output-set-neutral by contract but the
+#:    source moved);
+#: 2) positions 4–50: the union tool's suggested oldest-green
+#:    rotation verbatim — ALL 21 r8-era stale records the r13 verdict
+#:    ordered into this slate (agg_max_by/moments/correlation/
+#:    percentiles_exact, join_asof, string_functions2,
+#:    null_conditional, sql_cte_subqueries, the six core windows,
+#:    events_tumbling/sliding_window, the five setops) plus the next
+#:    r10-era tail; the union's last three suggestions
+#:    (migration_incremental, dedup_exact_subset, dedup_exact_text)
+#:    were displaced by the changed-code entries and lead the next
+#:    rotation;
 #: 3) everything else oldest-green-record-first, stable relative
-#:    order. Overlap with the r12 slate: 2 names, well under the <20
-#:    target.
+#:    order.
 VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_mmr_rerank",
     "similarity_mmr_ann",
+    "streaming_run_funnel_join",
+    "agg_max_by",
+    "agg_moments_manual",
+    "agg_correlation_manual",
+    "agg_percentiles_exact",
+    "join_asof",
+    "string_functions2",
+    "null_conditional",
+    "sql_cte_subqueries",
+    "window_value_functions",
+    "window_topk_per_group",
+    "window_rank_functions",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_range_frame",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except_all",
+    "setop_distinct_rows",
+    "similarity_pq_audit",
+    "events_gap_fill",
+    "events_date_functions",
+    "migration_catalog_exclude",
+    "events_funnel_join",
+    "array_functions",
+    "events_json_extract",
+    "events_map_functions",
+    "udf_grouped_agg_pandas",
+    "events_retention_cohorts",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "similarity_label_centroids",
+    "similarity_quantize_int8",
+    "events_sessionization",
+    "agg_approx_distinct",
+    "join_skew_salted",
+    "agg_percentiles",
+    "agg_histogram_fixed_bins",
+    "window_pareto_cumshare",
+    "migration_pk_catalog",
+    "migration_full_scan_fallback",
+    "migration_page_count",
+    "migration_pagination_page",
+    "migration_stringify",
+    "migration_compare_checksums",
     "similarity_ivfpq_topk",
     "similarity_ann_recall_report",
     "join_asof_nearest",
@@ -104,11 +149,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pivot_status_priority",
     "unpivot_part_metrics",
     "agg_grouping_sets",
-    "agg_max_by",
-    "agg_moments_manual",
-    "agg_correlation_manual",
-    "agg_percentiles_exact",
-    "join_asof",
     "similarity_incremental_index",
     "streaming_run_funnel_join_left",
     "similarity_range_search",
@@ -157,48 +197,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "streaming_run_ewma",
     "events_incremental_rollup",
     "events_cusum_changepoint",
-    "string_functions2",
-    "null_conditional",
-    "sql_cte_subqueries",
-    "window_value_functions",
-    "window_topk_per_group",
-    "window_rank_functions",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_range_frame",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except_all",
-    "setop_distinct_rows",
-    "similarity_pq_audit",
-    "events_gap_fill",
-    "events_date_functions",
-    "migration_catalog_exclude",
-    "events_funnel_join",
-    "array_functions",
-    "events_json_extract",
-    "events_map_functions",
-    "udf_grouped_agg_pandas",
-    "events_retention_cohorts",
-    "similarity_topk_bruteforce",
-    "similarity_lsh_bucketed",
-    "similarity_label_centroids",
-    "similarity_quantize_int8",
-    "events_sessionization",
-    "agg_approx_distinct",
-    "join_skew_salted",
-    "agg_percentiles",
-    "agg_histogram_fixed_bins",
-    "window_pareto_cumshare",
-    "migration_pk_catalog",
-    "migration_full_scan_fallback",
-    "migration_page_count",
-    "migration_pagination_page",
-    "migration_stringify",
-    "migration_compare_checksums",
     "migration_incremental",
     "dedup_exact_subset",
     "dedup_exact_text",
@@ -219,7 +217,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "multimodal_size_partitioned",
     "multimodal_frame_sample",
     "similarity_lsh_multiprobe",
-    "streaming_run_funnel_join",
     "dedup_minhash_lsh",
     "similarity_ivf_pandas",
     "similarity_kmeans_step",
