@@ -305,7 +305,10 @@ def cmd_ann_index(args) -> int:
     from .operators import similarity as S
     from .session import get_spark
 
+    import os.path
+
     spark = get_spark(app_name=f"annIndex:{args.action}")
+    frames_path = f"{args.path}.frames"
     if args.action == "save":
         # ensure trained state exists for this dataset (trains once;
         # no-op when the session already trained on sf_dir)
@@ -314,9 +317,21 @@ def cmd_ann_index(args) -> int:
         ).format("noop").save()
         n = S.save_trained_index(spark, args.path)
         print(f"saved {n} index rows to {args.path}")
+        if args.frames:
+            counts = S.save_index_frames(spark, frames_path, args.sf_dir)
+            print(
+                f"saved index frames to {frames_path} "
+                f"(assign={counts['assign']}, codes={counts['codes']})"
+            )
     else:
         n = S.load_trained_index(spark, args.path)
         print(f"loaded {n} index rows from {args.path}")
+        if os.path.isdir(frames_path):
+            meta = S.load_index_frames(spark, frames_path)
+            print(
+                f"loaded index frames from {frames_path} "
+                f"(dataset {meta['sf_dir']}, probes {meta['probes']})"
+            )
         if args.smoke:
             rows = S.similarity_ivfpq_topk(spark, args.sf_dir).count()
             print(f"smoke query over loaded index: {rows} rows")
@@ -421,6 +436,14 @@ def main(argv: list[str] | None = None) -> int:
         "--smoke",
         action="store_true",
         help="after load, run one query over the restored index",
+    )
+    pa.add_argument(
+        "--frames",
+        action="store_true",
+        help="on save, also persist the per-vector assignment/code "
+        "frames to PATH.frames (the inverted-lists half of the index; "
+        "corpus-proportional size). load picks PATH.frames up "
+        "automatically when present.",
     )
     sub.add_parser("version", help="print version")
 

@@ -2162,6 +2162,89 @@ def load_trained_index(spark: SparkSession, path: str) -> int:
     return n
 
 
+def save_index_frames(spark: SparkSession, path: str, sf_dir: str) -> dict:
+    """Persist the PER-VECTOR index frames — the coarse-cell assignment
+    (``vec_id, v, vnorm, cells``) and the PQ codes (``vec_id,
+    code0..``) — for one dataset. This is the inverted-lists half of
+    the FAISS index file: ``save_trained_index`` stores only the
+    KB-scale centroids/codebooks, so a restarted driver that loads it
+    still pays one full assignment + encode scan before its first
+    query (measured: cold_with_artifact 5.6 s vs steady 2.1 s at
+    sf0.1). With the frames persisted too, a cold start restores the
+    whole index state from parquet and the first query runs at steady
+    cost.
+
+    Layout: ``{path}/meta`` (1 row: version, sf_dir, probes, blocks),
+    ``{path}/assign``, ``{path}/codes``. Size is corpus-proportional
+    BY DESIGN — a real IVF-PQ index ships its vectors' cells and
+    codes; at 100 TB this artifact is the index you'd keep on object
+    storage next to the corpus. Returns {"assign": n, "codes": n}.
+
+    Requires the frames to exist in the in-process cache (i.e. the
+    training query ran this session); raises otherwise — same
+    loudness contract as save_trained_index."""
+    pkey = (sf_dir, IVFPQ_PROBES)
+    ckey = (sf_dir, "pq_codes")
+    assign = _PERSISTED_WITH_CELLS.get(pkey)
+    codes = _PERSISTED_WITH_CELLS.get(ckey)
+    if assign is None or codes is None:
+        raise ValueError(
+            "no materialized index frames for "
+            f"{sf_dir!r} (run similarity_ivfpq_topk first) — refusing "
+            "to write a partial frame artifact"
+        )
+    meta = spark.createDataFrame(
+        [(_index_version(), sf_dir, IVFPQ_PROBES, PQ_BLOCKS)],
+        "version string, sf_dir string, probes int, blocks int",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    assign.write.mode("overwrite").parquet(f"{path}/assign")
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    return {
+        "assign": spark.read.parquet(f"{path}/assign").count(),
+        "codes": spark.read.parquet(f"{path}/codes").count(),
+    }
+
+
+def load_index_frames(spark: SparkSession, path: str) -> dict:
+    """Load a ``save_index_frames`` artifact back into the per-vector
+    frame cache, REPLACING any in-process frames for its dataset.
+    Version- and knob-gated like ``load_trained_index``: a frame set
+    assigned under different probes/blocks/training knobs refuses to
+    load. The loaded frames are persisted (memory/disk) exactly like
+    the frames the training path builds, so the next
+    ``similarity_ivfpq_topk`` call reuses them and runs zero
+    assignment/encode scans."""
+    metas = spark.read.parquet(f"{path}/meta").collect()
+    if len(metas) != 1:
+        raise ValueError(
+            f"frame artifact at {path!r} has {len(metas)} meta rows — "
+            "expected exactly 1; rebuild with save_index_frames"
+        )
+    m = metas[0]
+    ver = _index_version()
+    if m.version != ver or m.probes != IVFPQ_PROBES or m.blocks != PQ_BLOCKS:
+        raise ValueError(
+            "index-frame artifact mismatch: "
+            f"artifact (version={m.version!r}, probes={m.probes}, "
+            f"blocks={m.blocks}) vs current (version={ver!r}, "
+            f"probes={IVFPQ_PROBES}, blocks={PQ_BLOCKS}) — retrain or "
+            "rebuild the artifact"
+        )
+    pkey = (m.sf_dir, IVFPQ_PROBES)
+    ckey = (m.sf_dir, "pq_codes")
+    # release any stale in-process frames for the keys before replacing
+    for k in (pkey, ckey):
+        prev = _PERSISTED_WITH_CELLS.pop(k, None)
+        if prev is not None:
+            prev.unpersist()
+    assign = spark.read.parquet(f"{path}/assign").persist()
+    codes = spark.read.parquet(f"{path}/codes").persist()
+    _PERSISTED_WITH_CELLS[pkey] = assign
+    _PERSISTED_WITH_CELLS[ckey] = codes
+    return {"sf_dir": m.sf_dir, "probes": int(m.probes)}
+
+
 def _pq_train_blocks(
     spark: SparkSession,
     normed: DataFrame,

@@ -190,14 +190,19 @@ def test_cli_ann_index_save_load_smoke(spark, tmp_path, capsys):
 
     path = str(tmp_path / "ann_index")
     sf = "/root/testdata/sf0.001"
-    assert cli.main(["annIndex", "save", path, "--sf-dir", sf]) == 0
+    assert cli.main(["annIndex", "save", path, "--sf-dir", sf, "--frames"]) == 0
     out = capsys.readouterr().out
     assert "saved" in out and "index rows" in out
+    assert "saved index frames" in out
 
     S.reset_trained_state()  # driver-restart stand-in
     assert not S._TRAINED_CENTS and not S._TRAINED_CB
     assert cli.main(["annIndex", "load", path, "--sf-dir", sf, "--smoke"]) == 0
     out = capsys.readouterr().out
     assert "loaded" in out and "smoke query over loaded index" in out
-    # the load restored trained state for the dataset (no retrain ran)
+    assert "loaded index frames" in out
+    # the load restored trained state AND the per-vector frames for
+    # the dataset (no retrain, no assignment/encode rebuild)
     assert any(k[0] == sf for k in S._TRAINED_CENTS)
+    assert (sf, S.IVFPQ_PROBES) in S._PERSISTED_WITH_CELLS
+    assert (sf, "pq_codes") in S._PERSISTED_WITH_CELLS

@@ -139,3 +139,71 @@ def test_trained_index_artifact_cli_lifecycle(spark, tmp_path):
     assert (SF_SMALL, S.LLOYD_ITERS) in S._TRAINED_CENTS
     loaded = [tuple(r) for r in S.similarity_ivfpq_topk(spark, SF_SMALL).collect()]
     assert loaded == fresh
+
+
+def test_index_frames_roundtrip_skips_rebuild(spark, tmp_path):
+    """save_index_frames + load_index_frames restore the per-vector
+    assignment/code frames (the inverted-lists half of the index):
+    after a full reset + load of BOTH artifacts, the query must reuse
+    the loaded frames (no rebuild — frame object identity survives the
+    call) and return rows identical to the freshly-trained run."""
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    fresh = [tuple(r) for r in S.similarity_ivfpq_topk(spark, SF_SMALL).collect()]
+    kpath = str(tmp_path / "knobs")
+    fpath = str(tmp_path / "frames")
+    S.save_trained_index(spark, kpath)
+    counts = S.save_index_frames(spark, fpath, SF_SMALL)
+    assert counts["assign"] > 0 and counts["codes"] > 0
+
+    S.reset_trained_state()
+    assert not S._PERSISTED_WITH_CELLS
+    S.load_trained_index(spark, kpath)
+    meta = S.load_index_frames(spark, fpath)
+    assert meta["sf_dir"] == SF_SMALL
+    pkey = (SF_SMALL, S.IVFPQ_PROBES)
+    ckey = (SF_SMALL, "pq_codes")
+    assert pkey in S._PERSISTED_WITH_CELLS and ckey in S._PERSISTED_WITH_CELLS
+    loaded_frames = dict(S._PERSISTED_WITH_CELLS)
+
+    loaded = [tuple(r) for r in S.similarity_ivfpq_topk(spark, SF_SMALL).collect()]
+    assert loaded == fresh
+    # the query must have REUSED the loaded frames, not rebuilt them
+    for k, frame in S._PERSISTED_WITH_CELLS.items():
+        assert frame is loaded_frames[k], f"{k}: frame rebuilt after load"
+
+
+def test_index_frames_refuse_mismatched_knobs(spark, tmp_path):
+    """A frame artifact written under different probes/knobs must
+    refuse to load (same version-gate contract as the knob artifact)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    S.similarity_ivfpq_topk(spark, SF_SMALL).count()
+    fpath = str(tmp_path / "frames")
+    S.save_index_frames(spark, fpath, SF_SMALL)
+    # corrupt the meta row's probes
+    meta = spark.read.parquet(f"{fpath}/meta")
+    meta.withColumn("probes", F.lit(999)).write.mode("overwrite").parquet(
+        str(tmp_path / "frames2/meta")
+    )
+    spark.read.parquet(f"{fpath}/assign").write.parquet(
+        str(tmp_path / "frames2/assign")
+    )
+    spark.read.parquet(f"{fpath}/codes").write.parquet(
+        str(tmp_path / "frames2/codes")
+    )
+    with _pytest.raises(ValueError, match="artifact mismatch"):
+        S.load_index_frames(spark, str(tmp_path / "frames2"))
+
+
+def test_save_index_frames_refuses_unmaterialized(spark, tmp_path):
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    with pytest.raises(ValueError, match="no materialized index frames"):
+        S.save_index_frames(spark, str(tmp_path / "nope"), SF_SMALL)
