@@ -1191,11 +1191,22 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact spend per (r,f,m) cell.
 
     Plan: one groupBy(custkey) pass over orders (partial-aggregated),
-    three ntile windows over the CUSTOMER-level frame (|customers|
-    rows, not |orders| — the windows sort the small aggregate), and a
-    125-cell final aggregate. The reference date is a driver-side
-    1-row max (the PK-stats-probe class).
+    then each dimension's global rank is decomposed scale-safely
+    (windows.scale_safe_row_number): a window PARTITIONED by the
+    dimension's domain-bounded bucket (recency day / negated order
+    count / 1000-unit spend bucket) plus cumulative offsets over the
+    bucket HISTOGRAM (the only global window — #days/#counts/#buckets
+    rows, domain constants, never |customers|).  ntile(5) is then
+    integer arithmetic on (rank, n): the first n%5 quintiles take
+    ceil(n/5) rows — the standard SQL NTILE distribution, matched
+    bit-for-bit by the oracle's NTILE.  The earlier shape ranked three
+    UNPARTITIONED ntile windows, serializing the whole |customers|
+    aggregate through one task per dimension.  The reference date is a
+    driver-side 1-row max (the PK-stats-probe class); the customer
+    count rides in as a 1-row broadcast (scalar-subquery class).
     """
+    from .windows import scale_safe_row_number
+
     orders = load(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("m")).collect()[0]["m"]
     per_cust = orders.groupBy("o_custkey").agg(
@@ -1203,17 +1214,39 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(_dec(F.col("o_totalprice"))).alias("monetary"),
     )
-    # low recency = better → ntile ascending gives 1 to the MOST
-    # recent; frequency/monetary descending gives 1 to the biggest
-    wr = W.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    wf = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    wm = W.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    scored = per_cust.select(
+    n_df = per_cust.agg(F.count("*").alias("n_cust"))
+    # low recency = better → rank ascending gives 1 to the MOST
+    # recent; frequency/monetary rank descending via negated buckets
+    d = scale_safe_row_number(
+        per_cust, F.col("recency_days").cast("long"), [F.asc("o_custkey")], "r_rn"
+    )
+    d = scale_safe_row_number(
+        d, (-F.col("frequency")).cast("long"), [F.asc("o_custkey")], "f_rn"
+    )
+    d = scale_safe_row_number(
+        d,
+        F.floor(-F.col("monetary") / 1000).cast("long"),
+        [F.desc("monetary"), F.asc("o_custkey")],
+        "m_rn",
+    )
+
+    def _tile(rn: str):
+        # NTILE(5) from (global rank, n): first n%5 tiles hold
+        # ceil(n/5) rows.  GREATEST guards the n<5 corner (else-branch
+        # divisor; unreachable there, but DIV 0 must not appear).
+        return F.expr(
+            f"CAST(IF({rn} <= (n_cust % 5) * (n_cust DIV 5 + 1), "
+            f"({rn} - 1) DIV (n_cust DIV 5 + 1) + 1, "
+            f"(n_cust % 5) + ({rn} - (n_cust % 5) * (n_cust DIV 5 + 1) - 1)"
+            f" DIV GREATEST(n_cust DIV 5, 1) + 1) AS INT)"
+        )
+
+    scored = d.crossJoin(F.broadcast(n_df)).select(
         "o_custkey",
         "monetary",
-        F.ntile(5).over(wr).alias("r_score"),
-        F.ntile(5).over(wf).alias("f_score"),
-        F.ntile(5).over(wm).alias("m_score"),
+        _tile("r_rn").alias("r_score"),
+        _tile("f_rn").alias("f_score"),
+        _tile("m_rn").alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

@@ -700,9 +700,19 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    total = F.sum("cnt").over(W.partitionBy())
-    scored_vocab = vocab.select(
-        "token", F.round(-F.log2(F.col("cnt") / total), 2).alias("surprise_bits")
+    # Corpus token total as a 1-row broadcast, NOT a global window:
+    # an unpartitioned WindowExec would pull the entire VOCAB frame
+    # (unbounded at web scale — the typo tail) into one task.  The
+    # MAX/SUM branch partial-aggregates map-side to one row per
+    # partition and reuses the vocab exchange (AQE ReusedExchange);
+    # cnt and total are identical integers either way, so the scored
+    # doubles are bit-identical to the old window shape.
+    total_df = vocab.agg(F.sum("cnt").alias("total_cnt"))
+    scored_vocab = vocab.crossJoin(F.broadcast(total_df)).select(
+        "token",
+        F.round(-F.log2(F.col("cnt") / F.col("total_cnt")), 2).alias(
+            "surprise_bits"
+        ),
     )
     per_doc = (
         toks.join(scored_vocab, "token")

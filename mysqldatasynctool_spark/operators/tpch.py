@@ -358,10 +358,16 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01'
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
 
-    The revenue view is aggregated DECIMAL-exact, the argmax is a rank
-    window over that tiny (one row per supplier) aggregate, and the
-    comparison happens in exact decimal space so max-ties are
-    bit-stable across engines; only the output casts to double.
+    The revenue view is aggregated DECIMAL-exact and the argmax is a
+    1-row MAX broadcast joined back on decimal EQUALITY (the q11/q22
+    scalar-subquery pattern), so max-ties are bit-stable across
+    engines and no stage ever serializes the per-supplier frame
+    through a single partition.  The earlier shape ranked over an
+    UNPARTITIONED window — WindowExec would pull the whole aggregate
+    (|suppliers| rows, linear in SF) into ONE task at scale; the MAX
+    branch instead folds map-side to one row per partition and reuses
+    the revenue exchange (AQE ReusedExchange), so lineitem is scanned
+    once.  Only the output casts to double.
     """
     supp = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem").filter(
@@ -369,8 +375,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     revenue = li.groupBy("l_suppkey").agg(F.sum(_dec(_rev(), 6)).alias("total_rev"))
-    w = Window.orderBy(F.desc("total_rev"))
-    top = revenue.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") == 1)
+    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    top = revenue.join(
+        F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev")
+    ).drop("max_rev")
     return (
         top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
         .select(

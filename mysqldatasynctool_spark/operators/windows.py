@@ -30,6 +30,43 @@ def _dec(col, scale: int = 2, prec: int = 22):
     return col.cast(f"decimal({prec},{scale})")
 
 
+def scale_safe_row_number(df: DataFrame, bucket, within_order, out: str = "rn") -> DataFrame:
+    """Global ``row_number`` over (bucket ASC, *within_order) WITHOUT a
+    single-partition sort — the scale-safe replacement for
+    ``row_number().over(Window.orderBy(...))`` when the frame is
+    corpus-proportional.
+
+    Decomposition (exact, engine-portable):
+      1. within-bucket rank: a window PARTITIONED by the bucket (one
+         hash shuffle; each bucket sorts independently);
+      2. bucket offsets: cumulative counts over the bucket HISTOGRAM —
+         a global window, but over #distinct-buckets rows, which the
+         caller guarantees is domain-bounded (days, integer counts,
+         coarse value buckets — never corpus-proportional);
+      3. offsets broadcast-joined back: global rn = offset + local rank.
+
+    Requirements: ``bucket`` must be a monotone function of the
+    leading sort key (so bucket ASC + within-bucket order == the total
+    order), and ``within_order`` must end in a unique tie-break so the
+    total order — hence rn — is deterministic regardless of physical
+    partitioning.
+    """
+    d = df.withColumn("_ssrn_bkt", bucket)
+    wb = W.partitionBy("_ssrn_bkt").orderBy(*within_order)
+    local = d.withColumn("_ssrn_lrn", F.row_number().over(wb))
+    hist = d.groupBy("_ssrn_bkt").agg(F.count("*").alias("_ssrn_c"))
+    wcum = W.orderBy("_ssrn_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = hist.select(
+        "_ssrn_bkt",
+        F.coalesce(F.sum("_ssrn_c").over(wcum), F.lit(0)).alias("_ssrn_off"),
+    )
+    return (
+        local.join(F.broadcast(offs), "_ssrn_bkt")
+        .withColumn(out, (F.col("_ssrn_off") + F.col("_ssrn_lrn")).cast("long"))
+        .drop("_ssrn_bkt", "_ssrn_lrn", "_ssrn_off")
+    )
+
+
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by totalprice (row_number ≤ k).
 
@@ -232,25 +269,27 @@ def window_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: revenue is summed as DECIMAL (order-independent), the
     cumulative sum runs over the exact decimals, and only the final
     share is a rounded double — so the oracle hash-matches despite the
-    division. Scale note: a global revenue ranking is inherently a
-    total order; this implementation windows over a single partition,
-    which is fine for a top-k readout (ORDER BY + LIMIT pushes down to
-    TakeOrdered for the ranking itself) but a full cumulative curve at
-    100 TB would be computed per revenue-range bucket and stitched.
+    division. Scale shape: the top-20 selection is ORDER BY + LIMIT —
+    physical TakeOrderedAndProject, a per-partition top-k merge that
+    never materializes the customer frame in one task (the unique
+    custkey tie-break makes the cut deterministic, so LIMIT 20 picks
+    exactly the rows rnk<=20 would).  Only the 20 SURVIVING rows see
+    the rank/cumsum window, so the SinglePartition window input is
+    20 rows by construction at any corpus size (the earlier shape
+    windowed the whole |customers| aggregate through one task).  A
+    full cumulative curve at 100 TB would be computed per
+    revenue-range bucket and stitched.
     """
     orders = load(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(_dec(F.col("o_totalprice"))).alias("revenue")
     )
     total = rev.agg(F.sum("revenue").alias("total_revenue"))
+    top20 = rev.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(20)
     w = W.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-    ranked = (
-        rev.withColumn("rnk", F.row_number().over(w))
-        .withColumn(
-            "cum_revenue",
-            F.sum("revenue").over(w.rowsBetween(W.unboundedPreceding, 0)),
-        )
-        .filter(F.col("rnk") <= 20)
+    ranked = top20.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "cum_revenue",
+        F.sum("revenue").over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
     return (
         ranked.join(F.broadcast(total))

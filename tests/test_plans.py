@@ -350,3 +350,49 @@ def test_knn_label_vote_is_bucketed_topk_then_agg(spark):
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     assert "partial_count" in plan or "partial_" in plan
+
+
+def test_q15_no_single_partition_window(spark):
+    """r15 (r14 verdict item 1): Q15's argmax is a 1-row MAX broadcast
+    joined on decimal equality — NOT a rank over an unpartitioned
+    window, which would serialize the |suppliers| aggregate through
+    one task. The plan must have a broadcast join and ZERO WindowExec
+    on a SinglePartition exchange."""
+    from mysqldatasynctool_spark.operators import tpch
+    from tools.plan_audit import _has_global_window
+
+    plan = _plan(spark, tpch.q15_top_supplier(spark, SF), "simple")
+    assert not _has_global_window(plan), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_perplexity_total_is_scalar_broadcast_not_window(spark):
+    """r15: the corpus token total attaches to the vocab frame as a
+    1-row broadcast (BNLJ, allowlisted scalar-subquery class) — never
+    a global window over the unbounded vocab."""
+    plan = _plan(spark, textops.text_unigram_perplexity(spark, SF), "simple")
+    from tools.plan_audit import _has_global_window
+
+    assert not _has_global_window(plan), plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+
+
+def test_rfm_ntile_decomposed_no_customer_frame_window(spark):
+    """r15: RFM quintiles come from windows.scale_safe_row_number —
+    three hash-partitioned windows on the dimension buckets plus
+    histogram-offset windows; the built-in ntile (which forces
+    SinglePartition over |customers|) must be gone."""
+    from mysqldatasynctool_spark.operators import advanced
+
+    plan = _plan(spark, advanced.agg_rfm_segmentation(spark, SF), "simple")
+    assert "ntile" not in plan.lower()
+    assert plan.count("Exchange hashpartitioning(_ssrn_bkt") >= 3
+
+
+def test_pareto_topk_via_take_ordered(spark):
+    """r15: the top-20 cut is TakeOrderedAndProject (per-partition
+    top-k merge); the rank/cumsum window sees only the 20 survivors."""
+    from mysqldatasynctool_spark.operators import windows as wops
+
+    plan = _plan(spark, wops.window_pareto_cumshare(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan

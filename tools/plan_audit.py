@@ -10,7 +10,18 @@ Anti-patterns hunted:
 - parquet scans with no pushed filters AND no column pruning on wide
   tables would also be flagged here, but every query loads through
   sources/fixtures.load whose pruning is plan-audited separately
-  (tests/test_plans.py::test_column_pruning).
+  (tests/test_plans.py::test_column_pruning);
+- Window over an EMPTY partition spec (r14 verdict item 3): WindowExec
+  requires SinglePartition, so the whole input frame serializes
+  through ONE task — fatal when the frame scales with the corpus
+  (q15's per-supplier aggregate, perplexity's vocab).  Allowed only
+  for frames tiny BY CONSTRUCTION (ALLOWED_GLOBAL_WINDOW below).
+
+Warnings (printed, not violations):
+- unpushed-but-pushable scans (r14 advice): DataFilters carries an
+  atomic column-vs-literal comparison (or isnotnull) while
+  PushedFilters is EMPTY — the shape where a pushdown regression
+  hides behind the blanket any-filter-counts rule.
 
 Usage: python tools/plan_audit.py [sf_dir]  → prints a per-query table
 and exits 1 if any NOT-allowed anti-pattern appears. The blanket test
@@ -88,6 +99,9 @@ ALLOWED_CARTESIAN = {
     # r11 additions, both the scalar-subquery class: attaching a 1-row
     # aggregate to every row via broadcast NLJ is the optimal plan
     "similarity_cluster_topics": "1-row corpus-grand-total broadcast (scalar subquery)",
+    # r15: the two de-globalized windows' scalar replacements
+    "text_unigram_perplexity": "1-row corpus-token-total broadcast (scalar subquery)",
+    "agg_rfm_segmentation": "1-row customer-count broadcast (scalar subquery)",
     "similarity_pca_power_iteration": (
         "5-row iteration report x 1-row (total-variance, n) constants — "
         "both sides driver-bounded by construction"
@@ -98,6 +112,36 @@ ALLOWED_CARTESIAN = {
 #: Python paths must be Arrow-vectorized; keep empty unless a future
 #: operator genuinely cannot batch).
 ALLOWED_ROW_UDF: dict[str, str] = {}
+
+#: queries whose plan legitimately windows over an empty partition
+#: spec.  The bar (same discipline as ALLOWED_CARTESIAN): the frame
+#: under the window must be bounded BY CONSTRUCTION — a grouped
+#: aggregate whose key cardinality is a fixture/domain constant
+#: (#sources, #langs, #segments), never corpus-proportional.
+ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
+    "text_source_stats": "share denominators over #sources rows (grouped agg)",
+    "pipeline_token_budget_planner": "mix weights over #languages rows",
+    "pipeline_mix_weights": "mix weights over #sources rows (grouped agg)",
+    "join_point_in_time": "conservation check over #mktsegments rows",
+    "events_burst_detection": (
+        "gap-and-island over the HOUR-level frame — time-domain "
+        "bounded (#hours in the span), not corpus-proportional"
+    ),
+    "migration_pagination_page": (
+        "declared literal emulation of the reference's OFFSET page "
+        "(root.go:321-372); the production path is range predicates "
+        "(plans/partitioning.py)"
+    ),
+    "window_pareto_cumshare": (
+        "rank/cumsum over a LIMIT-20 frame (TakeOrderedAndProject "
+        "feeds it; 20 rows by construction at any corpus)"
+    ),
+    "agg_rfm_segmentation": (
+        "cumulative offsets over domain-bounded bucket histograms "
+        "(#days / #order-counts / #1000-unit spend buckets) inside "
+        "windows.scale_safe_row_number — never the |customers| frame"
+    ),
+}
 
 #: minimum table width for the full-scan check: an unpruned unfiltered
 #: read of a <=4-column table costs what a pruned one does; the check
@@ -202,6 +246,64 @@ def _full_scans(formatted: str, tables: dict[str, set[str]]) -> list[str]:
     return hits
 
 
+def _has_global_window(plan: str) -> bool:
+    """True when a WindowExec sits on a SinglePartition exchange — the
+    physical signature of Window over an empty partitionBy().  In the
+    simple-plan tree the chain prints as Window (→ Sort) → Exchange
+    SinglePartition, so look UP at most 3 lines from each
+    SinglePartition exchange for a Window node.  Empty-grouping
+    aggregates also exchange to SinglePartition (partial/final over a
+    handful of rows — optimal, not flagged): the Window lookback is
+    what separates the two."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        for j in range(max(0, i - 3), i):
+            if "Window" in lines[j]:
+                return True
+    return False
+
+
+_ATOMIC_PRED = __import__("re").compile(
+    # isnotnull(col#1) / (col#1 >= 1997-01-01) / (col#1 = lit) where the
+    # comparison's other side carries no attribute reference — i.e. a
+    # plain column-vs-literal predicate parquet could have taken
+    r"isnotnull\(\w+#\d+\)"
+    r"|\(\w+#\d+ (?:=|>=|<=|>|<|<=>) [^#()]*\)"
+)
+
+
+def _unpushed_pushable(formatted: str) -> list[str]:
+    """Scan blocks where PushedFilters is EMPTY while DataFilters holds
+    an atomic column-vs-literal predicate (or isnotnull) — the r12
+    regression shape the blanket any-filter-counts rule is blind to
+    (r14 advice).  Returned as warnings: some hits are legitimate
+    (filters on columns parquet cannot push, e.g. through a
+    project-computed alias), so this is a review list, not a gate."""
+    import re
+
+    hits = []
+    for block in re.split(r"\n\n", formatted):
+        if "Scan parquet" not in block:
+            continue
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        data = re.search(r"DataFilters: \[([^\]]*)\]", block)
+        if pushed is None or data is None:
+            continue
+        if pushed.group(1).strip():
+            continue
+        if _ATOMIC_PRED.search(data.group(1)):
+            loc = re.search(r"Location:.*?\[(?:file:)?([^\],]+)", block)
+            base = (
+                os.path.basename(loc.group(1).strip().rstrip("/"))
+                if loc
+                else "?"
+            )
+            hits.append(f"{base}: {data.group(1).strip()[:80]}")
+    return hits
+
+
 def audit(spark, sf_dir: str):
     """Returns (rows, violations): per-query plan-feature table and
     the subset violating the policy."""
@@ -209,7 +311,7 @@ def audit(spark, sf_dir: str):
 
     queries, _ = collect_registry()
     widths = _table_columns(spark, sf_dir)
-    rows, violations = [], []
+    rows, violations, warnings = [], [], []
     for name, fn in sorted(queries.items()):
         try:
             df = fn(spark, sf_dir)
@@ -230,7 +332,9 @@ def audit(spark, sf_dir: str):
             continue
         cartesian = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
         row_udf = "BatchEvalPython" in plan
+        global_window = _has_global_window(plan)
         full_scans = _full_scans(formatted, widths)
+        unpushed = _unpushed_pushable(formatted)
         if full_scans:
             detail = ";".join(full_scans)
             if name in ALLOWED_FULL_SCAN:
@@ -258,8 +362,21 @@ def audit(spark, sf_dir: str):
                 if name in ALLOWED_FULL_SCAN
                 else "fullscan:VIOLATION"
             )
+        if global_window:
+            flags.append(
+                "globalwindow:allowed"
+                if name in ALLOWED_GLOBAL_WINDOW
+                else "globalwindow:VIOLATION"
+            )
+            if name not in ALLOWED_GLOBAL_WINDOW:
+                violations.append(
+                    (name, "Window over SinglePartition exchange", "")
+                )
+        if unpushed:
+            flags.append(f"unpushed-warn({len(unpushed)})")
+            warnings.append((name, unpushed))
         rows.append((name, ",".join(flags) or "clean", ""))
-    return rows, violations
+    return rows, violations, warnings
 
 
 def main() -> int:
@@ -267,12 +384,16 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan_audit")
-    rows, violations = audit(spark, sf_dir)
+    rows, violations, warnings = audit(spark, sf_dir)
     n_clean = sum(1 for _, f, _ in rows if f == "clean")
     for name, flags, err in rows:
         if flags != "clean":
             print(f"{name:45s} {flags} {err}")
-    print(f"\n{n_clean}/{len(rows)} clean; {len(violations)} violations")
+    print(f"\n{n_clean}/{len(rows)} clean; {len(violations)} violations; "
+          f"{len(warnings)} unpushed-but-pushable warnings")
+    for name, hits in warnings:
+        for h in hits:
+            print(f"WARN unpushed {name}: {h}")
     for name, why, err in violations:
         print(f"VIOLATION {name}: {why} {err}")
     spark.stop()
