@@ -622,6 +622,23 @@ def main() -> None:
         # from their headline median (r13 advice — the label travels
         # with the record so cross-round tooling reads the right stat)
         "stat_by_query": stat_by_query,
+        # TRANSITION AID (r14 advice, drop after r15): the r14 switch
+        # to cold-excluded medians improved the headline total partly
+        # by statistic redefinition. This field re-totals with the OLD
+        # definition (plain median INCLUDING run0 for COLD_STEADY
+        # entries) so cross-round tooling can separate the stat change
+        # from real plan movement at the r13→r14/r15 boundary.
+        "value_old_stat_definition": (
+            round(
+                sum(
+                    _median(all_runs[n]) if n in COLD_STEADY else t
+                    for n, t in timings.items()
+                ),
+                3,
+            )
+            if not {k for k in failed if not k.startswith("_")}
+            else None
+        ),
         # box-speed calibration bracketing the run (see _cpu_probe):
         # compare this across rounds BEFORE reading per-query deltas
         "cpu_probe": {"start": probe_start, "end": _cpu_probe()},

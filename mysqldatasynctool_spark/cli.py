@@ -333,6 +333,28 @@ def cmd_ann_index(args) -> int:
                 f"(dataset {meta['sf_dir']}, probes {meta['probes']})"
             )
         if args.smoke:
+            # refuse a smoke run whose --sf-dir is NOT a dataset the
+            # artifact was trained on (r14 advice): the trained dicts
+            # and frames are keyed by sf_dir, so a mismatched smoke
+            # would cache-miss and silently RETRAIN the whole index —
+            # the exact trap the artifact exists to prevent.
+            trained = {
+                r.cache_key
+                for r in spark.read.parquet(args.path)
+                .select("cache_key")
+                .distinct()
+                .collect()
+            }
+            if args.sf_dir not in trained:
+                print(
+                    f"annIndex load --smoke: --sf-dir {args.sf_dir!r} is "
+                    f"not among the artifact's trained datasets "
+                    f"{sorted(trained)} — a smoke query against it would "
+                    "silently retrain from scratch; pass the artifact's "
+                    "own sf_dir",
+                    file=sys.stderr,
+                )
+                return 2
             rows = S.similarity_ivfpq_topk(spark, args.sf_dir).count()
             print(f"smoke query over loaded index: {rows} rows")
     return 0

@@ -1497,13 +1497,15 @@ def _mmr_select(cand: DataFrame) -> DataFrame:
             # non-finite too (max semantics then make it last-resort).
             # Were a zero-norm ever picked with a FINITE key, this
             # engine's 0.0-penalty and the oracle's NULL-ignoring MAX
-            # would diverge on later ranks. The assert turns any
-            # future key-scheme change that breaks this into a loud
-            # failure instead of a silent hash mismatch; it cannot
-            # fire on degraded-but-valid inputs (a zero-norm candidate
-            # always has NaN rel → NaN score → sentinel key).
-            if norms[best_id] == 0.0:
-                assert best_key[0] == 0, (
+            # would diverge on later ranks. The explicit raise (NOT
+            # an assert — asserts are stripped under ``python -O``,
+            # r14 advice) turns any future key-scheme change that
+            # breaks this into a loud failure instead of a silent
+            # hash mismatch; it cannot fire on degraded-but-valid
+            # inputs (a zero-norm candidate always has NaN rel → NaN
+            # score → sentinel key).
+            if norms[best_id] == 0.0 and best_key[0] != 0:
+                raise RuntimeError(
                     "zero-norm pick via a finite score key — "
                     "MMR oracle parity broken"
                 )

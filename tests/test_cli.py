@@ -206,3 +206,25 @@ def test_cli_ann_index_save_load_smoke(spark, tmp_path, capsys):
     assert any(k[0] == sf for k in S._TRAINED_CENTS)
     assert (sf, S.IVFPQ_PROBES) in S._PERSISTED_WITH_CELLS
     assert (sf, "pq_codes") in S._PERSISTED_WITH_CELLS
+
+
+def test_cli_ann_index_smoke_refuses_mismatched_sf_dir(spark, tmp_path, capsys):
+    """`annIndex load --smoke` against an sf_dir the artifact was NOT
+    trained on must refuse (exit 2), not silently retrain the whole
+    index under the caller's feet (r14 advice)."""
+    from mysqldatasynctool_spark import cli
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    path = str(tmp_path / "ann_index_mismatch")
+    sf = "/root/testdata/sf0.001"
+    other = "/root/testdata/sf0.01"
+    assert cli.main(["annIndex", "save", path, "--sf-dir", sf]) == 0
+    capsys.readouterr()
+
+    S.reset_trained_state()
+    rc = cli.main(["annIndex", "load", path, "--sf-dir", other, "--smoke"])
+    captured = capsys.readouterr()
+    assert rc == 2
+    assert "not among the artifact's trained datasets" in captured.err
+    # the refusal fired BEFORE any retraining happened for `other`
+    assert not any(k[0] == other for k in S._TRAINED_CENTS)
