@@ -675,7 +675,8 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated streaming per partition; the unique (ts, event_id)
     ordering makes frames deterministic under re-execution. A skewed
     hot user degrades to one straggler partition — the mitigation is
-    the same time-bucket salting as events_asof_join_salted.
+    the time-bucket-salted twin ``events_anomaly_salted`` (below),
+    result-identical by construction and CI-pinned to salted keys.
     """
     ev = load(spark, sf_dir, "events")
     w = (
@@ -690,6 +691,129 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (sum_v2 - sum_v * sum_v / n_hist) / n_hist
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
     scored = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        n_hist.alias("n_hist"),
+        F.when(std > 0, (F.col("value") - mean) / std).alias("z"),
+    )
+    return (
+        scored.filter((F.col("n_hist") >= 10) & (F.abs(F.col("z")) > 2))
+        .select("event_id", "user_id", "ts", "value", F.round("z", 6).alias("zscore"))
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+def events_anomaly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of ``events_anomaly_zscore`` — same output,
+    same oracle (the mitigation that entry's docstring promises). The
+    single-exchange form partitions the trailing 20-ROW frame by
+    user_id alone, so one pathological hot user (a bot with 10% of a
+    100 TB event log) serializes through one task. This variant salts
+    with an HOUR bucket and reconstructs the cross-boundary history
+    with a bounded carry:
+
+    - local pass (keyed user_id × bucket): each row collects its
+      within-bucket trailing <=20 rows (``local_hist``) — the hot
+      user's timeline now spreads across all its buckets;
+    - per-bucket TAIL: the last <=20 rows of every (user, bucket) —
+      one small array row per non-empty bucket;
+    - carry: over the tails frame (ONE ROW PER NON-EMPTY BUCKET, not
+      per event), the previous 20 buckets' tails flattened and cut to
+      the last 20 events. Twenty preceding NON-EMPTY buckets always
+      suffice: each contributes >=1 event, and no single bucket ever
+      needs to contribute more than its own last 20;
+    - stitch: a row with k local predecessors takes the last (20-k)
+      carry events — ``last20(carry ++ local_hist)`` — and the sums
+      are rebuilt per-row with DECIMAL-exact ``F.aggregate`` folds
+      over <=20 elements, bit-equal to the window SUMs of the
+      unsalted twin (same decimal(22,6) per-element cast, exact
+      decimal accumulation, cast to double once).
+
+    100 TB: every per-event window is keyed (user_id, bucket); the
+    only per-user structure is the tails frame, whose size per user
+    is min(#events, #non-empty buckets) — calendar-bounded for
+    exactly the hot users that break the unsalted form (a year of
+    hour buckets is <=8784 array rows), and equal to the (harmless)
+    event count for sparse users. Cost: two exchanges on (user_id,
+    bucket), one tiny per-user window over the tails, one equi-join
+    back on (user_id, bucket). Cite: reference has no anomaly op;
+    pattern mirrors events_asof_join_salted (this file).
+    """
+    bucket_us = 3600 * 1_000_000  # 1 h: tails stay calendar-bounded
+    hist_t = "array<struct<ts:timestamp,event_id:bigint,value:double>>"
+
+    def last20(arr):
+        return F.when(F.size(arr) <= 20, arr).otherwise(F.slice(arr, -20, 20))
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "bucket", F.expr(f"unix_micros(ts) div {bucket_us}L")
+    )
+    item = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    wb = (
+        W.partitionBy("user_id", "bucket")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    local = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "bucket",
+        F.collect_list(item).over(wb).alias("local_hist"),
+    )
+    # last <=20 rows of each (user, bucket): reverse row_number, then
+    # sort_array restores ascending (ts, event_id) order — the arrays
+    # concatenate into globally ordered history because buckets are
+    # ts-disjoint
+    wdesc = W.partitionBy("user_id", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    tails = (
+        ev.withColumn("rnd", F.row_number().over(wdesc))
+        .filter(F.col("rnd") <= 20)
+        .groupBy("user_id", "bucket")
+        .agg(F.sort_array(F.collect_list(item)).alias("tail"))
+    )
+    wu = (
+        W.partitionBy("user_id").orderBy("bucket").rowsBetween(-20, -1)
+    )
+    carries = tails.select(
+        "user_id",
+        "bucket",
+        last20(
+            F.sort_array(F.flatten(F.collect_list("tail").over(wu)))
+        ).alias("carry"),
+    )
+    stitched = local.join(carries, ["user_id", "bucket"], "left").withColumn(
+        "hist",
+        last20(
+            F.concat(
+                F.coalesce(F.col("carry"), F.expr(f"CAST(array() AS {hist_t})")),
+                F.col("local_hist"),
+            )
+        ),
+    )
+    # DECIMAL-exact folds over <=20 elements: per-element cast to
+    # decimal(22,6) (identical to the unsalted twin's pre-SUM cast),
+    # exact decimal(38,6) accumulation, ONE cast to double — the
+    # derived mean/var/z doubles are bit-equal to the window form
+    zero = F.lit("0").cast("decimal(38,6)")
+    sum_v = F.aggregate(
+        "hist", zero, lambda a, x: a + x["value"].cast("decimal(22,6)")
+    ).cast("double")
+    sum_v2 = F.aggregate(
+        "hist",
+        zero,
+        lambda a, x: a + (x["value"] * x["value"]).cast("decimal(22,6)"),
+    ).cast("double")
+    n_hist = F.size("hist")
+    mean = sum_v / n_hist
+    var = (sum_v2 - sum_v * sum_v / n_hist) / n_hist
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    scored = stitched.select(
         "event_id",
         "user_id",
         "ts",
@@ -1499,6 +1623,7 @@ QUERIES = {
     "events_asof_join_salted": events_asof_join_salted,
     "events_hypertable_rollup": events_hypertable_rollup,
     "events_anomaly_zscore": events_anomaly_zscore,
+    "events_anomaly_salted": events_anomaly_salted,
     "events_zorder_key": events_zorder_key,
     "events_interval_overlap_join": events_interval_overlap_join,
     "events_session_window_builtin": events_session_window_builtin,
@@ -1526,6 +1651,7 @@ ORACLES = {
     "events_asof_join_salted": EVENTS_ASOF_ORACLE,
     "events_hypertable_rollup": EVENTS_HYPERTABLE_ROLLUP_ORACLE,
     "events_anomaly_zscore": EVENTS_ANOMALY_ZSCORE_ORACLE,
+    "events_anomaly_salted": EVENTS_ANOMALY_ZSCORE_ORACLE,
     "events_zorder_key": EVENTS_ZORDER_KEY_ORACLE,
     "events_interval_overlap_join": EVENTS_INTERVAL_OVERLAP_ORACLE,
     "events_session_window_builtin": EVENTS_SESSION_WINDOW_BUILTIN_ORACLE,
