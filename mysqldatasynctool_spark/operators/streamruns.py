@@ -133,7 +133,11 @@ def streaming_run_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact stateful property the watermark-bounded join must hold.
     """
     from ..streaming import read_events_stream, run_to_memory_sink
-    from ..streaming.jobs import streaming_funnel_join
+    from ..streaming.jobs import (
+        parquet_input_rows,
+        size_state_partitions,
+        streaming_funnel_join,
+    )
 
     clicks = read_events_stream(spark, sf_dir)
     purchases = read_events_stream(spark, sf_dir)
@@ -141,26 +145,18 @@ def streaming_run_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_funnel_join(clicks, purchases),
         "sr_funnel",
         output_mode="append",
-        # state sized to the fixture stream (r10, closing the r8 5.4 s
-        # attribution): a stream-stream join commits 4 state stores
-        # per partition per side per micro-batch, so inheriting the
-        # batch-tuned 32 shuffle partitions cost 5.4 s vs 2.1 s at 8 —
-        # pure store-commit overhead, byte-identical output. At
-        # production volume this number scales with throughput, not
-        # with the batch layer's shuffle width.
-        #
-        # r14 adjudication of the r12→r13 +0.6 s drift (source
-        # unchanged): StreamingQueryProgress decomposes the run as TWO
-        # micro-batches (data batch + the watermark-advance batch that
-        # evicts state), each paying a state-store commit whose wall is
-        # DISK-bound (fsync of 4 stores/partition/side) and therefore
-        # invisible to the md5 CPU probe — measured commit totals
-        # 0.25 s at 2 partitions, 0.6 s at 4, ~1.9 s at 8, ~8 s at 16
-        # on this box. 8 partitions over-shards the 100 k-row fixture;
-        # 4 keeps real parallelism and halves the commit tax
-        # (isolated: 2.18 s vs 2.4-2.8 s total). Production sizing
-        # stays volume-driven; this is the fixture-right value.
-        state_partitions=4,
+        # state sized FROM the input volume (r14 verdict item 5 — the
+        # r10-era hardcoded 4 was the fixture-right value and wrong at
+        # any other volume): size_state_partitions encodes the
+        # measured cost model (store commits are disk-fsync-bound:
+        # 0.25/0.6/1.9/8 s at 2/4/8/16 partitions on the 100 k-row
+        # fixture; see STATE_ROWS_PER_PARTITION) and lands on the same
+        # 4 for this fixture, 8 for the outer twin's doubled state.
+        # Output is partition-count-invariant (the count only shards
+        # state); the input signal is parquet footer metadata, no job.
+        state_partitions=size_state_partitions(
+            parquet_input_rows(sf_dir), outer=False
+        ),
     )
     return out.orderBy("user_id", "click_id", "purchase_id")
 
@@ -218,11 +214,18 @@ def streaming_run_funnel_join_left(
     horizon_dir = stage_events_with_horizon(sf_dir)
     clicks = read_events_stream(spark, horizon_dir)
     purchases = read_events_stream(spark, horizon_dir)
+    from ..streaming.jobs import parquet_input_rows, size_state_partitions
+
     out = run_to_memory_sink(
         streaming_funnel_join_left(clicks, purchases),
         "sr_funnel_left",
         output_mode="append",
-        state_partitions=8,
+        # volume-derived (r14 item 5): outer=True doubles the state
+        # weight — unmatched rows on BOTH sides are held until
+        # watermark closure — landing on 8 for this fixture
+        state_partitions=size_state_partitions(
+            parquet_input_rows(horizon_dir), outer=True
+        ),
     )
     return out.filter(F.col("user_id") != SENTINEL_USER).orderBy(
         "user_id", "click_id", "purchase_id"

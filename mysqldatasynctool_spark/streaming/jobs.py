@@ -713,6 +713,65 @@ def streaming_static_enrichment(
     )
 
 
+#: state-store sizing operating point (r14 decomposition, this box
+#: class): a stream-stream join commits 4 HDFS-backed state stores per
+#: partition per side per micro-batch, and the commit wall is
+#: DISK-fsync-bound — measured totals 0.25 s at 2 partitions, 0.6 s at
+#: 4, ~1.9 s at 8, ~8 s at 16 on the 100 k-row fixture. ~25 k state
+#: rows per partition is where real parallelism still wins more than
+#: the extra commits cost; re-measure when the store backend (RocksDB)
+#: or disk class changes.
+STATE_ROWS_PER_PARTITION = 25_000
+
+
+def size_state_partitions(
+    input_rows: int, outer: bool = False, floor: int = 2, cap: int = 512
+) -> int:
+    """Derive a streaming query's state-partition count from its input
+    volume instead of hardcoding it (r14 verdict item 5 — the pinned
+    4/8 were right for the 100 k-row fixture and wrong at any other
+    volume). The model: partitions = input_rows × weight /
+    STATE_ROWS_PER_PARTITION, rounded to the NEAREST integer (this is
+    an operating point, not a capacity ceiling), clamped to
+    [floor, cap]. ``outer`` doubles the weight: an outer join holds
+    both sides' unmatched rows in state until watermark closure, so
+    its live state is ~2× the inner join's for the same input.
+
+    Production note: the right production input is rows (or bytes)
+    PER TRIGGER at peak, not total corpus size — for the finite-file
+    test harness the whole fixture arrives in one micro-batch, so the
+    two coincide. The cap guards against a huge backfill planning an
+    absurd shuffle width; the checkpoint pins whatever value the first
+    start used."""
+    weight = 2 if outer else 1
+    target = (max(0, input_rows) * weight) / STATE_ROWS_PER_PARTITION
+    return max(floor, min(cap, round(target)))
+
+
+def parquet_input_rows(sf_dir: str, table: str = "events") -> int:
+    """Exact row count of a fixture table from parquet FOOTERS only
+    (pyarrow metadata — no Spark job, no data read): the cheap input
+    signal ``size_state_partitions`` consumes. Accepts both a single
+    ``{table}.parquet`` file and a directory of part files (the
+    horizon-staged layout)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    if os.path.isdir(path):
+        files = [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+    else:
+        files = [
+            os.path.join(sf_dir, f)
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        ]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def run_to_memory_sink(
     df: DataFrame,
     name: str,

@@ -48,3 +48,23 @@ def test_anomaly_salted_windows_keyed_by_bucket(spark):
             )
         else:
             assert "user_id" in part, (part, order)
+
+
+def test_size_state_partitions_model():
+    """The sizing function must reproduce the measured fixture
+    operating points (4 inner / 8 outer at ~100 k rows), clamp at both
+    ends, and grow monotonically with volume."""
+    from mysqldatasynctool_spark.streaming.jobs import (
+        parquet_input_rows,
+        size_state_partitions,
+    )
+
+    assert size_state_partitions(0) == 2  # floor
+    assert size_state_partitions(100_000, outer=False) == 4
+    assert size_state_partitions(100_002, outer=True) == 8  # +sentinels
+    assert size_state_partitions(10_000_000_000) == 512  # cap
+    vals = [size_state_partitions(n) for n in (0, 10**5, 10**6, 10**7, 10**8)]
+    assert vals == sorted(vals)
+    # the footer-metadata row counter agrees with the fixtures
+    assert parquet_input_rows("/root/testdata/sf0.1") == 100_000
+    assert parquet_input_rows(SF_SMALL) == 1_000
