@@ -75,7 +75,7 @@ HEADLINE = [
     "similarity_ivf_pandas",
     "similarity_lsh_multiprobe",
     # the trained IVF-PQ funnel capstone (Lloyd cells + codebook at
-    # the shipped IVFPQ_PROBES/IVFPQ_SHORTLIST operating point — the
+    # the derived-probes/IVFPQ_SHORTLIST operating point — the
     # row that proves the r11 recall fix didn't buy its 0.40→0.90
     # with runaway wall time)
     "similarity_ivfpq_topk",

@@ -724,6 +724,30 @@ def _lloyd_chain_sql(iters: int = LLOYD_ITERS, out: str = "c") -> str:
 _TRAINED_CENTS: dict = {}
 
 
+def _trained_cents(
+    spark: SparkSession,
+    emb: DataFrame,
+    n: int | None = None,
+    cache_key: str | None = None,
+) -> list:
+    """Return the trained IVF centroid list for ``emb`` — from the
+    per-process cache when warm, else md5-rank seed + Lloyd refine
+    (caching under ``(cache_key, LLOYD_ITERS)``). Split out of
+    ``_assign_cells`` (r15) so callers that need the TRAINED CELL
+    COUNT before assignment (the probe budget derives from it) don't
+    duplicate the cache discipline."""
+    ck = (cache_key, LLOYD_ITERS) if cache_key else None
+    if ck and ck in _TRAINED_CENTS:
+        return _TRAINED_CENTS[ck]
+    if n is None:
+        n = emb.count()
+    seeds = _seed_sample(emb.select("vec_id", "v"), _ivf_k(n), IVF_SEED_SALT)
+    cents = _lloyd_refine(spark, emb, seeds)
+    if ck:
+        _TRAINED_CENTS[ck] = cents
+    return cents
+
+
 def _assign_cells(
     spark: SparkSession,
     emb: DataFrame,
@@ -761,18 +785,10 @@ def _assign_cells(
     # ingest) pass the trained list instead of relying on a cache hit
     # under a shared key — a cache eviction there would silently
     # retrain on the new batch and diverge (r11 advice, medium)
-    ck = (cache_key, LLOYD_ITERS) if cache_key else None
     if centroids is not None:
         cents = centroids
-    elif ck and ck in _TRAINED_CENTS:
-        cents = _TRAINED_CENTS[ck]
     else:
-        if n is None:
-            n = emb.count()
-        seeds = _seed_sample(emb.select("vec_id", "v"), _ivf_k(n), IVF_SEED_SALT)
-        cents = _lloyd_refine(spark, emb, seeds)
-        if ck:
-            _TRAINED_CENTS[ck] = cents
+        cents = _trained_cents(spark, emb, n=n, cache_key=cache_key)
     cent_ids = [cid for cid, _ in cents]
     cent_mat = np.array([cv for _, cv in cents], dtype=np.float64)
     cent_norms = np.array([_seq_norm(cv) for _, cv in cents])
@@ -1951,13 +1967,61 @@ ORACLES["similarity_pq_audit"] = _pq_audit_oracle()
 #: / 0.75 (×10 stress); the sweep showed SHORTLIST as binding as
 #: PROBES (ADC quantization error needs the deeper exact re-rank:
 #: 32/128 → 0.80 but 16/256 → 0.78 and 32/256 → 0.90 at sf0.1), so
-#: the shipped point is PROBES=32 / SHORTLIST=256 — recall@5 0.90 at
-#: sf0.1 and 0.84 at the ×10 stress at unchanged fixture wall. Both
-#: knobs stay FIXED counts, not corpus fractions: at the production
-#: k = 4096 cell cap, 32 probes touch 0.8% of the index — the FAISS
-#: nprobe shape — and the exact stage stays O(queries × 256).
+#: r11-r14 shipped PROBES=32 / SHORTLIST=256.
+#:
+#: r15 (VERDICT r14 item 2): a FIXED probe count decays with scale —
+#: cells grow as √N while 32 probes stay put, so measured recall@5
+#: slid 0.84 (×10 stress) → 0.81 (×30) → 0.775 (×100, 7% of cells
+#: probed vs 13% at ×30). The probe budget now SCALES WITH THE CELL
+#: COUNT: probes = min(n_cells, max(32, ceil(13% · n_cells))) —
+#: holding the ×30 operating point's cell coverage — via
+#: ``_ivfpq_probes`` (integer arithmetic only: ``(13·k + 99) // 100``
+#: is exact in both engines; a float 0.13·k would round differently
+#: in Python binary floats vs DuckDB decimals at integer boundaries).
+#: At every shipped fixture (≤2 k vectors → ≤45 cells) the floor
+#: clamps to the cell count, so fixture plans/results are unchanged;
+#: the knob moves exactly where the decay was measured. Scan volume
+#: becomes a CONSTANT FRACTION of the corpus (the coverage is the
+#: cost knob — drop it to trade recall for scan volume); SHORTLIST
+#: stays a fixed count (the exact stage stays O(queries × 256); the
+#: ×100 re-sweep with scaled probes showed ADC order quality, not
+#: shortlist depth, was the binding term — see tools/ann_stress.py).
 IVFPQ_SHORTLIST = 256
-IVFPQ_PROBES = 32
+IVFPQ_PROBES_MIN = 32
+IVFPQ_COVERAGE_PCT = 13
+
+
+def _ivfpq_probes(n_cells: int) -> int:
+    """Probe budget for a trained index of ``n_cells`` coarse cells:
+    floor of IVFPQ_PROBES_MIN, ~IVFPQ_COVERAGE_PCT% of cells once the
+    corpus outgrows the floor, never more than every cell. Integer
+    ceiling division keeps the Python value bit-equal to the oracle's
+    in-SQL derivation (see _ivfpq_oracle)."""
+    k = max(1, n_cells)
+    return min(k, max(IVFPQ_PROBES_MIN, (IVFPQ_COVERAGE_PCT * k + 99) // 100))
+
+
+#: memo of the EFFECTIVE probe count per dataset (derived from the
+#: trained cell count by _ivfpq_probes; also restored by
+#: load_index_frames from artifact meta so a frames-only load never
+#: retrains just to learn its own probe budget). Cleared by
+#: reset_trained_state; kept by teardown_persisted_caches (same
+#: lifetime as the trained dicts it derives from).
+_EFFECTIVE_PROBES: dict = {}
+
+
+def ivfpq_probes_for(sf_dir: str) -> int:
+    """The effective probe budget for a dataset this process has
+    trained (or artifact-loaded) an index for. Raises if no index
+    state exists — callers that want training should run
+    similarity_ivfpq_topk first."""
+    probes = _EFFECTIVE_PROBES.get(sf_dir)
+    if probes is None:
+        raise ValueError(
+            f"no trained index state for {sf_dir!r} — run "
+            "similarity_ivfpq_topk (or load an artifact) first"
+        )
+    return probes
 
 
 #: per-process cache of trained PQ codebooks, keyed by (sf_dir, iters)
@@ -2015,6 +2079,7 @@ def reset_trained_state() -> int:
     n = len(_TRAINED_CENTS) + len(_TRAINED_CB)
     _TRAINED_CENTS.clear()
     _TRAINED_CB.clear()
+    _EFFECTIVE_PROBES.clear()
     teardown_persisted_caches()
     return n
 
@@ -2176,36 +2241,92 @@ def save_index_frames(spark: SparkSession, path: str, sf_dir: str) -> dict:
     whole index state from parquet and the first query runs at steady
     cost.
 
-    Layout: ``{path}/meta`` (1 row: version, sf_dir, probes, blocks),
-    ``{path}/assign``, ``{path}/codes``. Size is corpus-proportional
-    BY DESIGN — a real IVF-PQ index ships its vectors' cells and
-    codes; at 100 TB this artifact is the index you'd keep on object
-    storage next to the corpus. Returns {"assign": n, "codes": n}.
+    Layout (r15, VERDICT r14 item 4): ``{path}/meta`` (1 row: version,
+    sf_dir, probes, blocks, n_cells), ``{path}/assign`` and
+    ``{path}/codes`` both PARTITIONED BY THE COARSE CELL
+    (``cell=<cid>/`` directories, one file per cell via a repartition
+    on the key) — the inverted-list layout a real IVF index ships: a
+    steady query serving one vector needs only its ~probes probed
+    cells' lists, and the partitioned layout lets
+    ``read_index_cells`` prune to exactly those files (partition
+    filters in the scan, not a full-artifact read). Size is
+    corpus-proportional BY DESIGN; at 100 TB this artifact is the
+    index you'd keep on object storage next to the corpus. Returns
+    {"assign": n, "codes": n}.
 
     Requires the frames to exist in the in-process cache (i.e. the
     training query ran this session); raises otherwise — same
     loudness contract as save_trained_index."""
-    pkey = (sf_dir, IVFPQ_PROBES)
+    probes = _EFFECTIVE_PROBES.get(sf_dir)
+    cents = _TRAINED_CENTS.get((sf_dir, LLOYD_ITERS))
+    pkey = (sf_dir, probes)
     ckey = (sf_dir, "pq_codes")
     assign = _PERSISTED_WITH_CELLS.get(pkey)
     codes = _PERSISTED_WITH_CELLS.get(ckey)
-    if assign is None or codes is None:
+    if probes is None or cents is None or assign is None or codes is None:
         raise ValueError(
             "no materialized index frames for "
             f"{sf_dir!r} (run similarity_ivfpq_topk first) — refusing "
             "to write a partial frame artifact"
         )
     meta = spark.createDataFrame(
-        [(_index_version(), sf_dir, IVFPQ_PROBES, PQ_BLOCKS)],
-        "version string, sf_dir string, probes int, blocks int",
+        [(_index_version(), sf_dir, probes, PQ_BLOCKS, len(cents))],
+        "version string, sf_dir string, probes int, blocks int, n_cells int",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    assign.write.mode("overwrite").parquet(f"{path}/assign")
-    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    # the partition key is each vector's ASSIGNMENT cell (cells[0]);
+    # repartition-on-key first so every cell directory holds ONE file
+    # (without it each of the frame's partitions writes a sliver into
+    # every cell directory — the classic partitionBy small-file trap)
+    assign.withColumn("cell", F.element_at("cells", 1)).repartition(
+        "cell"
+    ).write.partitionBy("cell").mode("overwrite").parquet(f"{path}/assign")
+    codes.join(
+        assign.select("vec_id", F.element_at("cells", 1).alias("cell")),
+        "vec_id",
+    ).repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
     return {
         "assign": spark.read.parquet(f"{path}/assign").count(),
         "codes": spark.read.parquet(f"{path}/codes").count(),
     }
+
+
+#: canonical column orders the artifact read paths restore, so a
+#: loaded frame is schema-identical to the one training builds
+_ASSIGN_COLS = ("vec_id", "v", "vnorm", "cells")
+
+
+def _codes_cols() -> list:
+    return ["vec_id"] + [f"code{b}" for b in range(PQ_BLOCKS)]
+
+
+def read_index_cells(spark: SparkSession, path: str, cells: list) -> dict:
+    """PROBE-PRUNED read of a ``save_index_frames`` artifact: return
+    the assign/codes frames RESTRICTED to ``cells`` (a query's probed
+    cell ids), reading only those cells' partition directories — the
+    steady-state serving path at scale. The returned plans carry the
+    cell predicate as a PARTITION filter (pinned in CI), so a 100 TB
+    artifact answers a probes-cell query by listing ~probes
+    directories instead of scanning the corpus-sized frame.
+
+    Returns {"assign": DataFrame, "codes": DataFrame} (lazy, not
+    persisted, not installed into the process cache — a pruned subset
+    must never masquerade as the full index; use
+    ``load_index_frames`` to restore the cache)."""
+    cell_list = [int(c) for c in cells]
+    assign = (
+        spark.read.parquet(f"{path}/assign")
+        .filter(F.col("cell").isin(cell_list))
+        .select(*_ASSIGN_COLS)
+    )
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(cell_list))
+        .select(*_codes_cols())
+    )
+    return {"assign": assign, "codes": codes}
 
 
 def load_index_frames(spark: SparkSession, path: str) -> dict:
@@ -2225,25 +2346,41 @@ def load_index_frames(spark: SparkSession, path: str) -> dict:
         )
     m = metas[0]
     ver = _index_version()
-    if m.version != ver or m.probes != IVFPQ_PROBES or m.blocks != PQ_BLOCKS:
+    if m.version != ver or "n_cells" not in m.asDict() or m.blocks != PQ_BLOCKS:
         raise ValueError(
             "index-frame artifact mismatch: "
-            f"artifact (version={m.version!r}, probes={m.probes}, "
-            f"blocks={m.blocks}) vs current (version={ver!r}, "
-            f"probes={IVFPQ_PROBES}, blocks={PQ_BLOCKS}) — retrain or "
-            "rebuild the artifact"
+            f"artifact (version={getattr(m, 'version', None)!r}, "
+            f"blocks={getattr(m, 'blocks', None)}, "
+            f"meta columns={sorted(m.asDict())}) vs current "
+            f"(version={ver!r}, blocks={PQ_BLOCKS}, cell-partitioned "
+            "layout with n_cells) — retrain or rebuild the artifact"
         )
-    pkey = (m.sf_dir, IVFPQ_PROBES)
+    # knob gate under the r15 DERIVED probe policy: the expected probe
+    # count is recomputed from the artifact's OWN trained cell count —
+    # stale-policy artifacts still refuse loudly, and the gate needs
+    # no retraining to evaluate (the whole point of the artifact)
+    expected = _ivfpq_probes(int(m.n_cells))
+    if int(m.probes) != expected:
+        raise ValueError(
+            "index-frame artifact probe-policy mismatch: artifact "
+            f"assigned with probes={int(m.probes)} but the current "
+            f"policy derives probes={expected} from its n_cells="
+            f"{int(m.n_cells)} — rebuild the artifact"
+        )
+    pkey = (m.sf_dir, int(m.probes))
     ckey = (m.sf_dir, "pq_codes")
     # release any stale in-process frames for the keys before replacing
     for k in (pkey, ckey):
         prev = _PERSISTED_WITH_CELLS.pop(k, None)
         if prev is not None:
             prev.unpersist()
-    assign = spark.read.parquet(f"{path}/assign").persist()
-    codes = spark.read.parquet(f"{path}/codes").persist()
+    # restore the exact in-process frame shapes (the partition column
+    # is layout, not payload — selected away, original column order)
+    assign = spark.read.parquet(f"{path}/assign").select(*_ASSIGN_COLS).persist()
+    codes = spark.read.parquet(f"{path}/codes").select(*_codes_cols()).persist()
     _PERSISTED_WITH_CELLS[pkey] = assign
     _PERSISTED_WITH_CELLS[ckey] = codes
+    _EFFECTIVE_PROBES[m.sf_dir] = int(m.probes)
     return {"sf_dir": m.sf_dir, "probes": int(m.probes)}
 
 
@@ -2428,7 +2565,8 @@ def _pq_chain_sql(iters: int = CB_LLOYD_ITERS) -> str:
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k — the production ANN stack (the FAISS IVFPQ shape)
     composed end-to-end: coarse IVF cells restrict the search space
-    (each query probes its IVFPQ_PROBES nearest cells — the recall
+    (each query probes its _ivfpq_probes(n_cells) nearest cells — the
+    cell-coverage-scaled recall
     lever), PQ asymmetric distances (ADC) rank the probed cells
     cheaply from codes + a per-query distance table, and only the
     IVFPQ_SHORTLIST survivors pay an exact full-vector cosine for the
@@ -2492,15 +2630,26 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic lineage, refreshed by reset_trained_state().
     # Lifetime stays bounded to one cached frame per key;
     # teardown_persisted_caches() releases them between bench entries.
-    pkey = (sf_dir, IVFPQ_PROBES)
+    #
+    # probe budget derives from the TRAINED cell count (r15 — see
+    # _ivfpq_probes): the memo makes a frames-only artifact load
+    # query-ready without retraining; a cold call trains here (the
+    # training would have happened two lines down regardless).
+    probes = _EFFECTIVE_PROBES.get(sf_dir)
+    if probes is None:
+        probes = _ivfpq_probes(
+            len(_trained_cents(spark, emb, n=_n(), cache_key=sf_dir))
+        )
+        _EFFECTIVE_PROBES[sf_dir] = probes
+    pkey = (sf_dir, probes)
     with_cells = _PERSISTED_WITH_CELLS.get(pkey)
     if with_cells is None:
         # corpus vectors live in their single nearest cell (cells[0]);
-        # queries will probe their IVFPQ_PROBES nearest cells — the
+        # queries will probe their `probes` nearest cells — the
         # recall/scan-volume knob (scan volume scales linearly in
         # probes, the shuffle key is still just the cell id)
         with_cells, _cents = _assign_cells(
-            spark, emb, probes=IVFPQ_PROBES, n=_n(), cache_key=sf_dir
+            spark, emb, probes=probes, n=_n(), cache_key=sf_dir
         )
         with_cells = with_cells.persist()
         _PERSISTED_WITH_CELLS[pkey] = with_cells
@@ -2588,7 +2737,8 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="qnorm",
     )
     # one row per (query, probed cell) — cells[] is nearest-first, so
-    # exploding it is exactly rank <= IVFPQ_PROBES in the oracle
+    # exploding it is exactly rank <= the derived probe budget in the
+    # oracle (both sides compute it from the trained cell count)
     q_cells = qpanel.select(
         F.col("vec_id").alias("qid"), F.explode("cells").alias("cell")
     )
@@ -2696,17 +2846,24 @@ assign_cell AS MATERIALIZED (
     FROM cell_aff
   ) WHERE rn = 1
 ),
--- queries probe their IVFPQ_PROBES nearest cells (rank <= probes ==
--- the Spark side's nearest-first cells[] array, ties by ascending
--- centroid id, matching numpy's stable argsort over the
--- vec_id-ordered centroid matrix)
+-- queries probe their nearest cells (rank <= probes == the Spark
+-- side's nearest-first cells[] array, ties by ascending centroid id,
+-- matching numpy's stable argsort over the vec_id-ordered centroid
+-- matrix). The probe budget derives IN-QUERY from the trained cell
+-- count — min(k, max({IVFPQ_PROBES_MIN}, ceil(13% of k))) in pure
+-- integer arithmetic, bit-equal to Python's _ivfpq_probes at any
+-- scale (a float 0.13*k would round differently at integer
+-- boundaries: Python binary doubles vs DuckDB decimals)
+ncells AS (SELECT COUNT(*) AS k FROM c),
 q_probe AS (
   SELECT vec_id AS qid, ccid AS cell FROM (
     SELECT vec_id, ccid,
            ROW_NUMBER() OVER (PARTITION BY vec_id
                               ORDER BY sim DESC, ccid ASC) AS rn
     FROM cell_aff WHERE vec_id % 50 = 0
-  ) WHERE rn <= {IVFPQ_PROBES}
+  ) WHERE rn <= (SELECT LEAST(k, GREATEST({IVFPQ_PROBES_MIN},
+                              ({IVFPQ_COVERAGE_PCT} * k + 99) // 100))
+                 FROM ncells)
 ),
 {_pq_chain_sql()},
 code_aff AS (

@@ -204,7 +204,7 @@ def test_cli_ann_index_save_load_smoke(spark, tmp_path, capsys):
     # the load restored trained state AND the per-vector frames for
     # the dataset (no retrain, no assignment/encode rebuild)
     assert any(k[0] == sf for k in S._TRAINED_CENTS)
-    assert (sf, S.IVFPQ_PROBES) in S._PERSISTED_WITH_CELLS
+    assert (sf, S.ivfpq_probes_for(sf)) in S._PERSISTED_WITH_CELLS
     assert (sf, "pq_codes") in S._PERSISTED_WITH_CELLS
 
 
@@ -218,6 +218,10 @@ def test_cli_ann_index_smoke_refuses_mismatched_sf_dir(spark, tmp_path, capsys):
     path = str(tmp_path / "ann_index_mismatch")
     sf = "/root/testdata/sf0.001"
     other = "/root/testdata/sf0.01"
+    # save_trained_index persists EVERY trained dataset in the process
+    # dicts; start clean so the artifact holds only `sf` and the
+    # mismatch below is a genuine mismatch regardless of test order
+    S.reset_trained_state()
     assert cli.main(["annIndex", "save", path, "--sf-dir", sf]) == 0
     capsys.readouterr()
 

@@ -206,7 +206,7 @@ def test_ivfpq_reuses_persisted_index_frames(spark):
     S.reset_trained_state()
     S.similarity_ivfpq_topk(spark, SF_SMALL).count()
     keys = set(S._PERSISTED_WITH_CELLS)
-    assert (SF_SMALL, S.IVFPQ_PROBES) in keys
+    assert (SF_SMALL, S.ivfpq_probes_for(SF_SMALL)) in keys
     assert (SF_SMALL, "pq_codes") in keys
     first = dict(S._PERSISTED_WITH_CELLS)
 

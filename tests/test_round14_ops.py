@@ -162,7 +162,7 @@ def test_index_frames_roundtrip_skips_rebuild(spark, tmp_path):
     S.load_trained_index(spark, kpath)
     meta = S.load_index_frames(spark, fpath)
     assert meta["sf_dir"] == SF_SMALL
-    pkey = (SF_SMALL, S.IVFPQ_PROBES)
+    pkey = (SF_SMALL, S.ivfpq_probes_for(SF_SMALL))
     ckey = (SF_SMALL, "pq_codes")
     assert pkey in S._PERSISTED_WITH_CELLS and ckey in S._PERSISTED_WITH_CELLS
     loaded_frames = dict(S._PERSISTED_WITH_CELLS)
@@ -197,7 +197,10 @@ def test_index_frames_refuse_mismatched_knobs(spark, tmp_path):
     spark.read.parquet(f"{fpath}/codes").write.parquet(
         str(tmp_path / "frames2/codes")
     )
-    with _pytest.raises(ValueError, match="artifact mismatch"):
+    # r15: a forged probes value now trips the PROBE-POLICY gate
+    # (recomputed from the artifact's own n_cells) before the generic
+    # version gate — either way, a loud refusal
+    with _pytest.raises(ValueError, match="mismatch"):
         S.load_index_frames(spark, str(tmp_path / "frames2"))
 
 

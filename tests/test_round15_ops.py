@@ -68,3 +68,97 @@ def test_size_state_partitions_model():
     # the footer-metadata row counter agrees with the fixtures
     assert parquet_input_rows("/root/testdata/sf0.1") == 100_000
     assert parquet_input_rows(SF_SMALL) == 1_000
+
+
+def test_ivfpq_probe_policy():
+    """probes = min(k, max(32, ceil(13% k))): floor rules small
+    indexes (every fixture), coverage rules at scale, clamped to the
+    cell count; pure integer arithmetic so the oracle's in-SQL twin
+    is bit-equal at any k."""
+    from mysqldatasynctool_spark.operators.similarity import _ivfpq_probes
+
+    assert _ivfpq_probes(1) == 1
+    assert _ivfpq_probes(23) == 23  # sf0.001/0.01: clamp to cells
+    assert _ivfpq_probes(45) == 32  # sf0.1: floor
+    assert _ivfpq_probes(246) == 32  # last floor-ruled size
+    assert _ivfpq_probes(247) == 33  # coverage takes over
+    assert _ivfpq_probes(448) == 59  # the x100 stress operating point
+    assert _ivfpq_probes(4096) == 533  # production cell cap: 13%
+    ks = [1, 10, 100, 1000, 4096, 100_000]
+    vals = [_ivfpq_probes(k) for k in ks]
+    assert vals == sorted(vals)
+    assert all(_ivfpq_probes(k) <= k for k in ks)
+
+
+def test_index_frames_cell_partitioned_roundtrip(spark, tmp_path):
+    """r15 artifact layout (VERDICT r14 item 4): assign/codes are
+    written partitioned by coarse cell; a FULL load is bit-identical
+    to the in-process frames, and the probe-pruned read path touches
+    ONLY the requested cells' partition directories (partition
+    filters in the scan, file subset on disk)."""
+    import os
+
+    from tests.conftest import SF_SMALL
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    fresh = [tuple(r) for r in S.similarity_ivfpq_topk(spark, SF_SMALL).collect()]
+    path = str(tmp_path / "frames")
+    counts = S.save_index_frames(spark, path, SF_SMALL)
+    assert counts["assign"] == counts["codes"] > 0
+
+    # layout: hive-style cell=<cid> directories, one file per cell
+    cell_dirs = [d for d in os.listdir(f"{path}/assign") if d.startswith("cell=")]
+    assert len(cell_dirs) > 1
+    probes = S.ivfpq_probes_for(SF_SMALL)
+
+    # full restore: bit-identical query output, frames reused
+    S.reset_trained_state()
+    meta = S.load_index_frames(spark, path)
+    assert meta["probes"] == probes
+    loaded = [tuple(r) for r in S.similarity_ivfpq_topk(spark, SF_SMALL).collect()]
+    assert loaded == fresh
+
+    # probe-pruned read: only the two requested cells' files are read
+    two = sorted(int(d.split("=", 1)[1]) for d in cell_dirs)[:2]
+    pruned = S.read_index_cells(spark, path, two)
+    plan = _plan(spark, pruned["assign"], "formatted")
+    assert "PartitionFilters" in plan and "cell" in plan
+    rows = pruned["assign"].collect()
+    assert {r.cells[0] for r in rows} == set(two)
+    # the executed scan read EXACTLY the two cells' files — partition
+    # pruning at the file level, not a full read + post-filter
+    # (inputFiles() reflects the pre-pruning analyzed plan, so the
+    # evidence is the scan's numFiles metric after execution)
+    scan = (
+        pruned["assign"]._jdf.queryExecution().executedPlan().collectLeaves().head()
+    )
+    assert scan.metrics().apply("numFiles").value() == 2
+    assert scan.metrics().apply("numPartitions").value() == 2
+    # codes prune too, and join back to exactly the pruned vectors
+    n_assign = pruned["assign"].count()
+    assert pruned["codes"].count() == n_assign
+
+
+def test_index_frames_refuse_stale_probe_policy(spark, tmp_path):
+    """An artifact whose recorded probes disagree with the CURRENT
+    policy applied to its own n_cells must refuse to load."""
+    import pytest as _pytest
+
+    from tests.conftest import SF_SMALL
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    S.similarity_ivfpq_topk(spark, SF_SMALL).count()
+    path = str(tmp_path / "frames_stale")
+    S.save_index_frames(spark, path, SF_SMALL)
+    # forge a stale-policy meta (probes off by one)
+    metas = spark.read.parquet(f"{path}/meta").collect()
+    m = metas[0]
+    forged = spark.createDataFrame(
+        [(m.version, m.sf_dir, int(m.probes) + 1, m.blocks, m.n_cells)],
+        "version string, sf_dir string, probes int, blocks int, n_cells int",
+    )
+    forged.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    with _pytest.raises(ValueError, match="probe-policy mismatch"):
+        S.load_index_frames(spark, path)

@@ -225,7 +225,7 @@ def test_pq_audit_invariants(spark):
 def test_ivfpq_bounded_by_exact_cell_search(spark):
     """IVFPQ cannot beat the exact multi-probe search it approximates:
     per query, its best cosine <= the best cosine of an EXACT scan of
-    the same IVFPQ_PROBES probed cells (r10: ivfpq went multi-probe,
+    the same (derived) probe budget's cells (r10: ivfpq went multi-probe,
     so the old single-cell ceiling no longer applies — a probed
     neighbor cell can legitimately hold a better neighbor than the
     query's own cell). Result counts <= TOP_K, ranks contiguous."""
@@ -235,7 +235,7 @@ def test_ivfpq_bounded_by_exact_cell_search(spark):
     exact1 = {
         r.qid: r.cosine
         for r in sim.similarity_ivf_pandas(
-            spark, SF, probes=sim.IVFPQ_PROBES
+            spark, SF, probes=sim.ivfpq_probes_for(SF)
         ).collect()
         if r.rank == 1
     }
