@@ -40,6 +40,9 @@ HEADLINE = [
     "graph_triangle_count",
     "events_ohlc_bars",
     "events_anomaly_zscore",
+    # r15: its skew-salted twin timed side-by-side (same output, same
+    # oracle) so the salting overhead at fixture scale stays visible
+    "events_anomaly_salted",
     "events_sessionization",
     "events_sliding_window",
     "events_asof_join",
@@ -75,7 +78,7 @@ HEADLINE = [
     "similarity_ivf_pandas",
     "similarity_lsh_multiprobe",
     # the trained IVF-PQ funnel capstone (Lloyd cells + codebook at
-    # the derived-probes/IVFPQ_SHORTLIST operating point — the
+    # the derived probes/shortlist operating point — the
     # row that proves the r11 recall fix didn't buy its 0.40→0.90
     # with runaway wall time)
     "similarity_ivfpq_topk",

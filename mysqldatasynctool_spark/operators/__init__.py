@@ -31,29 +31,77 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-14 ROTATION (r13 verdict item 2 + tools/correctness_union.py):
-#: 1) positions 1–3: the entries whose code changed this round —
-#:    both MMR entries (_mmr_select gained the zero-norm oracle-parity
-#:    assert at the pick site; shared-helper change the union tool's
-#:    function-span blame cannot see) and streaming_run_funnel_join
-#:    (state_partitions 8→4, output-set-neutral by contract but the
-#:    source moved);
-#: 2) positions 4–50: the union tool's suggested oldest-green
-#:    rotation verbatim — ALL 21 r8-era stale records the r13 verdict
-#:    ordered into this slate (agg_max_by/moments/correlation/
-#:    percentiles_exact, join_asof, string_functions2,
-#:    null_conditional, sql_cte_subqueries, the six core windows,
-#:    events_tumbling/sliding_window, the five setops) plus the next
-#:    r10-era tail; the union's last three suggestions
-#:    (migration_incremental, dedup_exact_subset, dedup_exact_text)
-#:    were displaced by the changed-code entries and lead the next
-#:    rotation;
-#: 3) everything else oldest-green-record-first, stable relative
+#: ROUND-15 ROTATION (r14 verdict item 3 + tools/correctness_union.py):
+#: 1) positions 1-9: the union tool's changed-code flags — the new
+#:    events_anomaly_salted plus the 8 entries whose source moved this
+#:    round or late in r14 (the four global-window rewrites, the
+#:    derived-probes IVFPQ entry, the two sized funnel joins);
+#: 2) positions 10-13: changed-code the tool's function-span blame
+#:    cannot see (shared helpers): the recall report composes the
+#:    IVFPQ oracle, both MMR entries share _mmr_select (assert->raise),
+#:    similarity_incremental_index consumes the refactored
+#:    _assign_cells/_trained_cents path;
+#: 3) positions 14-32: ALL 19 r10-era stale records the r14 verdict
+#:    ordered into this slate (the dedup exact/embedding family,
+#:    migration_incremental, the multimodal basics, the text basics)
+#:    -- after this slate no record is older than r11;
+#: 4) positions 33-50: the union's next-oldest (r11) suggestions in
+#:    order; its last four (pipeline_train_val_split/global_shuffle/
+#:    end_to_end, events_asof_join, all r11-green) were displaced by
+#:    block 2 and lead the next rotation;
+#: 5) everything else oldest-green-record-first, stable relative
 #:    order.
 VERIFY_PRIORITY: tuple[str, ...] = (
+    "events_anomaly_salted",
+    "q15_top_supplier",
+    "streaming_run_funnel_join_left",
+    "events_anomaly_zscore",
+    "text_unigram_perplexity",
+    "agg_rfm_segmentation",
+    "similarity_ivfpq_topk",
+    "streaming_run_funnel_join",
+    "window_pareto_cumshare",
+    "similarity_ann_recall_report",
     "similarity_mmr_rerank",
     "similarity_mmr_ann",
-    "streaming_run_funnel_join",
+    "similarity_incremental_index",
+    "migration_incremental",
+    "dedup_exact_subset",
+    "dedup_exact_text",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_paragraph_exact",
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_token_count_bpe",
+    "text_chunking",
+    "text_fingerprint",
+    "text_token_frequency",
+    "text_tfidf",
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "multimodal_size_partitioned",
+    "multimodal_frame_sample",
+    "similarity_lsh_multiprobe",
+    "dedup_minhash_lsh",
+    "similarity_ivf_pandas",
+    "similarity_kmeans_step",
+    "dedup_semantic_cells",
+    "text_bm25_topk",
+    "similarity_hybrid_rrf",
+    "similarity_cluster_topics",
+    "pipeline_cluster_balanced_sample",
+    "similarity_pca_power_iteration",
+    "pipeline_quality_weighted_sample",
+    "multimodal_audio_windows",
+    "pipeline_token_budget_planner",
+    "pipeline_decontaminate",
+    "pipeline_pack_sequences",
+    "pipeline_sample_stratified",
+    "pipeline_repetition_score",
+    "pipeline_mix_weights",
     "agg_max_by",
     "agg_moments_manual",
     "agg_correlation_manual",
@@ -94,15 +142,12 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "join_skew_salted",
     "agg_percentiles",
     "agg_histogram_fixed_bins",
-    "window_pareto_cumshare",
     "migration_pk_catalog",
     "migration_full_scan_fallback",
     "migration_page_count",
     "migration_pagination_page",
     "migration_stringify",
     "migration_compare_checksums",
-    "similarity_ivfpq_topk",
-    "similarity_ann_recall_report",
     "join_asof_nearest",
     "agg_weighted_median",
     "multimodal_phash_dedup",
@@ -149,14 +194,11 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pivot_status_priority",
     "unpivot_part_metrics",
     "agg_grouping_sets",
-    "similarity_incremental_index",
-    "streaming_run_funnel_join_left",
     "similarity_range_search",
     "similarity_knn_label_vote",
     "pipeline_dataset_card",
     "agg_key_skew_report",
     "dedup_substring_spans",
-    "events_anomaly_zscore",
     "events_json_variant",
     "events_session_window_builtin",
     "events_sliding_distinct_users",
@@ -172,7 +214,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "text_gopher_rules",
     "text_heavy_hitters",
     "text_source_stats",
-    "text_unigram_perplexity",
     "window_ewma_dyadic",
     "window_time_range_frame",
     "migration_column_profile",
@@ -190,50 +231,12 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_dim_truncation_audit",
     "migration_page_checksums",
     "agg_market_basket",
-    "agg_rfm_segmentation",
     "setop_symmetric_diff",
     "streaming_run_ohlc",
     "streaming_run_session_window",
     "streaming_run_ewma",
     "events_incremental_rollup",
     "events_cusum_changepoint",
-    "migration_incremental",
-    "dedup_exact_subset",
-    "dedup_exact_text",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_paragraph_exact",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_token_count_bpe",
-    "text_chunking",
-    "text_fingerprint",
-    "text_token_frequency",
-    "text_tfidf",
-    "multimodal_binary_meta",
-    "multimodal_decode_features",
-    "multimodal_size_partitioned",
-    "multimodal_frame_sample",
-    "similarity_lsh_multiprobe",
-    "dedup_minhash_lsh",
-    "similarity_ivf_pandas",
-    "similarity_kmeans_step",
-    "dedup_semantic_cells",
-    "text_bm25_topk",
-    "similarity_hybrid_rrf",
-    "similarity_cluster_topics",
-    "pipeline_cluster_balanced_sample",
-    "similarity_pca_power_iteration",
-    "pipeline_quality_weighted_sample",
-    "multimodal_audio_windows",
-    "pipeline_token_budget_planner",
-    "pipeline_decontaminate",
-    "pipeline_pack_sequences",
-    "pipeline_sample_stratified",
-    "pipeline_repetition_score",
-    "pipeline_mix_weights",
     "pipeline_train_val_split",
     "pipeline_global_shuffle",
     "pipeline_end_to_end",
@@ -249,7 +252,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "q12_priority_class",
     "q14_promo_revenue",
-    "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",

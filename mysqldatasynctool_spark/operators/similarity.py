@@ -1982,11 +1982,12 @@ ORACLES["similarity_pq_audit"] = _pq_audit_oracle()
 #: clamps to the cell count, so fixture plans/results are unchanged;
 #: the knob moves exactly where the decay was measured. Scan volume
 #: becomes a CONSTANT FRACTION of the corpus (the coverage is the
-#: cost knob — drop it to trade recall for scan volume); SHORTLIST
-#: stays a fixed count (the exact stage stays O(queries × 256); the
-#: ×100 re-sweep with scaled probes showed ADC order quality, not
-#: shortlist depth, was the binding term — see tools/ann_stress.py).
-IVFPQ_SHORTLIST = 256
+#: cost knob — drop it to trade recall for scan volume). The ×100
+#: re-sweep with scaled probes then showed SHORTLIST as the next
+#: binding term (probes 59 alone: 0.775→0.7975; shortlist 512/1024 on
+#: the same index: 0.8383/0.8808) — so it scales with the cell count
+#: too, via ``_ivfpq_shortlist`` (floor 256 = every fixture's value).
+IVFPQ_SHORTLIST_MIN = 256
 IVFPQ_PROBES_MIN = 32
 IVFPQ_COVERAGE_PCT = 13
 
@@ -2001,13 +2002,33 @@ def _ivfpq_probes(n_cells: int) -> int:
     return min(k, max(IVFPQ_PROBES_MIN, (IVFPQ_COVERAGE_PCT * k + 99) // 100))
 
 
-#: memo of the EFFECTIVE probe count per dataset (derived from the
-#: trained cell count by _ivfpq_probes; also restored by
-#: load_index_frames from artifact meta so a frames-only load never
-#: retrains just to learn its own probe budget). Cleared by
-#: reset_trained_state; kept by teardown_persisted_caches (same
-#: lifetime as the trained dicts it derives from).
-_EFFECTIVE_PROBES: dict = {}
+def _ivfpq_shortlist(n_cells: int) -> int:
+    """ADC-shortlist depth, scaled with the cell count like the probe
+    budget: max(256, ceil(2.25 · n_cells)) — as (9k+3)//4 so Python
+    and the oracle's in-SQL twin are bit-equal. Empirical basis (the
+    r15 ×100 re-sweep with scaled probes, 200 k vectors / 448 cells):
+    probes alone recovered only 0.775→0.7975 recall@5 — the BINDING
+    term was ADC ordering error pushing true neighbors past a fixed
+    256 cut (shortlist 512 → 0.8383, 1024 → 0.8808 at +27 s steady
+    wall; the candidate JOIN, invariant in shortlist, dominates cost).
+    2.25·n_cells lands on the measured 1024-point operating curve at
+    ×100 and clamps to the old 256 at every fixture (≤45 cells), so
+    fixture results are unchanged. The exact re-rank stays
+    O(queries × shortlist) — at the 4096-cell production cap that is
+    9 216 full-vector cosines per query, re-rank-cheap, and
+    deliberately recall-safe (shortlist need grows slower than √N
+    empirically, so the √N rule over-provisions, never starves)."""
+    k = max(1, n_cells)
+    return max(IVFPQ_SHORTLIST_MIN, (9 * k + 3) // 4)
+
+
+#: memo of the TRAINED CELL COUNT per dataset — the single primitive
+#: both query-time budgets (probes, shortlist) derive from. Filled by
+#: training, restored by load_index_frames from artifact meta (so a
+#: frames-only load never retrains just to learn its own budgets).
+#: Cleared by reset_trained_state; kept by teardown_persisted_caches
+#: (same lifetime as the trained dicts it derives from).
+_EFFECTIVE_NCELLS: dict = {}
 
 
 def ivfpq_probes_for(sf_dir: str) -> int:
@@ -2015,13 +2036,13 @@ def ivfpq_probes_for(sf_dir: str) -> int:
     trained (or artifact-loaded) an index for. Raises if no index
     state exists — callers that want training should run
     similarity_ivfpq_topk first."""
-    probes = _EFFECTIVE_PROBES.get(sf_dir)
-    if probes is None:
+    k = _EFFECTIVE_NCELLS.get(sf_dir)
+    if k is None:
         raise ValueError(
             f"no trained index state for {sf_dir!r} — run "
             "similarity_ivfpq_topk (or load an artifact) first"
         )
-    return probes
+    return _ivfpq_probes(k)
 
 
 #: per-process cache of trained PQ codebooks, keyed by (sf_dir, iters)
@@ -2079,7 +2100,7 @@ def reset_trained_state() -> int:
     n = len(_TRAINED_CENTS) + len(_TRAINED_CB)
     _TRAINED_CENTS.clear()
     _TRAINED_CB.clear()
-    _EFFECTIVE_PROBES.clear()
+    _EFFECTIVE_NCELLS.clear()
     teardown_persisted_caches()
     return n
 
@@ -2257,8 +2278,8 @@ def save_index_frames(spark: SparkSession, path: str, sf_dir: str) -> dict:
     Requires the frames to exist in the in-process cache (i.e. the
     training query ran this session); raises otherwise — same
     loudness contract as save_trained_index."""
-    probes = _EFFECTIVE_PROBES.get(sf_dir)
     cents = _TRAINED_CENTS.get((sf_dir, LLOYD_ITERS))
+    probes = _ivfpq_probes(len(cents)) if cents else None
     pkey = (sf_dir, probes)
     ckey = (sf_dir, "pq_codes")
     assign = _PERSISTED_WITH_CELLS.get(pkey)
@@ -2380,7 +2401,7 @@ def load_index_frames(spark: SparkSession, path: str) -> dict:
     codes = spark.read.parquet(f"{path}/codes").select(*_codes_cols()).persist()
     _PERSISTED_WITH_CELLS[pkey] = assign
     _PERSISTED_WITH_CELLS[ckey] = codes
-    _EFFECTIVE_PROBES[m.sf_dir] = int(m.probes)
+    _EFFECTIVE_NCELLS[m.sf_dir] = int(m.n_cells)
     return {"sf_dir": m.sf_dir, "probes": int(m.probes)}
 
 
@@ -2569,7 +2590,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-coverage-scaled recall
     lever), PQ asymmetric distances (ADC) rank the probed cells
     cheaply from codes + a per-query distance table, and only the
-    IVFPQ_SHORTLIST survivors pay an exact full-vector cosine for the
+    _ivfpq_shortlist(n_cells) survivors pay an exact full-vector cosine for the
     final TOP_K. Cells and codebook both use the capped md5-rank
     seeding (min(4096, ceil(√N)) centroids / min(256, 4·ceil(√N))
     codewords) — bounded broadcasts at ANY corpus size — and both are
@@ -2635,12 +2656,12 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _ivfpq_probes): the memo makes a frames-only artifact load
     # query-ready without retraining; a cold call trains here (the
     # training would have happened two lines down regardless).
-    probes = _EFFECTIVE_PROBES.get(sf_dir)
-    if probes is None:
-        probes = _ivfpq_probes(
-            len(_trained_cents(spark, emb, n=_n(), cache_key=sf_dir))
-        )
-        _EFFECTIVE_PROBES[sf_dir] = probes
+    n_cells = _EFFECTIVE_NCELLS.get(sf_dir)
+    if n_cells is None:
+        n_cells = len(_trained_cents(spark, emb, n=_n(), cache_key=sf_dir))
+        _EFFECTIVE_NCELLS[sf_dir] = n_cells
+    probes = _ivfpq_probes(n_cells)
+    shortlist = _ivfpq_shortlist(n_cells)
     pkey = (sf_dir, probes)
     with_cells = _PERSISTED_WITH_CELLS.get(pkey)
     if with_cells is None:
@@ -2790,7 +2811,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = (
         cand.select("qid", "vec_id", adc.alias("adc"))
         .withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= IVFPQ_SHORTLIST)
+        .filter(F.col("rn") <= shortlist)
         .select("qid", "vec_id")
     )
     # exact re-rank of the shortlist only
@@ -2913,7 +2934,8 @@ shortlist AS (
            ROW_NUMBER() OVER (PARTITION BY qid
                               ORDER BY adc ASC, vec_id ASC) AS rn
     FROM adc
-  ) WHERE rn <= {IVFPQ_SHORTLIST}
+  ) WHERE rn <= (SELECT GREATEST({IVFPQ_SHORTLIST_MIN}, (9 * k + 3) // 4)
+                 FROM ncells)
 ),
 rerank AS (
   SELECT s.qid, s.vec_id AS neighbor_id,

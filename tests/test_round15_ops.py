@@ -162,3 +162,21 @@ def test_index_frames_refuse_stale_probe_policy(spark, tmp_path):
     forged.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     with _pytest.raises(ValueError, match="probe-policy mismatch"):
         S.load_index_frames(spark, path)
+
+
+def test_ivfpq_shortlist_policy():
+    """shortlist = max(256, ceil(2.25 k)): floor at every fixture
+    (<=45 cells -> 256, results unchanged), the measured 1024-point
+    operating curve at the x100 stress (448 cells -> 1008), monotone,
+    integer-exact vs the oracle's (9k+3)//4."""
+    from mysqldatasynctool_spark.operators.similarity import _ivfpq_shortlist
+
+    assert _ivfpq_shortlist(1) == 256
+    assert _ivfpq_shortlist(45) == 256
+    assert _ivfpq_shortlist(113) == 256  # last floor-ruled size
+    assert _ivfpq_shortlist(114) == 257
+    assert _ivfpq_shortlist(448) == 1008  # the x100 operating point
+    assert _ivfpq_shortlist(4096) == 9216  # production cell cap
+    ks = [1, 50, 200, 448, 4096]
+    vals = [_ivfpq_shortlist(k) for k in ks]
+    assert vals == sorted(vals)
