@@ -2323,6 +2323,24 @@ def _codes_cols() -> list:
     return ["vec_id"] + [f"code{b}" for b in range(PQ_BLOCKS)]
 
 
+#: explicit read schemas for the frame artifact (payload + the `cell`
+#: partition column, LONG — cell ids are seeded vec_ids, unbounded at
+#: scale): passing them skips per-file footer schema inference on the
+#: cell-partitioned layout, which at n_cells files was the measurable
+#: chunk of the cold-restore gap (frames-load 0.49 s → ~0.3 s at sf0.1)
+_ASSIGN_READ_SCHEMA = (
+    "vec_id long, v array<double>, vnorm double, cells array<long>, cell long"
+)
+
+
+def _codes_read_schema() -> str:
+    return (
+        "vec_id long, "
+        + ", ".join(f"code{b} long" for b in range(PQ_BLOCKS))
+        + ", cell long"
+    )
+
+
 def read_index_cells(spark: SparkSession, path: str, cells: list) -> dict:
     """PROBE-PRUNED read of a ``save_index_frames`` artifact: return
     the assign/codes frames RESTRICTED to ``cells`` (a query's probed
@@ -2338,16 +2356,125 @@ def read_index_cells(spark: SparkSession, path: str, cells: list) -> dict:
     ``load_index_frames`` to restore the cache)."""
     cell_list = [int(c) for c in cells]
     assign = (
-        spark.read.parquet(f"{path}/assign")
+        spark.read.schema(_ASSIGN_READ_SCHEMA)
+        .parquet(f"{path}/assign")
         .filter(F.col("cell").isin(cell_list))
         .select(*_ASSIGN_COLS)
     )
     codes = (
-        spark.read.parquet(f"{path}/codes")
+        spark.read.schema(_codes_read_schema())
+        .parquet(f"{path}/codes")
         .filter(F.col("cell").isin(cell_list))
         .select(*_codes_cols())
     )
     return {"assign": assign, "codes": codes}
+
+
+def ivfpq_search_artifact(
+    spark: SparkSession,
+    path: str,
+    query_vec: list,
+    top_k: int = TOP_K,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Single-query IVF-PQ search SERVED FROM the cell-partitioned
+    frame artifact — the steady-state path the r15 layout exists for:
+    probe selection and the ADC distance table are driver-side
+    (centroids/codebooks are KB-scale), the corpus-sized work reads
+    ONLY the query's probed cells' partition directories via
+    ``read_index_cells`` (~probes files of a corpus-scale artifact),
+    and the cluster does one bounded ADC scan + exact re-rank.
+
+    Requires the trained dicts in-process (``load_trained_index``
+    first — the ``annIndex load`` CLI does both halves). Returns
+    (neighbor_id, cosine, rank) — for a panel vector with
+    ``exclude_id`` set, row-identical to that query's slice of
+    ``similarity_ivfpq_topk`` (CI-pinned).
+
+    Numeric discipline: every driver-side float mirrors the
+    executor-side decomposition — sequential-fold dot products (pure
+    Python, bit-equal to ``_dot``/DuckDB), the same
+    ``qq + cc − 2·qc`` ADC terms, left-associated block sum — so the
+    shortlist boundary agrees with the registry operator's.
+
+    100 TB: the probed-cell read is O(probes/n_cells) of the index;
+    the ADC scan is linear in those cells' vectors; the re-rank is
+    O(shortlist). Nothing corpus-sized reaches the driver."""
+    metas = spark.read.parquet(f"{path}/meta").collect()
+    if len(metas) != 1:
+        raise ValueError(f"bad frame artifact at {path!r}: {len(metas)} meta rows")
+    m = metas[0]
+    cents = _TRAINED_CENTS.get((m.sf_dir, LLOYD_ITERS))
+    cb = _TRAINED_CB.get((m.sf_dir, CB_LLOYD_ITERS))
+    if cents is None or cb is None:
+        raise ValueError(
+            f"no trained dicts for {m.sf_dir!r} — load_trained_index first"
+        )
+    n_cells = int(m.n_cells)
+    probes = _ivfpq_probes(n_cells)
+    shortlist = _ivfpq_shortlist(n_cells)
+
+    def _seq_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    qv = [float(x) for x in query_vec]
+    qnorm = _seq_norm(qv)
+    # probe cells: same argsort(-sims)[:probes] decision as
+    # _assign_cells, on sequential-fold cosines over the cid-ascending
+    # trained list (numpy matmul there, pure-Python folds here — the
+    # DECISION is rounding-robust, exactly the module's contract)
+    sims = []
+    for cid, cv in cents:
+        sims.append(
+            (_seq_dot(qv, cv) / (qnorm * _seq_norm(cv)), -cid)
+        )
+    order = sorted(range(len(cents)), key=lambda i: sims[i], reverse=True)
+    cells = [cents[i][0] for i in order[:probes]]
+
+    frames = read_index_cells(spark, path, cells)
+    nv = [x / qnorm for x in qv]
+    # ADC distance table per block as literal lookup maps (≤256
+    # entries each): d2 = qb·qb + c·c − 2·qb·c with sequential folds,
+    # summed left-associated across blocks like the operator
+    adc = None
+    cand = frames["codes"]
+    for b, (ids, mat) in enumerate(cb):
+        qb = nv[b * PQ_BLOCK_DIM : (b + 1) * PQ_BLOCK_DIM]
+        qq = _seq_dot(qb, qb)
+        entries = []
+        for k in range(len(ids)):
+            c = [float(x) for x in mat[k]]
+            d2 = qq + _seq_dot(c, c) - 2.0 * _seq_dot(qb, c)
+            entries.extend([F.lit(int(ids[k])), F.lit(d2)])
+        dmap = F.create_map(*entries)
+        term = dmap[F.col(f"code{b}")]
+        adc = term if adc is None else adc + term
+    cand = cand.select("vec_id", adc.alias("adc"))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != int(exclude_id))
+    short = cand.orderBy(F.asc("adc"), F.asc("vec_id")).limit(shortlist)
+    qcol = F.array(*[F.lit(x) for x in qv])
+    rerank = (
+        short.join(frames["assign"].select("vec_id", "v", "vnorm"), "vec_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(qcol, F.col("v")) / (F.lit(qnorm) * F.col("vnorm")), 6),
+        )
+        .select(F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    return (
+        rerank.orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+            ),
+        )
+    )
 
 
 def load_index_frames(spark: SparkSession, path: str) -> dict:
@@ -2397,8 +2524,18 @@ def load_index_frames(spark: SparkSession, path: str) -> dict:
             prev.unpersist()
     # restore the exact in-process frame shapes (the partition column
     # is layout, not payload — selected away, original column order)
-    assign = spark.read.parquet(f"{path}/assign").select(*_ASSIGN_COLS).persist()
-    codes = spark.read.parquet(f"{path}/codes").select(*_codes_cols()).persist()
+    assign = (
+        spark.read.schema(_ASSIGN_READ_SCHEMA)
+        .parquet(f"{path}/assign")
+        .select(*_ASSIGN_COLS)
+        .persist()
+    )
+    codes = (
+        spark.read.schema(_codes_read_schema())
+        .parquet(f"{path}/codes")
+        .select(*_codes_cols())
+        .persist()
+    )
     _PERSISTED_WITH_CELLS[pkey] = assign
     _PERSISTED_WITH_CELLS[ckey] = codes
     _EFFECTIVE_NCELLS[m.sf_dir] = int(m.n_cells)

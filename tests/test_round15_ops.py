@@ -180,3 +180,35 @@ def test_ivfpq_shortlist_policy():
     ks = [1, 50, 200, 448, 4096]
     vals = [_ivfpq_shortlist(k) for k in ks]
     assert vals == sorted(vals)
+
+
+def test_ivfpq_search_artifact_matches_registry(spark, tmp_path):
+    """The single-query serving path (probe-pruned artifact read +
+    driver-side ADC table) must be ROW-IDENTICAL to the registry
+    operator's slice for the same query — same shortlist boundary,
+    same 6-dp cosines, same ranks — while reading only the query's
+    probed cells."""
+    from tests.conftest import SF_SMALL
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    full = {}
+    for r in S.similarity_ivfpq_topk(spark, SF_SMALL).collect():
+        full.setdefault(r.qid, []).append((r.neighbor_id, r.cosine, r.rank))
+    path = str(tmp_path / "frames_serve")
+    S.save_index_frames(spark, path, SF_SMALL)
+
+    emb = S._vecs(spark, SF_SMALL)
+    qids = sorted(full)[:3]
+    vecs = {
+        r.vec_id: list(r.v)
+        for r in emb.filter(emb.vec_id.isin([int(q) for q in qids])).collect()
+    }
+    for qid in qids:
+        got = [
+            (r.neighbor_id, r.cosine, r.rank)
+            for r in S.ivfpq_search_artifact(
+                spark, path, vecs[qid], exclude_id=qid
+            ).collect()
+        ]
+        assert got == full[qid], f"qid {qid}: {got} != {full[qid]}"
