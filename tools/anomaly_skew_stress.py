@@ -1,0 +1,126 @@
+"""Skew stress for the anomaly-zscore pair (r15): generate an events
+corpus with ONE pathological hot user owning a large share of the
+rows — the 100 TB failure mode the salted twin exists for — and time
+``events_anomaly_zscore`` (per-user window: the hot user serializes
+through one task) against ``events_anomaly_salted`` (hour-bucket salt
++ bounded carry), asserting result identity on the way.
+
+Corpus (numpy.RandomState(seed)-deterministic): ``n_rows`` events over
+``days`` days; ``hot_share`` of rows belong to user 1 (uniform over the
+whole span — dense buckets, the regime the carry decomposition is
+built for); the rest spread over ``n_users`` normal users. Values are
+lognormal with occasional spikes so the z-score filter keeps a
+non-trivial row set.
+
+Standalone: python tools/anomaly_skew_stress.py [n_rows] [hot_share]
+(defaults 2_000_000 rows, 0.30 hot share — ~20 s per variant on 32
+threads). Prints one JSON line with walls and row counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_skewed_events(n_rows: int, hot_share: float, seed: int = 8) -> str:
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    n_hot = int(n_rows * hot_share)
+    n_users = 5000
+    user = np.concatenate(
+        [
+            np.ones(n_hot, dtype=np.int64),
+            rng.randint(2, n_users + 2, size=n_rows - n_hot).astype(np.int64),
+        ]
+    )
+    span_us = 30 * 24 * 3600 * 1_000_000
+    base = np.int64(1_704_067_200_000_000)  # 2024-01-01 UTC, micros
+    ts = base + rng.randint(0, span_us, size=n_rows).astype(np.int64)
+    value = rng.lognormal(0.0, 1.0, size=n_rows)
+    spikes = rng.rand(n_rows) < 0.01
+    value[spikes] *= 25.0
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(1, n_rows + 1, dtype=np.int64),
+            "user_id": user,
+            "event_type": np.where(spikes, "purchase", "click"),
+            "ts": ts.astype("datetime64[us]"),
+            "value": np.round(value, 6),
+        }
+    )
+    out_dir = tempfile.mkdtemp(prefix="anomaly_skew_")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(out_dir, "events.parquet"),
+    )
+    return out_dir
+
+
+def run_stress(spark, n_rows: int = 2_000_000, hot_share: float = 0.30, seed: int = 8) -> dict:
+    from mysqldatasynctool_spark.operators.events import (
+        events_anomaly_salted,
+        events_anomaly_zscore,
+    )
+
+    out_dir = build_skewed_events(n_rows, hot_share, seed)
+    try:
+        report: dict = {
+            "n_rows": n_rows,
+            "hot_share": hot_share,
+            "seed": seed,
+        }
+        walls: dict = {}
+        counts: dict = {}
+        for name, fn in (
+            ("unsalted", events_anomaly_zscore),
+            ("salted", events_anomaly_salted),
+        ):
+            t0 = time.monotonic()
+            counts[name] = fn(spark, out_dir).count()
+            walls[name] = round(time.monotonic() - t0, 3)
+        # identity on the skewed corpus, not just the fixture: compare
+        # result hashes via a full subtract both ways (cheap relative
+        # to the windows themselves)
+        a = events_anomaly_zscore(spark, out_dir)
+        b = events_anomaly_salted(spark, out_dir)
+        diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        report.update(
+            {
+                "rows_flagged": counts,
+                "wall_sec": walls,
+                "speedup": round(walls["unsalted"] / walls["salted"], 3)
+                if walls["salted"]
+                else None,
+                "result_identical": diff == 0,
+            }
+        )
+        return report
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def main() -> int:
+    from mysqldatasynctool_spark.session import get_spark
+
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    hot_share = float(sys.argv[2]) if len(sys.argv) > 2 else 0.30
+    spark = get_spark(app_name="anomaly_skew_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    report = run_stress(spark, n_rows=n_rows, hot_share=hot_share)
+    print("ANOMALY_SKEW_JSON: " + json.dumps(report, sort_keys=True))
+    return 0 if report["result_identical"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
