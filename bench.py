@@ -123,6 +123,73 @@ def _cpu_probe_once() -> float:
     return round(time.monotonic() - t0, 4)
 
 
+#: probe-owned 4 MiB scratch file for the cold-read leg — deliberately
+#: NOT a fixture file: evicting lineitem.parquet from page cache to
+#: measure it would slow the very queries the probe is calibrating.
+_IO_PROBE_PATH: str | None = None
+
+
+def _io_probe_file() -> str:
+    """Create (once per process) the probe's own 16 MiB scratch file
+    on the workload disk (one device backs /, /tmp and /root/testdata
+    on this box), fsync'd so a page-cache eviction forces a real
+    device read. Removed at exit."""
+    global _IO_PROBE_PATH
+    if _IO_PROBE_PATH is None:
+        import atexit
+        import tempfile
+
+        fd, path = tempfile.mkstemp(prefix="bench_io_probe_", suffix=".bin")
+        blob = bytes(range(256)) * 4096  # 1 MiB
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(16):
+                f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+        atexit.register(lambda: os.path.exists(path) and os.remove(path))
+        _IO_PROBE_PATH = path
+    return _IO_PROBE_PATH
+
+
+def _io_probe_once() -> float:
+    """One fixed-work DISK sample (~0.02-0.05 s idle on this box):
+    16 × (64 KiB write + fsync) — the latency class that bounds
+    streaming state commits and parquet sink finalization — plus one
+    COLD 16 MiB read (page cache dropped via posix_fadvise DONTNEED
+    first), the class that bounds scan-heavy queries when the cache
+    is under pressure. One number per sample: the sum of both legs'
+    wall time."""
+    path = _io_probe_file()
+    chunk = bytes(range(256)) * 256  # 64 KiB
+    t0 = time.monotonic()
+    with open(path, "r+b") as f:
+        for _ in range(16):
+            f.seek(0)
+            f.write(chunk)
+            os.fsync(f.fileno())
+        # evict, then force a real device read of the full 4 MiB
+        os.posix_fadvise(f.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
+        f.seek(0)
+        while f.read(1 << 20):
+            pass
+    return round(time.monotonic() - t0, 4)
+
+
+def _io_probe() -> float:
+    """Fixed-work disk calibration: median-of-3 of `_io_probe_once`.
+    Recorded at the START and END of every bench run and once per
+    headline query (``io_probe_by_query``), exactly like `_cpu_probe`
+    — closing the r15 attribution gap: that round's +27% committed
+    drift sat entirely in I/O-heavy entries while the CPU probe stayed
+    FLAT, so disk interference could be claimed but not PROVEN. With
+    both probes bracketing the run, a cross-round delta is
+    attributable three ways: cpu probe moved → slower box; io probe
+    moved on flat cpu → disk contention (the r15 shape); both flat →
+    the plans changed, go profile."""
+    walls = [_io_probe_once() for _ in range(3)]
+    return sorted(walls)[1]
+
+
 def _cpu_probe() -> float:
     """Fixed-work single-thread CPU calibration: median-of-3 wall time
     of the 64 MiB md5 sample. Recorded at the START and END of every
@@ -143,6 +210,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace("sf", "")
     probe_start = _cpu_probe()
+    io_probe_start = _io_probe()
     spark = get_spark(app_name="bench")
     queries, _ = collect_registry()
     # The registry's q1_pricing_summary_fast is the oracle-gated form
@@ -210,6 +278,10 @@ def main() -> None:
     stat_by_query: dict[str, str] = {}
     #: per-query box-speed sample taken just before each query's runs
     probe_by_query: dict[str, float] = {}
+    #: per-query DISK-speed sample, same placement — the r15 drift sat
+    #: in I/O-heavy entries on a flat CPU probe; this is the evidence
+    #: channel that can see it
+    io_probe_by_query: dict[str, float] = {}
     for name in HEADLINE:
         # cache hygiene BETWEEN queries (never between a query's own
         # runs — within-query reuse is the amortization being
@@ -229,6 +301,7 @@ def main() -> None:
         # a genuine plan regression as a box burst; three samples cost
         # ~0.35 s/query and make the attribution trustworthy
         probe_by_query[name] = sorted(_cpu_probe_once() for _ in range(3))[1]
+        io_probe_by_query[name] = sorted(_io_probe_once() for _ in range(3))[1]
         runs: list[float] = []
         # COLD_STEADY rows need >=3 STEADY samples: with 3 total runs
         # "steady" degenerates to a 2-sample MEAN, and one host burst
@@ -625,29 +698,19 @@ def main() -> None:
         # from their headline median (r13 advice — the label travels
         # with the record so cross-round tooling reads the right stat)
         "stat_by_query": stat_by_query,
-        # TRANSITION AID (r14 advice, drop after r15): the r14 switch
-        # to cold-excluded medians improved the headline total partly
-        # by statistic redefinition. This field re-totals with the OLD
-        # definition (plain median INCLUDING run0 for COLD_STEADY
-        # entries) so cross-round tooling can separate the stat change
-        # from real plan movement at the r13→r14/r15 boundary.
-        "value_old_stat_definition": (
-            round(
-                sum(
-                    _median(all_runs[n]) if n in COLD_STEADY else t
-                    for n, t in timings.items()
-                ),
-                3,
-            )
-            if not {k for k in failed if not k.startswith("_")}
-            else None
-        ),
+        # (the r14→r15 `value_old_stat_definition` transition aid is
+        # dropped as scheduled — r13-era totals remain comparable via
+        # stat_by_query + runs in the committed BENCH_LOCAL records)
         # box-speed calibration bracketing the run (see _cpu_probe):
         # compare this across rounds BEFORE reading per-query deltas
         "cpu_probe": {"start": probe_start, "end": _cpu_probe()},
+        # disk-speed calibration, same bracket discipline (see
+        # _io_probe — closes the r15 attribution gap)
+        "io_probe": {"start": io_probe_start, "end": _io_probe()},
         # one sample per query, taken just before its runs — the
         # burst-attribution evidence bench_compare reads when flagging
         "probe_by_query": probe_by_query,
+        "io_probe_by_query": io_probe_by_query,
     }
     if phase_split:
         out["phase_split"] = phase_split

@@ -31,27 +31,68 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-15 ROTATION (r14 verdict item 3 + tools/correctness_union.py):
-#: 1) positions 1-9: the union tool's changed-code flags — the new
-#:    events_anomaly_salted plus the 8 entries whose source moved this
-#:    round or late in r14 (the four global-window rewrites, the
-#:    derived-probes IVFPQ entry, the two sized funnel joins);
-#: 2) positions 10-13: changed-code the tool's function-span blame
-#:    cannot see (shared helpers): the recall report composes the
-#:    IVFPQ oracle, both MMR entries share _mmr_select (assert->raise),
-#:    similarity_incremental_index consumes the refactored
-#:    _assign_cells/_trained_cents path;
-#: 3) positions 14-32: ALL 19 r10-era stale records the r14 verdict
-#:    ordered into this slate (the dedup exact/embedding family,
-#:    migration_incremental, the multimodal basics, the text basics)
-#:    -- after this slate no record is older than r11;
-#: 4) positions 33-50: the union's next-oldest (r11) suggestions in
-#:    order; its last four (pipeline_train_val_split/global_shuffle/
-#:    end_to_end, events_asof_join, all r11-green) were displaced by
-#:    block 2 and lead the next rotation;
-#: 5) everything else oldest-green-record-first, stable relative
-#:    order.
+#: ROUND-16 ROTATION (r15 verdict item 2, tools/correctness_union.py
+#: verbatim): positions 1-50 are the union tool's suggested slate —
+#: the four r11-green entries displaced by the r15 changed-code block
+#: (pipeline_train_val_split/global_shuffle/end_to_end,
+#: events_asof_join) lead, then the rest of the r11-era records
+#: oldest-first (the asof/cdc/pii block, the q4-q22 classic TPC-H
+#: block, zorder/fuzzy/ewma/bpe/column-profile/degree-stats and the
+#: setop pair). No source moved since r15's 50/50 slate, so there is
+#: no changed-code block this round; after this slate no driver
+#: record is older than r12. Everything else keeps its previous
+#: relative order (stable), oldest-green-record-first.
 VERIFY_PRIORITY: tuple[str, ...] = (
+    "pipeline_train_val_split",
+    "pipeline_global_shuffle",
+    "pipeline_end_to_end",
+    "events_asof_join",
+    "events_asof_join_salted",
+    "events_hypertable_rollup",
+    "migration_cdc_apply",
+    "text_pii_scrub",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q21_waiting_supplier_agg",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q20_potential_promotion",
+    "similarity_range_search",
+    "similarity_knn_label_vote",
+    "pipeline_dataset_card",
+    "agg_key_skew_report",
+    "dedup_substring_spans",
+    "events_json_variant",
+    "events_session_window_builtin",
+    "events_sliding_distinct_users",
+    "events_zorder_key",
+    "graph_degree_stats",
+    "graph_pagerank_purchases",
+    "join_bloom_pruned_semi",
+    "join_fuzzy_ed1",
+    "migration_schema_audit",
+    "multimodal_resize",
+    "pipeline_incremental_dedup",
+    "text_char_entropy",
+    "text_gopher_rules",
+    "text_heavy_hitters",
+    "text_source_stats",
+    "window_ewma_dyadic",
+    "window_time_range_frame",
+    "migration_column_profile",
+    "setop_except_distinct",
+    "setop_intersect_all",
+    "text_bpe_merge_step",
     "events_anomaly_salted",
     "q15_top_supplier",
     "streaming_run_funnel_join_left",
@@ -194,32 +235,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pivot_status_priority",
     "unpivot_part_metrics",
     "agg_grouping_sets",
-    "similarity_range_search",
-    "similarity_knn_label_vote",
-    "pipeline_dataset_card",
-    "agg_key_skew_report",
-    "dedup_substring_spans",
-    "events_json_variant",
-    "events_session_window_builtin",
-    "events_sliding_distinct_users",
-    "events_zorder_key",
-    "graph_degree_stats",
-    "graph_pagerank_purchases",
-    "join_bloom_pruned_semi",
-    "join_fuzzy_ed1",
-    "migration_schema_audit",
-    "multimodal_resize",
-    "pipeline_incremental_dedup",
-    "text_char_entropy",
-    "text_gopher_rules",
-    "text_heavy_hitters",
-    "text_source_stats",
-    "window_ewma_dyadic",
-    "window_time_range_frame",
-    "migration_column_profile",
-    "setop_except_distinct",
-    "setop_intersect_all",
-    "text_bpe_merge_step",
     "migration_scd2_history",
     "pipeline_sample_per_group",
     "events_sliding_distinct_approx",
@@ -237,30 +252,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "streaming_run_ewma",
     "events_incremental_rollup",
     "events_cusum_changepoint",
-    "pipeline_train_val_split",
-    "pipeline_global_shuffle",
-    "pipeline_end_to_end",
-    "events_asof_join",
-    "events_asof_join_salted",
-    "events_hypertable_rollup",
-    "migration_cdc_apply",
-    "text_pii_scrub",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q21_waiting_supplier_agg",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q20_potential_promotion",
 )
 
 

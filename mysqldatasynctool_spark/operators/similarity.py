@@ -2235,6 +2235,12 @@ def load_trained_index(spark: SparkSession, path: str) -> int:
         if kind == "ivf":
             rs.sort(key=lambda r: r.pos)
             _TRAINED_CENTS[ck] = [(int(r.cid), list(r.vec)) for r in rs]
+            # the trained cell count IS len(centroids): restore the
+            # budget primitive here too (r15 advice — previously only
+            # load_index_frames populated it, so a dicts-only load
+            # still raised in ivfpq_probes_for despite the error
+            # message suggesting an artifact load as the fix)
+            _EFFECTIVE_NCELLS[ck_s] = len(rs)
         else:
             blocks: dict[int, list] = {}
             for r in rs:
@@ -2341,6 +2347,48 @@ def _codes_read_schema() -> str:
     )
 
 
+def _validate_frames_meta(spark: SparkSession, path: str):
+    """Read + GATE a ``save_index_frames`` meta block: exactly one
+    row, version/knob match, cell-partitioned layout (n_cells), and
+    the artifact's assigned probe count equal to what the CURRENT
+    policy derives from its own n_cells. Shared by
+    ``load_index_frames`` and ``ivfpq_search_artifact`` (r15 advice:
+    the serving path read meta WITHOUT these gates, so a
+    stale-policy/stale-version artifact served directly would
+    silently use budgets the current policy derives from its
+    n_cells). Returns the validated meta Row."""
+    metas = spark.read.parquet(f"{path}/meta").collect()
+    if len(metas) != 1:
+        raise ValueError(
+            f"frame artifact at {path!r} has {len(metas)} meta rows — "
+            "expected exactly 1; rebuild with save_index_frames"
+        )
+    m = metas[0]
+    ver = _index_version()
+    if m.version != ver or "n_cells" not in m.asDict() or m.blocks != PQ_BLOCKS:
+        raise ValueError(
+            "index-frame artifact mismatch: "
+            f"artifact (version={getattr(m, 'version', None)!r}, "
+            f"blocks={getattr(m, 'blocks', None)}, "
+            f"meta columns={sorted(m.asDict())}) vs current "
+            f"(version={ver!r}, blocks={PQ_BLOCKS}, cell-partitioned "
+            "layout with n_cells) — retrain or rebuild the artifact"
+        )
+    # knob gate under the r15 DERIVED probe policy: the expected probe
+    # count is recomputed from the artifact's OWN trained cell count —
+    # stale-policy artifacts still refuse loudly, and the gate needs
+    # no retraining to evaluate (the whole point of the artifact)
+    expected = _ivfpq_probes(int(m.n_cells))
+    if int(m.probes) != expected:
+        raise ValueError(
+            "index-frame artifact probe-policy mismatch: artifact "
+            f"assigned with probes={int(m.probes)} but the current "
+            f"policy derives probes={expected} from its n_cells="
+            f"{int(m.n_cells)} — rebuild the artifact"
+        )
+    return m
+
+
 def read_index_cells(spark: SparkSession, path: str, cells: list) -> dict:
     """PROBE-PRUNED read of a ``save_index_frames`` artifact: return
     the assign/codes frames RESTRICTED to ``cells`` (a query's probed
@@ -2400,10 +2448,7 @@ def ivfpq_search_artifact(
     100 TB: the probed-cell read is O(probes/n_cells) of the index;
     the ADC scan is linear in those cells' vectors; the re-rank is
     O(shortlist). Nothing corpus-sized reaches the driver."""
-    metas = spark.read.parquet(f"{path}/meta").collect()
-    if len(metas) != 1:
-        raise ValueError(f"bad frame artifact at {path!r}: {len(metas)} meta rows")
-    m = metas[0]
+    m = _validate_frames_meta(spark, path)
     cents = _TRAINED_CENTS.get((m.sf_dir, LLOYD_ITERS))
     cb = _TRAINED_CB.get((m.sf_dir, CB_LLOYD_ITERS))
     if cents is None or cb is None:
@@ -2436,22 +2481,33 @@ def ivfpq_search_artifact(
 
     frames = read_index_cells(spark, path, cells)
     nv = [x / qnorm for x in qv]
-    # ADC distance table per block as literal lookup maps (≤256
-    # entries each): d2 = qb·qb + c·c − 2·qb·c with sequential folds,
-    # summed left-associated across blocks like the operator
-    adc = None
-    cand = frames["codes"]
+    # ADC distance table as a BROADCAST frame joined per block — the
+    # same physical shape as the registry operator's multi-query path
+    # (r15 verdict: the previous 2048-literal create_map plan tree was
+    # fine at 8×256 but its analysis cost grows with the codebook;
+    # a broadcast hash join's plan size is constant). Driver-side d2
+    # stays the sequential-fold qb·qb + c·c − 2·qb·c decomposition;
+    # the per-row ADC total is the left-associated block sum, so the
+    # shortlist boundary is bit-identical to the literal-map form.
+    dt_rows = []
     for b, (ids, mat) in enumerate(cb):
         qb = nv[b * PQ_BLOCK_DIM : (b + 1) * PQ_BLOCK_DIM]
         qq = _seq_dot(qb, qb)
-        entries = []
         for k in range(len(ids)):
             c = [float(x) for x in mat[k]]
             d2 = qq + _seq_dot(c, c) - 2.0 * _seq_dot(qb, c)
-            entries.extend([F.lit(int(ids[k])), F.lit(d2)])
-        dmap = F.create_map(*entries)
-        term = dmap[F.col(f"code{b}")]
-        adc = term if adc is None else adc + term
+            dt_rows.append((b, int(ids[k]), d2))
+    dtab = spark.createDataFrame(dt_rows, "block int, cid long, d2 double")
+    cand = frames["codes"]
+    adc = None
+    for b in range(PQ_BLOCKS):
+        db = F.broadcast(
+            dtab.filter(F.col("block") == b).select(
+                F.col("cid").alias(f"code{b}"), F.col("d2").alias(f"d2_{b}")
+            )
+        )
+        cand = cand.join(db, f"code{b}")
+        adc = F.col(f"d2_{b}") if adc is None else adc + F.col(f"d2_{b}")
     cand = cand.select("vec_id", adc.alias("adc"))
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != int(exclude_id))
@@ -2486,35 +2542,7 @@ def load_index_frames(spark: SparkSession, path: str) -> dict:
     the frames the training path builds, so the next
     ``similarity_ivfpq_topk`` call reuses them and runs zero
     assignment/encode scans."""
-    metas = spark.read.parquet(f"{path}/meta").collect()
-    if len(metas) != 1:
-        raise ValueError(
-            f"frame artifact at {path!r} has {len(metas)} meta rows — "
-            "expected exactly 1; rebuild with save_index_frames"
-        )
-    m = metas[0]
-    ver = _index_version()
-    if m.version != ver or "n_cells" not in m.asDict() or m.blocks != PQ_BLOCKS:
-        raise ValueError(
-            "index-frame artifact mismatch: "
-            f"artifact (version={getattr(m, 'version', None)!r}, "
-            f"blocks={getattr(m, 'blocks', None)}, "
-            f"meta columns={sorted(m.asDict())}) vs current "
-            f"(version={ver!r}, blocks={PQ_BLOCKS}, cell-partitioned "
-            "layout with n_cells) — retrain or rebuild the artifact"
-        )
-    # knob gate under the r15 DERIVED probe policy: the expected probe
-    # count is recomputed from the artifact's OWN trained cell count —
-    # stale-policy artifacts still refuse loudly, and the gate needs
-    # no retraining to evaluate (the whole point of the artifact)
-    expected = _ivfpq_probes(int(m.n_cells))
-    if int(m.probes) != expected:
-        raise ValueError(
-            "index-frame artifact probe-policy mismatch: artifact "
-            f"assigned with probes={int(m.probes)} but the current "
-            f"policy derives probes={expected} from its n_cells="
-            f"{int(m.n_cells)} — rebuild the artifact"
-        )
+    m = _validate_frames_meta(spark, path)
     pkey = (m.sf_dir, int(m.probes))
     ckey = (m.sf_dir, "pq_codes")
     # release any stale in-process frames for the keys before replacing

@@ -65,9 +65,31 @@ def test_size_state_partitions_model():
     assert size_state_partitions(10_000_000_000) == 512  # cap
     vals = [size_state_partitions(n) for n in (0, 10**5, 10**6, 10**7, 10**8)]
     assert vals == sorted(vals)
+    # half-UP at exact .5 boundaries (r15 advice: Python round() is
+    # banker's and would tie 62,500 rows -> 2.5 -> 2, not 3)
+    assert size_state_partitions(62_500) == 3
+    assert size_state_partitions(87_500) == 4  # 3.5 -> 4
+    # production signal (r15 verdict item 5): rows_per_trigger
+    # REPLACES corpus size when the stream is rate-limited — a 1 B-row
+    # corpus drained at 250 k rows/trigger sizes for the trigger
+    # (250k/25k = 10), not the corpus (cap-clamped 512)
+    assert size_state_partitions(1_000_000_000) == 512
+    assert (
+        size_state_partitions(1_000_000_000, rows_per_trigger=250_000) == 10
+    )
+    assert (
+        size_state_partitions(100, rows_per_trigger=250_000, outer=True)
+        == 20
+    )
     # the footer-metadata row counter agrees with the fixtures
     assert parquet_input_rows("/root/testdata/sf0.1") == 100_000
     assert parquet_input_rows(SF_SMALL) == 1_000
+    # a missing table must raise, never silently sum every table in
+    # the directory (r15 advice)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        parquet_input_rows("/root/testdata/sf0.1", table="no_such_table")
 
 
 def test_ivfpq_probe_policy():
@@ -205,10 +227,57 @@ def test_ivfpq_search_artifact_matches_registry(spark, tmp_path):
         for r in emb.filter(emb.vec_id.isin([int(q) for q in qids])).collect()
     }
     for qid in qids:
-        got = [
-            (r.neighbor_id, r.cosine, r.rank)
-            for r in S.ivfpq_search_artifact(
-                spark, path, vecs[qid], exclude_id=qid
-            ).collect()
-        ]
+        served = S.ivfpq_search_artifact(spark, path, vecs[qid], exclude_id=qid)
+        got = [(r.neighbor_id, r.cosine, r.rank) for r in served.collect()]
         assert got == full[qid], f"qid {qid}: {got} != {full[qid]}"
+    # the ADC table rides broadcast hash joins, not a literal map
+    # whose plan tree grows with the codebook (r15 verdict item 4)
+    plan = _plan(spark, served, "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "map_from" not in plan and "keys: [" not in plan
+
+
+def test_ivfpq_search_artifact_refuses_stale_meta(spark, tmp_path):
+    """The serving path must apply the SAME meta gates as
+    load_index_frames (r15 advice): a stale-policy artifact served
+    directly would silently use budgets derived under the current
+    policy from its n_cells."""
+    import pytest as _pytest
+
+    from tests.conftest import SF_SMALL
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    S.similarity_ivfpq_topk(spark, SF_SMALL).count()
+    path = str(tmp_path / "frames_serve_stale")
+    S.save_index_frames(spark, path, SF_SMALL)
+    metas = spark.read.parquet(f"{path}/meta").collect()
+    m = metas[0]
+    forged = spark.createDataFrame(
+        [(m.version, m.sf_dir, int(m.probes) + 1, m.blocks, m.n_cells)],
+        "version string, sf_dir string, probes int, blocks int, n_cells int",
+    )
+    forged.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    with _pytest.raises(ValueError, match="probe-policy mismatch"):
+        S.ivfpq_search_artifact(spark, path, [0.0] * 32)
+
+
+def test_load_trained_index_restores_probe_budgets(spark, tmp_path):
+    """load_trained_index alone must restore _EFFECTIVE_NCELLS (r15
+    advice: ivfpq_probes_for's error message promised 'load an
+    artifact' but only load_index_frames populated it)."""
+    from tests.conftest import SF_SMALL
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    S.similarity_ivfpq_topk(spark, SF_SMALL).count()
+    probes = S.ivfpq_probes_for(SF_SMALL)
+    path = str(tmp_path / "trained_dicts")
+    S.save_trained_index(spark, path)
+    S.reset_trained_state()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no trained index state"):
+        S.ivfpq_probes_for(SF_SMALL)
+    S.load_trained_index(spark, path)
+    assert S.ivfpq_probes_for(SF_SMALL) == probes

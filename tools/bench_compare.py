@@ -97,6 +97,8 @@ def main() -> int:
     # box before reading any per-query ratio as a plan change
     probes_new: dict[str, float] = {}
     probe_med = None
+    io_probes_new: dict[str, float] = {}
+    io_probe_med = None
     try:
         new_rec = json.load(open(new_path))
         probes_new = new_rec.get("probe_by_query") or {}
@@ -124,6 +126,36 @@ def main() -> int:
             print(
                 f"cpu probe (64 MiB md5): {ro:.3f}s -> {rn:.3f}s "
                 f"({(rn / ro - 1) * 100:+.1f}% box-speed shift)"
+            )
+        # disk-speed bracket (r16+ records carry io_probe): the r15
+        # drift hid here — I/O-heavy entries slowed 30-50% while the
+        # CPU probe stayed flat. Records from before r16 simply skip
+        # the line (field absent), keeping old-vs-new comparisons
+        # readable.
+        io_o = old_rec.get("io_probe")
+        io_n = new_rec.get("io_probe")
+        if io_n:
+            if io_o:
+                ro = (io_o["start"] + io_o["end"]) / 2
+                rn = (io_n["start"] + io_n["end"]) / 2
+                print(
+                    f"io probe (16 fsync + cold 16 MiB read): "
+                    f"{ro:.3f}s -> {rn:.3f}s "
+                    f"({(rn / ro - 1) * 100:+.1f}% disk-speed shift)"
+                )
+            else:
+                print(
+                    "io probe (new record only): "
+                    f"start {io_n['start']:.3f}s end {io_n['end']:.3f}s"
+                    " — no old-record bracket to compare"
+                )
+        io_probes_new = new_rec.get("io_probe_by_query") or {}
+        io_probe_med = None
+        if io_probes_new:
+            vals = sorted(io_probes_new.values())
+            m = len(vals) // 2
+            io_probe_med = (
+                vals[m] if len(vals) % 2 else (vals[m - 1] + vals[m]) / 2
             )
     except Exception:  # noqa: BLE001 — context line is additive
         pass
@@ -163,6 +195,17 @@ def main() -> int:
             and probes_new.get(k, 0) > 1.33 * probe_med
         ):
             flag += f" [box burst during sample: probe {probes_new[k]:.3f}s vs median {probe_med:.3f}s]"
+        # same attribution for the DISK channel — the one the CPU
+        # probe is blind to (r15's entire drift was this shape)
+        if (
+            regressed
+            and io_probe_med
+            and io_probes_new.get(k, 0) > 1.5 * io_probe_med
+        ):
+            flag += (
+                f" [disk burst during sample: io probe "
+                f"{io_probes_new[k]:.3f}s vs median {io_probe_med:.3f}s]"
+            )
         # the CPU probe cannot see I/O-side bursts; the run arrays can:
         # if the new record's BEST run still lands inside the old
         # record's observed band, the plan still reaches its old speed
