@@ -1,0 +1,43 @@
+"""Round-16 units: the bench I/O probe (the disk-side twin of
+_cpu_probe that closes the r15 drift-attribution gap) and the record
+fields it feeds."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_io_probe_fixed_work_and_cleanup():
+    """The probe must return a positive sub-second wall for its fixed
+    work (16 fsyncs + one cold 16 MiB read), reuse one scratch file
+    per process, and register its removal."""
+    import bench
+
+    p1 = bench._io_probe_file()
+    assert os.path.isfile(p1)
+    assert os.path.getsize(p1) == 16 * (1 << 20)
+    assert bench._io_probe_file() == p1  # one file per process
+    samples = [bench._io_probe_once() for _ in range(3)]
+    assert all(0 < s < 5.0 for s in samples), samples
+    med = bench._io_probe()
+    assert 0 < med < 5.0
+    # the scratch file survives between samples (it is the fixed
+    # workload, not a per-sample temp)
+    assert os.path.isfile(p1)
+
+
+def test_bench_record_drops_transition_field():
+    """`value_old_stat_definition` was scheduled to drop after r15
+    (its own comment said so); the builder source must no longer emit
+    it, and bench_compare must keep reading records that carry it."""
+    src = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+        if "__file__" in globals()
+        else "bench.py"
+    ).read()
+    assert '"value_old_stat_definition"' not in src
+    # io probe fields ARE emitted
+    assert '"io_probe"' in src and '"io_probe_by_query"' in src
