@@ -128,9 +128,18 @@ def build_stress_corpus(
         }
     )
     out_dir = tempfile.mkdtemp(prefix=f"ann_stress_{factor}x_")
+    # bounded row groups (r16): pyarrow's default writes ONE row group
+    # for any corpus under ~1 Mi rows, and Spark assigns a whole row
+    # group to the single split containing its start — so every corpus
+    # scan in the stressed operators (each Lloyd iteration, each
+    # assignment pass) ran as ONE task while 31 cores idled. Measured
+    # at ×300 (600 k vectors) as ~10-minute single-task straggler
+    # stages. 20 k-row groups give ~N/20k independently readable
+    # chunks — the multi-file layout any real corpus has.
     pq.write_table(
         pa.Table.from_pandas(pdf, preserve_index=False),
         os.path.join(out_dir, "embeddings.parquet"),
+        row_group_size=20_000,
     )
     return out_dir, truth
 

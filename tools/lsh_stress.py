@@ -126,9 +126,14 @@ def build_stress_corpus(
     pdf["doc_id"] = pdf["doc_id"].astype("int64")
 
     out_dir = tempfile.mkdtemp(prefix=f"lsh_stress_{factor}x_")
+    # bounded row groups (r16, same fix as ann_stress): a single row
+    # group makes every corpus scan single-task in Spark; 20 k-row
+    # groups restore the parallel-read shape a real multi-file corpus
+    # has.
     pq.write_table(
         pa.Table.from_pandas(pdf, preserve_index=False),
         os.path.join(out_dir, "documents.parquet"),
+        row_group_size=20_000,
     )
     return out_dir, planted
 
