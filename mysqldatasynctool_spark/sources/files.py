@@ -173,3 +173,59 @@ def rollback_versioned(root: str, version: int) -> None:
     with os.fdopen(fd, "w") as f:
         json.dump({"current": version}, f)
     os.replace(tmp, os.path.join(root, _MANIFEST))
+
+
+def parquet_scan_parallelism(path: str, target_parallelism: int = 32) -> dict:
+    """Preflight layout probe: the MAXIMUM number of tasks a Spark
+    parquet scan of ``path`` can fan out to, from file FOOTERS only
+    (pyarrow metadata — no Spark job, no data read).
+
+    Spark splits parquet by byte ranges (``maxPartitionBytes``), but a
+    ROW GROUP is the atomic read unit: each row group is processed by
+    the one split containing its start offset, so scan parallelism is
+    bounded by the TOTAL ROW-GROUP COUNT no matter how many executors
+    the cluster has. A "few huge row groups" layout therefore caps a
+    1000-executor scan at a handful of tasks — measured in this repo
+    at the r16 ANN stress, where a single-row-group 600 k-vector
+    corpus serialized every training scan onto ONE task of 32
+    (walls dropped 5-13× after rewriting with bounded row groups).
+    This probe is the preflight a scheduler runs before sizing a job
+    on an unfamiliar dataset; at 100 TB it reads only KB-scale
+    footers per file.
+
+    Accepts a single ``.parquet`` file or a directory of part files.
+    Returns ``{files, row_groups, rows, bytes, max_scan_tasks,
+    bounded}`` where ``max_scan_tasks = row_groups`` and ``bounded``
+    flags a layout that cannot feed ``target_parallelism`` tasks.
+    Raises FileNotFoundError for a missing/empty path (a sizing probe
+    must not guess)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        files = [path]
+    elif os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = []
+    if not files:
+        raise FileNotFoundError(f"no parquet data at {path!r}")
+    n_groups = n_rows = n_bytes = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        n_groups += meta.num_row_groups
+        n_rows += meta.num_rows
+        n_bytes += os.path.getsize(f)
+    return {
+        "files": len(files),
+        "row_groups": n_groups,
+        "rows": n_rows,
+        "bytes": n_bytes,
+        "max_scan_tasks": n_groups,
+        "bounded": n_groups < target_parallelism,
+    }

@@ -29,6 +29,37 @@ def test_io_probe_fixed_work_and_cleanup():
     assert os.path.isfile(p1)
 
 
+def test_parquet_scan_parallelism_probe(tmp_path):
+    """The footer-only layout probe must report row groups as the
+    scan-parallelism bound (the r16 stress finding: one row group =
+    one task regardless of cluster size), sum across part files, and
+    refuse a missing path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from mysqldatasynctool_spark.sources.files import parquet_scan_parallelism
+
+    # the sf0.1 fixture is a known single-row-group file
+    rep = parquet_scan_parallelism("/root/testdata/sf0.1/lineitem.parquet")
+    assert rep["row_groups"] == rep["max_scan_tasks"] == 1
+    assert rep["rows"] == 600_000 and rep["bounded"]
+
+    # a bounded-row-group write multiplies max_scan_tasks
+    t = pa.table({"x": list(range(10_000))})
+    d = tmp_path / "multi.parquet"
+    d.mkdir()
+    pq.write_table(t, str(d / "part-0.parquet"), row_group_size=1_000)
+    pq.write_table(t, str(d / "part-1.parquet"), row_group_size=1_000)
+    rep = parquet_scan_parallelism(str(d), target_parallelism=16)
+    assert rep["files"] == 2
+    assert rep["row_groups"] == rep["max_scan_tasks"] == 20
+    assert rep["rows"] == 20_000 and not rep["bounded"]
+
+    with _pytest.raises(FileNotFoundError):
+        parquet_scan_parallelism(str(tmp_path / "nope"))
+
+
 def test_bench_record_drops_transition_field():
     """`value_old_stat_definition` was scheduled to drop after r15
     (its own comment said so); the builder source must no longer emit
