@@ -785,6 +785,12 @@ def compact_bench_line(out: dict, timings: dict, failed: dict) -> str:
         "query_stat": out["query_stat"],
         "record": f"BENCH_LOCAL_r{_current_round():02d}.json",
     }
+    # box-speed brackets travel with the truncated driver tail too
+    # (r16): a cross-round total delta in BENCH_r{N}.json is then
+    # attributable (box vs plans) without the full committed record
+    for probe in ("cpu_probe", "io_probe"):
+        if out.get(probe):
+            compact[probe] = out[probe]
     if failed:
         compact["n_failed"] = len(failed)
     line = json.dumps(compact, separators=(",", ":"))
