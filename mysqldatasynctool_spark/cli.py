@@ -264,6 +264,31 @@ def cmd_version(_args) -> int:
     return 0
 
 
+def cmd_layout_probe(args) -> int:
+    """Footer-only parquet layout preflight (no Spark session): prints
+    the scan-parallelism report for each path — row groups are the
+    atomic parquet read unit, so ``max_scan_tasks`` is the hard upper
+    bound on how many tasks ANY cluster can fan the scan out to. Run
+    this before sizing a job on an unfamiliar dataset; a ``bounded:
+    true`` row means the layout (not the cluster) caps throughput."""
+    import json as _json
+
+    from .sources.files import parquet_scan_parallelism
+
+    rc = 0
+    for path in args.paths:
+        try:
+            rep = parquet_scan_parallelism(
+                path, target_parallelism=args.target_parallelism
+            )
+        except FileNotFoundError as exc:
+            print(_json.dumps({"path": path, "error": str(exc)}))
+            rc = 2
+            continue
+        print(_json.dumps({"path": path, **rep}))
+    return rc
+
+
 def cmd_query(args) -> int:
     """Run one registered analytic query by name — the CLI face of the
     full operator registry (``collect_registry()``), so the engine's
@@ -467,6 +492,19 @@ def main(argv: list[str] | None = None) -> int:
         "corpus-proportional size). load picks PATH.frames up "
         "automatically when present.",
     )
+    pl = sub.add_parser(
+        "layoutProbe",
+        help="footer-only parquet scan-parallelism preflight "
+        "(row groups bound scan tasks; no Spark session)",
+    )
+    pl.add_argument("paths", nargs="+", help="parquet file(s) or dir(s)")
+    pl.add_argument(
+        "--target-parallelism",
+        type=int,
+        default=32,
+        help="tasks the job would like to run; 'bounded' flags layouts "
+        "that cannot feed it",
+    )
     sub.add_parser("version", help="print version")
 
     for sp in (pm, pc, pt):
@@ -488,6 +526,7 @@ def main(argv: list[str] | None = None) -> int:
         "createTable": cmd_create_table,
         "query": cmd_query,
         "annIndex": cmd_ann_index,
+        "layoutProbe": cmd_layout_probe,
         "version": cmd_version,
     }[args.command](args)
 

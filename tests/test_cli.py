@@ -232,3 +232,26 @@ def test_cli_ann_index_smoke_refuses_mismatched_sf_dir(spark, tmp_path, capsys):
     assert "not among the artifact's trained datasets" in captured.err
     # the refusal fired BEFORE any retraining happened for `other`
     assert not any(k[0] == other for k in S._TRAINED_CENTS)
+
+
+def test_cli_layout_probe(capsys, tmp_path):
+    """layoutProbe prints one JSON report per path (footer-only, no
+    Spark) and exits 2 when any path has no parquet data."""
+    import json as _json
+
+    rc = main(
+        [
+            "layoutProbe",
+            "/root/testdata/sf0.001/lineitem.parquet",
+            "--target-parallelism",
+            "4",
+        ]
+    )
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["row_groups"] == rep["max_scan_tasks"] >= 1
+    assert rep["rows"] > 0 and rep["bounded"] in (True, False)
+
+    rc = main(["layoutProbe", str(tmp_path / "missing")])
+    assert rc == 2
+    assert "error" in capsys.readouterr().out
