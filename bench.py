@@ -123,7 +123,7 @@ def _cpu_probe_once() -> float:
     return round(time.monotonic() - t0, 4)
 
 
-#: probe-owned 4 MiB scratch file for the cold-read leg — deliberately
+#: probe-owned 16 MiB scratch file for the cold-read leg — deliberately
 #: NOT a fixture file: evicting lineitem.parquet from page cache to
 #: measure it would slow the very queries the probe is calibrating.
 _IO_PROBE_PATH: str | None = None
@@ -131,15 +131,22 @@ _IO_PROBE_PATH: str | None = None
 
 def _io_probe_file() -> str:
     """Create (once per process) the probe's own 16 MiB scratch file
-    on the workload disk (one device backs /, /tmp and /root/testdata
-    on this box), fsync'd so a page-cache eviction forces a real
-    device read. Removed at exit."""
+    ON THE WORKLOAD DISK — in the repo directory, not
+    tempfile.gettempdir(): on many hosts /tmp is tmpfs, where fsync
+    is a no-op and the "cold read" measures RAM, silently voiding the
+    drift-attribution evidence this probe exists to provide. The repo
+    dir is where spark-warehouse/derby/local records live, so it is
+    the device the workload actually writes. fsync'd so a page-cache
+    eviction forces a real device read. Removed at exit."""
     global _IO_PROBE_PATH
     if _IO_PROBE_PATH is None:
         import atexit
         import tempfile
 
-        fd, path = tempfile.mkstemp(prefix="bench_io_probe_", suffix=".bin")
+        here = os.path.dirname(os.path.abspath(__file__))
+        fd, path = tempfile.mkstemp(
+            prefix=".bench_io_probe_", suffix=".bin", dir=here
+        )
         blob = bytes(range(256)) * 4096  # 1 MiB
         with os.fdopen(fd, "wb") as f:
             for _ in range(16):
@@ -167,7 +174,7 @@ def _io_probe_once() -> float:
             f.seek(0)
             f.write(chunk)
             os.fsync(f.fileno())
-        # evict, then force a real device read of the full 4 MiB
+        # evict, then force a real device read of the full 16 MiB
         os.posix_fadvise(f.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
         f.seek(0)
         while f.read(1 << 20):

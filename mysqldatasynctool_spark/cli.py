@@ -281,8 +281,15 @@ def cmd_layout_probe(args) -> int:
             rep = parquet_scan_parallelism(
                 path, target_parallelism=args.target_parallelism
             )
-        except FileNotFoundError as exc:
-            print(_json.dumps({"path": path, "error": str(exc)}))
+        except Exception as exc:  # noqa: BLE001 — per-path report
+            # a corrupt/non-parquet file must cost its own error ROW
+            # (pyarrow raises ArrowInvalid, not FileNotFoundError),
+            # never the remaining paths or the JSON-per-line contract
+            print(
+                _json.dumps(
+                    {"path": path, "error": f"{type(exc).__name__}: {exc}"}
+                )
+            )
             rc = 2
             continue
         print(_json.dumps({"path": path, **rep}))

@@ -193,12 +193,15 @@ def parquet_scan_parallelism(path: str, target_parallelism: int = 32) -> dict:
     on an unfamiliar dataset; at 100 TB it reads only KB-scale
     footers per file.
 
-    Accepts a single ``.parquet`` file or a directory of part files.
-    Returns ``{files, row_groups, rows, bytes, max_scan_tasks,
-    bounded}`` where ``max_scan_tasks = row_groups`` and ``bounded``
-    flags a layout that cannot feed ``target_parallelism`` tasks.
-    Raises FileNotFoundError for a missing/empty path (a sizing probe
-    must not guess)."""
+    Accepts a single ``.parquet`` file or a directory tree — the walk
+    is RECURSIVE, so hive-partitioned layouts (``cell=3/part-0.
+    parquet``, ``date=.../...``) like this repo's own cell-partitioned
+    index artifact are probed, not rejected. Returns ``{files,
+    row_groups, rows, bytes, max_scan_tasks, bounded}`` where
+    ``max_scan_tasks = row_groups`` and ``bounded`` flags a layout
+    that cannot feed ``target_parallelism`` tasks. Raises
+    FileNotFoundError for a missing/empty path (a sizing probe must
+    not guess)."""
     import os
 
     import pyarrow.parquet as pq
@@ -207,8 +210,9 @@ def parquet_scan_parallelism(path: str, target_parallelism: int = 32) -> dict:
         files = [path]
     elif os.path.isdir(path):
         files = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(path)
+            for f in names
             if f.endswith(".parquet")
         )
     else:

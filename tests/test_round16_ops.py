@@ -56,6 +56,15 @@ def test_parquet_scan_parallelism_probe(tmp_path):
     assert rep["row_groups"] == rep["max_scan_tasks"] == 20
     assert rep["rows"] == 20_000 and not rep["bounded"]
 
+    # hive-partitioned trees are walked recursively (the repo's own
+    # cell-partitioned index artifact is exactly this shape)
+    h = tmp_path / "hive.parquet"
+    for c in (0, 1, 2):
+        (h / f"cell={c}").mkdir(parents=True)
+        pq.write_table(t, str(h / f"cell={c}" / "part-0.parquet"))
+    rep = parquet_scan_parallelism(str(h))
+    assert rep["files"] == 3 and rep["rows"] == 30_000
+
     with _pytest.raises(FileNotFoundError):
         parquet_scan_parallelism(str(tmp_path / "nope"))
 

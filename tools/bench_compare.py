@@ -110,6 +110,16 @@ def main() -> int:
             probe_med = (
                 vals[m] if len(vals) % 2 else (vals[m - 1] + vals[m]) / 2
             )
+        # NEW-record io extraction lives ABOVE old-record parsing for
+        # the same reason probes_new does: a malformed OLD record must
+        # not swallow the new record's disk-burst evidence
+        io_probes_new = new_rec.get("io_probe_by_query") or {}
+        if io_probes_new:
+            vals = sorted(io_probes_new.values())
+            m = len(vals) // 2
+            io_probe_med = (
+                vals[m] if len(vals) % 2 else (vals[m - 1] + vals[m]) / 2
+            )
         old_rec = json.load(open(old_path))
         so = old_rec.get("query_stat", "min_of_runs(pre-r12)")
         sn = new_rec.get("query_stat", "min_of_runs(pre-r12)")
@@ -149,14 +159,6 @@ def main() -> int:
                     f"start {io_n['start']:.3f}s end {io_n['end']:.3f}s"
                     " — no old-record bracket to compare"
                 )
-        io_probes_new = new_rec.get("io_probe_by_query") or {}
-        io_probe_med = None
-        if io_probes_new:
-            vals = sorted(io_probes_new.values())
-            m = len(vals) // 2
-            io_probe_med = (
-                vals[m] if len(vals) % 2 else (vals[m - 1] + vals[m]) / 2
-            )
     except Exception:  # noqa: BLE001 — context line is additive
         pass
     common = sorted(set(old_q) & set(new_q))
