@@ -60,14 +60,31 @@ def build_skewed_events(n_rows: int, hot_share: float, seed: int = 8) -> str:
         }
     )
     out_dir = tempfile.mkdtemp(prefix="anomaly_skew_")
+    # bounded row groups (r16, same fix as ann/lsh_stress): pyarrow's
+    # 1 Mi-row default gave this 4 M-row corpus only 4 row groups =
+    # 4 scan tasks on a 32-core box. Both variants shared the layout,
+    # so the r15 RELATIVE salting win stands; absolute walls were
+    # scan-bounded.
     pq.write_table(
         pa.Table.from_pandas(pdf, preserve_index=False),
         os.path.join(out_dir, "events.parquet"),
+        row_group_size=100_000,
     )
     return out_dir
 
 
-def run_stress(spark, n_rows: int = 2_000_000, hot_share: float = 0.30, seed: int = 8) -> dict:
+def run_stress(
+    spark,
+    n_rows: int = 2_000_000,
+    hot_share: float = 0.30,
+    seed: int = 8,
+    runs: int = 1,
+) -> dict:
+    """``runs`` > 1 reports the MEDIAN wall per variant with the raw
+    samples alongside (r16: single-sample walls on the sandbox box
+    swing ±3× under disk bursts — one 4M/60% pair read 0.87× and its
+    identical re-run 6.0×; a median-of-3 is the same discipline
+    bench.py adopted in r11 for the same reason)."""
     from mysqldatasynctool_spark.operators.events import (
         events_anomaly_salted,
         events_anomaly_zscore,
@@ -82,13 +99,21 @@ def run_stress(spark, n_rows: int = 2_000_000, hot_share: float = 0.30, seed: in
         }
         walls: dict = {}
         counts: dict = {}
+        all_runs: dict = {}
         for name, fn in (
             ("unsalted", events_anomaly_zscore),
             ("salted", events_anomaly_salted),
         ):
-            t0 = time.monotonic()
-            counts[name] = fn(spark, out_dir).count()
-            walls[name] = round(time.monotonic() - t0, 3)
+            samples = []
+            for _ in range(max(1, runs)):
+                t0 = time.monotonic()
+                counts[name] = fn(spark, out_dir).count()
+                samples.append(round(time.monotonic() - t0, 3))
+            s = sorted(samples)
+            m = len(s) // 2
+            walls[name] = s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
+            all_runs[name] = samples
+        report["runs"] = all_runs
         # identity on the skewed corpus, not just the fixture: compare
         # result hashes via a full subtract both ways (cheap relative
         # to the windows themselves)
@@ -115,9 +140,10 @@ def main() -> int:
 
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     hot_share = float(sys.argv[2]) if len(sys.argv) > 2 else 0.30
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     spark = get_spark(app_name="anomaly_skew_stress")
     spark.sparkContext.setLogLevel("ERROR")
-    report = run_stress(spark, n_rows=n_rows, hot_share=hot_share)
+    report = run_stress(spark, n_rows=n_rows, hot_share=hot_share, runs=runs)
     print("ANOMALY_SKEW_JSON: " + json.dumps(report, sort_keys=True))
     return 0 if report["result_identical"] else 1
 
