@@ -158,6 +158,16 @@ def _io_probe_file() -> str:
     return _IO_PROBE_PATH
 
 
+#: every `_io_probe_once` sample taken this process, in order — the
+#: running MEDIAN is the run's typical probe level (see
+#: `io_probe_baseline`) and is the baseline `select_unburst_runs`
+#: rejects against. On a uniformly degraded box every sample is high,
+#: the median is high, no run is rejected, and the run-level io_probe
+#: bracket carries the cross-round attribution instead — exactly the
+#: division of labor the r16 replay adjudication established.
+_IO_SAMPLES: list[float] = []
+
+
 def _io_probe_once() -> float:
     """One fixed-work DISK sample (~0.02-0.05 s idle on this box):
     16 × (64 KiB write + fsync) — the latency class that bounds
@@ -165,7 +175,10 @@ def _io_probe_once() -> float:
     COLD 16 MiB read (page cache dropped via posix_fadvise DONTNEED
     first), the class that bounds scan-heavy queries when the cache
     is under pressure. One number per sample: the sum of both legs'
-    wall time."""
+    wall time. posix_fadvise is Linux-only (r16 advice): elsewhere
+    the eviction is skipped and the read leg measures the page cache
+    — the probe stays comparable within a run, just not across OSes.
+    """
     path = _io_probe_file()
     chunk = bytes(range(256)) * 256  # 64 KiB
     t0 = time.monotonic()
@@ -175,11 +188,73 @@ def _io_probe_once() -> float:
             f.write(chunk)
             os.fsync(f.fileno())
         # evict, then force a real device read of the full 16 MiB
-        os.posix_fadvise(f.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
+        if hasattr(os, "posix_fadvise"):
+            os.posix_fadvise(f.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
         f.seek(0)
         while f.read(1 << 20):
             pass
-    return round(time.monotonic() - t0, 4)
+    wall = round(time.monotonic() - t0, 4)
+    _IO_SAMPLES.append(wall)
+    return wall
+
+
+def io_probe_baseline() -> float:
+    """The run's typical-probe-level estimate: the MEDIAN of every
+    io-probe sample taken so far this process. Not the minimum —
+    measured on this box, samples taken right after a Spark query
+    land 1.5-2.5x the quiet-moment minimum (the disk is still
+    flushing shuffle/noop traffic), so a min-based baseline plus the
+    2x threshold rejected 36 of 40 headline entries in the shakeout
+    run. The median is the level MOST samples sit at; a burst (r16's
+    0.0875 s vs ~0.013 typical ≈ 6x) clears 2x median decisively,
+    ordinary post-query elevation does not. On a >50%-bursty run the
+    median inflates and rejection gracefully disables — uniform
+    degradation is the run-level io_probe bracket's job to attribute,
+    not the per-sample filter's."""
+    if not _IO_SAMPLES:
+        return 0.0
+    s = sorted(_IO_SAMPLES)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
+def select_unburst_runs(
+    walls: list[float],
+    brackets: list[tuple[float, float]] | list[list[float]],
+    baseline: float,
+    ratio: float = 2.0,
+    min_kept: int = 2,
+) -> tuple[list[int], list[int]]:
+    """Split run indices into (kept, rejected) by disk-burst evidence.
+
+    A wall sample is burst-contaminated when EITHER of its bracketing
+    `_io_probe_once` samples exceeds ``ratio × baseline``: the pair
+    straddles the timed run, so a degraded pre- or post-probe means
+    the disk was degraded for part of the window the wall was measured
+    in. This is the r16 verdict item 1 fix: committed
+    similarity_lsh_multiprobe landed on 2.429 s out of runs
+    [7.855, 22.092, 2.429, 1.612, 1.922] because the median straddled
+    two burst-eaten samples the probes had already recorded as such —
+    the statistic now USES the evidence instead of just filing it.
+
+    Never rejects below ``min_kept`` kept samples: if it would, the
+    lowest-max-bracket runs are kept instead (rejection is measurement
+    hygiene, not a data-loss mechanism — on a box degraded for the
+    whole query window, the least-contaminated samples are still the
+    best available estimate, and the per-query io probe in the record
+    attributes the residual).
+    """
+    if baseline <= 0:
+        return list(range(len(walls))), []
+    flagged = {
+        i for i, b in enumerate(brackets) if max(b) > ratio * baseline
+    }
+    kept = [i for i in range(len(walls)) if i not in flagged]
+    if len(kept) < min_kept:
+        by_bracket = sorted(range(len(walls)), key=lambda i: max(brackets[i]))
+        kept = sorted(by_bracket[: max(min_kept, len(kept))])
+    rejected = [i for i in range(len(walls)) if i not in kept]
+    return kept, rejected
 
 
 def _io_probe() -> float:
@@ -289,6 +364,12 @@ def main() -> None:
     #: in I/O-heavy entries on a flat CPU probe; this is the evidence
     #: channel that can see it
     io_probe_by_query: dict[str, float] = {}
+    #: per-RUN disk brackets, name -> [[pre, post], ...] aligned with
+    #: `runs` — the raw evidence behind every burst rejection
+    io_bracket_by_run: dict[str, list] = {}
+    #: name -> rejection metadata for entries whose statistic excluded
+    #: burst-contaminated samples (r16 verdict item 1)
+    burst_rejections: dict[str, dict] = {}
     for name in HEADLINE:
         # cache hygiene BETWEEN queries (never between a query's own
         # runs — within-query reuse is the amortization being
@@ -308,8 +389,14 @@ def main() -> None:
         # a genuine plan regression as a box burst; three samples cost
         # ~0.35 s/query and make the attribution trustworthy
         probe_by_query[name] = sorted(_cpu_probe_once() for _ in range(3))[1]
-        io_probe_by_query[name] = sorted(_io_probe_once() for _ in range(3))[1]
+        io_samples = [_io_probe_once() for _ in range(3)]
+        io_probe_by_query[name] = sorted(io_samples)[1]
         runs: list[float] = []
+        # per-RUN disk brackets (r16 verdict item 1): sample the io
+        # probe between consecutive runs so every wall sample carries
+        # (pre, post) disk evidence; the newest pre-query sample seeds
+        # the chain, so N runs cost N extra probe samples, not 2N
+        bracket_samples: list[float] = [io_samples[-1]]
         # COLD_STEADY rows need >=3 STEADY samples: with 3 total runs
         # "steady" degenerates to a 2-sample MEAN, and one host burst
         # poisons it — r12's committed ivfpq steady 11.65 s was
@@ -317,53 +404,81 @@ def main() -> None:
         # steady state measures ~3.3 s on an idle box (r12 verdict
         # item 1; runs [7.624, 5.093, 18.2] in BENCH_LOCAL_r12)
         base_runs = 4 if name in COLD_STEADY else 3
+
+        def _timed_run() -> None:
+            t0 = time.monotonic()
+            queries[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(round(time.monotonic() - t0, 3))
+            bracket_samples.append(_io_probe_once())
+
+        # the statistic's view of the runs: COLD_STEADY drops run0
+        # (the training-inclusive cold sample, reported separately in
+        # ann_cold_vs_steady) BEFORE any burst logic sees it — cold >
+        # 2x steady is the expected amortization shape, not a burst
+        def _stat_view() -> tuple[int, list[float], list[list[float]]]:
+            off = 1 if name in COLD_STEADY else 0
+            walls = runs[off:]
+            brs = [
+                [bracket_samples[i], bracket_samples[i + 1]]
+                for i in range(off, len(runs))
+            ]
+            return off, walls, brs
+
         try:
             for _ in range(base_runs):
-                t0 = time.monotonic()
-                queries[name](spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                runs.append(round(time.monotonic() - t0, 3))
-            # bounded adaptive extension: the box shows 5-20x
-            # host-level CPU-steal spikes, and a spike landing in 2 of
-            # 3 runs inflates the MEDIAN (observed [30.6, 9.3, 2.2] on
-            # a steady 2.2 s query). While the median still reads >2x
-            # the fastest run, add samples (max 5 total) — the median
-            # of the grown set converges to steady state without ever
-            # reverting to a lucky-minimum statistic.
-            # (COLD_STEADY: judge the spread on the steady tail only —
-            # cold > 2x steady is the expected amortization shape, and
-            # letting run0 trip this would burn the extra samples on
-            # every COLD_STEADY row of an idle box)
-            def _spread(rs: list[float]) -> list[float]:
-                return rs[1:] if name in COLD_STEADY else rs
-
-            while len(runs) < (6 if name in COLD_STEADY else 5) and _median(
-                _spread(runs)
-            ) > 2 * min(_spread(runs)):
-                t0 = time.monotonic()
-                queries[name](spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                runs.append(round(time.monotonic() - t0, 3))
+                _timed_run()
+            # bounded adaptive extension, now TWO-criteria (r16 verdict
+            # item 1): keep adding samples (max 6/7 total) while either
+            # (a) the burst filter has rejected below 3 kept samples —
+            # the "re-run" half of reject-or-re-run — or (b) the median
+            # of the KEPT set still reads >2x its fastest run (the
+            # 5-20x host CPU-steal spikes the r12-era extension caught;
+            # judged burst-filtered so a rejected 22 s outlier no
+            # longer burns extension samples twice).
+            while len(runs) < (7 if name in COLD_STEADY else 6):
+                off, walls, brs = _stat_view()
+                kept, _rej = select_unburst_runs(
+                    walls, brs, io_probe_baseline()
+                )
+                kw = [walls[i] for i in kept]
+                if len(kw) >= 3 and _median(kw) <= 2 * min(kw):
+                    break
+                _timed_run()
         except Exception as exc:  # noqa: BLE001 — isolate per query
             failed[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
         all_runs[name] = runs
-        # COLD_STEADY headline medians EXCLUDE runs[0] (r13 advice):
-        # the first run is the training-inclusive cold sample — already
-        # reported separately in ann_cold_vs_steady — and including it
-        # both mislabels the statistic (the other rows are steady-state
-        # medians) and can trip the adaptive extension below on an idle
-        # box (cold > 2x steady is the EXPECTED shape, not a burst).
-        # stat_by_query records the per-entry statistic so cross-round
-        # comparisons know r14+ numbers for these entries are steady.
-        timings[name] = _median(runs[1:]) if name in COLD_STEADY else _median(runs)
+        off, walls, brs = _stat_view()
+        io_bracket_by_run[name] = [
+            [bracket_samples[i], bracket_samples[i + 1]]
+            for i in range(len(runs))
+        ]
+        kept, rej = select_unburst_runs(walls, brs, io_probe_baseline())
+        kept_walls = [walls[i] for i in kept]
+        # COLD_STEADY headline medians EXCLUDE runs[0] (r13 advice) and
+        # both modes now EXCLUDE burst-rejected samples (r16 verdict
+        # item 1). stat_by_query records the per-entry statistic so
+        # cross-round comparisons know exactly what each number is.
+        timings[name] = _median(kept_walls)
+        stat = "steady_median_excl_cold_run0" if name in COLD_STEADY else "median"
+        if rej:
+            rej_abs = [i + off for i in rej]  # indices into `runs`
+            stat += f"_excl_burst_runs{rej_abs}".replace(" ", "")
+            burst_rejections[name] = {
+                "rejected_runs": rej_abs,
+                "rejected_walls": [runs[i] for i in rej_abs],
+                "io_baseline": io_probe_baseline(),
+                "threshold_x": 2.0,
+                "reason": "io_bracket>2x_idle_baseline",
+            }
+        if name in COLD_STEADY or rej:
+            stat_by_query[name] = stat
         if name in COLD_STEADY:
-            stat_by_query[name] = "steady_median_excl_cold_run0"
             cold_steady[name] = {
                 "cold": runs[0],
-                "steady": _median(runs[1:]),
+                "steady": _median(kept_walls),
             }
     # release the last family's caches before the migrate blocks
     spark.catalog.clearCache()
@@ -736,7 +851,14 @@ def main() -> None:
         # burst-attribution evidence bench_compare reads when flagging
         "probe_by_query": probe_by_query,
         "io_probe_by_query": io_probe_by_query,
+        # per-run disk brackets + the rejections the statistic made
+        # from them (r16 verdict item 1): every headline number is now
+        # attributable to the exact samples it kept and dropped
+        "io_bracket_by_run": io_bracket_by_run,
+        "io_probe_baseline": io_probe_baseline(),
     }
+    if burst_rejections:
+        out["burst_rejections"] = burst_rejections
     if phase_split:
         out["phase_split"] = phase_split
     if cold_steady:
@@ -798,6 +920,10 @@ def compact_bench_line(out: dict, timings: dict, failed: dict) -> str:
     for probe in ("cpu_probe", "io_probe"):
         if out.get(probe):
             compact[probe] = out[probe]
+    # burst-suppression count travels with the tail (full rejection
+    # metadata lives in the committed BENCH_LOCAL record)
+    if out.get("burst_rejections"):
+        compact["burst_rejected_n"] = len(out["burst_rejections"])
     if failed:
         compact["n_failed"] = len(failed)
     line = json.dumps(compact, separators=(",", ":"))

@@ -31,18 +31,71 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-16 ROTATION (r15 verdict item 2, tools/correctness_union.py
+#: ROUND-17 ROTATION (r16 verdict item 2, tools/correctness_union.py
 #: verbatim): positions 1-50 are the union tool's suggested slate —
-#: the four r11-green entries displaced by the r15 changed-code block
-#: (pipeline_train_val_split/global_shuffle/end_to_end,
-#: events_asof_join) lead, then the rest of the r11-era records
-#: oldest-first (the asof/cdc/pii block, the q4-q22 classic TPC-H
-#: block, zorder/fuzzy/ewma/bpe/column-profile/degree-stats and the
-#: setop pair). No source moved since r15's 50/50 slate, so there is
-#: no changed-code block this round; after this slate no driver
-#: record is older than r12. Everything else keeps its previous
-#: relative order (stable), oldest-green-record-first.
+#: the 17 stalest r12-era records lead (scd2, sample-per-group,
+#: sliding-distinct-approx, PIT join, ohlc, recursive-tree,
+#: fk-discovery, dq-expectations, dim-truncation, page-checksums,
+#: market-basket, symmetric-diff, the three streaming_run_*,
+#: incremental-rollup, cusum), then the oldest r13 block
+#: oldest-green-record-first (asof/weighted-median/phash, the
+#: drawdown/cohort/markov/gini/burst/outliers aggregates, the
+#: q1/q3/q5/q21 TPC-H core, the join/agg primitive block, and the
+#: dedup/recall tail). No source moved since r16's 50/50 slate, so
+#: there is no changed-code block; after this slate no driver record
+#: is older than r13. Everything else keeps its previous relative
+#: order (stable), oldest-green-record-first.
 VERIFY_PRIORITY: tuple[str, ...] = (
+    "migration_scd2_history",
+    "pipeline_sample_per_group",
+    "events_sliding_distinct_approx",
+    "join_point_in_time",
+    "events_ohlc_bars",
+    "sql_recursive_supplier_tree",
+    "migration_fk_discovery",
+    "migration_dq_expectations",
+    "similarity_dim_truncation_audit",
+    "migration_page_checksums",
+    "agg_market_basket",
+    "setop_symmetric_diff",
+    "streaming_run_ohlc",
+    "streaming_run_session_window",
+    "streaming_run_ewma",
+    "events_incremental_rollup",
+    "events_cusum_changepoint",
+    "join_asof_nearest",
+    "agg_weighted_median",
+    "multimodal_phash_dedup",
+    "window_running_drawdown",
+    "agg_cohort_ltv",
+    "events_markov_transitions",
+    "agg_gini_concentration",
+    "events_burst_detection",
+    "agg_robust_outliers",
+    "udf_udtf_windows",
+    "dedup_simhash",
+    "migration_row_diff",
+    "q21_waiting_supplier",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "project_filter",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_range_nonequi",
+    "agg_rollup",
+    "agg_cube",
+    "agg_distinct",
+    "dedup_minhash_containment",
+    "streaming_run_dedup",
+    "migration_partition_advisor",
+    "dedup_shrink_report",
+    "q1_pricing_summary_fast",
+    "dedup_clusters",
+    "dedup_lsh_recall_report",
+    "pipeline_leakage_safe_split",
     "pipeline_train_val_split",
     "pipeline_global_shuffle",
     "pipeline_end_to_end",
@@ -189,39 +242,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_pagination_page",
     "migration_stringify",
     "migration_compare_checksums",
-    "join_asof_nearest",
-    "agg_weighted_median",
-    "multimodal_phash_dedup",
-    "window_running_drawdown",
-    "agg_cohort_ltv",
-    "events_markov_transitions",
-    "agg_gini_concentration",
-    "events_burst_detection",
-    "agg_robust_outliers",
-    "udf_udtf_windows",
-    "dedup_simhash",
-    "migration_row_diff",
-    "q21_waiting_supplier",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "project_filter",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_range_nonequi",
-    "agg_rollup",
-    "agg_cube",
-    "agg_distinct",
-    "dedup_minhash_containment",
-    "streaming_run_dedup",
-    "migration_partition_advisor",
-    "dedup_shrink_report",
-    "q1_pricing_summary_fast",
-    "dedup_clusters",
-    "dedup_lsh_recall_report",
-    "pipeline_leakage_safe_split",
     "events_interval_overlap_join",
     "agg_linear_fit",
     "events_funnel_conversion",
@@ -235,23 +255,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pivot_status_priority",
     "unpivot_part_metrics",
     "agg_grouping_sets",
-    "migration_scd2_history",
-    "pipeline_sample_per_group",
-    "events_sliding_distinct_approx",
-    "join_point_in_time",
-    "events_ohlc_bars",
-    "sql_recursive_supplier_tree",
-    "migration_fk_discovery",
-    "migration_dq_expectations",
-    "similarity_dim_truncation_audit",
-    "migration_page_checksums",
-    "agg_market_basket",
-    "setop_symmetric_diff",
-    "streaming_run_ohlc",
-    "streaming_run_session_window",
-    "streaming_run_ewma",
-    "events_incremental_rollup",
-    "events_cusum_changepoint",
 )
 
 

@@ -2365,12 +2365,22 @@ def _validate_frames_meta(spark: SparkSession, path: str):
         )
     m = metas[0]
     ver = _index_version()
-    if m.version != ver or "n_cells" not in m.asDict() or m.blocks != PQ_BLOCKS:
+    # gate via asDict(), never bare attribute access (r16 advice): a
+    # meta block missing `version`/`blocks`/`probes` must produce THIS
+    # descriptive ValueError, not a raw AttributeError from the
+    # condition itself
+    md = m.asDict()
+    if (
+        md.get("version") != ver
+        or "n_cells" not in md
+        or "probes" not in md
+        or md.get("blocks") != PQ_BLOCKS
+    ):
         raise ValueError(
             "index-frame artifact mismatch: "
-            f"artifact (version={getattr(m, 'version', None)!r}, "
-            f"blocks={getattr(m, 'blocks', None)}, "
-            f"meta columns={sorted(m.asDict())}) vs current "
+            f"artifact (version={md.get('version')!r}, "
+            f"blocks={md.get('blocks')}, "
+            f"meta columns={sorted(md)}) vs current "
             f"(version={ver!r}, blocks={PQ_BLOCKS}, cell-partitioned "
             "layout with n_cells) — retrain or rebuild the artifact"
         )
@@ -2416,6 +2426,31 @@ def read_index_cells(spark: SparkSession, path: str, cells: list) -> dict:
         .select(*_codes_cols())
     )
     return {"assign": assign, "codes": codes}
+
+
+def _serving_probe_cells(
+    cents: list, qv: list, qnorm: float, probes: int
+) -> list:
+    """Driver-side probe-cell selection for the artifact serving path:
+    ONE numpy matmul over the cid-ascending trained centroid list +
+    stable argsort(-sims) — the same decision `_assign_cells` makes
+    executor-side, under the same rounding-robust contract (r16
+    verdict item 3: the previous per-centroid pure-Python folds were
+    O(n_cells·dim) interpreted driver work per query — tens of
+    millions of float ops at the ~√N cell count of a 10¹⁰-vector
+    index; the matmul is sub-ms at 10⁵ cells). Centroid norms stay
+    the sequential `_seq_norm` fold (they are exact-contract values
+    shared with the executors); the stable sort makes float-equal
+    cosines tie-break by ascending cid, identical to the old
+    (sim, -cid) descending sort. CI pins cell-pick identity to the
+    fold reference on the fixture panel."""
+    import numpy as np
+
+    cent_mat = np.array([cv for _, cv in cents], dtype=np.float64)
+    cent_norms = np.array([_seq_norm(cv) for _, cv in cents])
+    sims = (cent_mat @ np.array(qv, dtype=np.float64)) / (qnorm * cent_norms)
+    order = np.argsort(-sims, kind="stable")[: max(1, min(probes, len(cents)))]
+    return [cents[int(i)][0] for i in order]
 
 
 def ivfpq_search_artifact(
@@ -2467,17 +2502,7 @@ def ivfpq_search_artifact(
 
     qv = [float(x) for x in query_vec]
     qnorm = _seq_norm(qv)
-    # probe cells: same argsort(-sims)[:probes] decision as
-    # _assign_cells, on sequential-fold cosines over the cid-ascending
-    # trained list (numpy matmul there, pure-Python folds here — the
-    # DECISION is rounding-robust, exactly the module's contract)
-    sims = []
-    for cid, cv in cents:
-        sims.append(
-            (_seq_dot(qv, cv) / (qnorm * _seq_norm(cv)), -cid)
-        )
-    order = sorted(range(len(cents)), key=lambda i: sims[i], reverse=True)
-    cells = [cents[i][0] for i in order[:probes]]
+    cells = _serving_probe_cells(cents, qv, qnorm, probes)
 
     frames = read_index_cells(spark, path, cells)
     nv = [x / qnorm for x in qv]
@@ -2506,9 +2531,31 @@ def ivfpq_search_artifact(
                 F.col("cid").alias(f"code{b}"), F.col("d2").alias(f"d2_{b}")
             )
         )
-        cand = cand.join(db, f"code{b}")
+        # LEFT join (r16 advice): the distance table covers every
+        # codebook id, so an unmatched codes row means codebook/codes
+        # drift inside the artifact — under the old inner join it
+        # silently VANISHED from the shortlist; now its null d2
+        # propagates into `adc` and raises loudly below
+        cand = cand.join(db, f"code{b}", "left")
         adc = F.col(f"d2_{b}") if adc is None else adc + F.col(f"d2_{b}")
-    cand = cand.select("vec_id", adc.alias("adc"))
+    # raise_error folded into the consumed expression (not a separate
+    # assert column Catalyst could prune away with the projection)
+    adc_checked = F.when(adc.isNotNull(), adc).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "IVF-PQ serving: codes row (vec_id="
+                ),
+                F.col("vec_id").cast("string"),
+                F.lit(
+                    ") carries a code absent from the codebook — "
+                    "codebook/codes drift inside the artifact; rebuild "
+                    "with save_index_frames"
+                ),
+            )
+        )
+    )
+    cand = cand.select("vec_id", adc_checked.alias("adc"))
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != int(exclude_id))
     short = cand.orderBy(F.asc("adc"), F.asc("vec_id")).limit(shortlist)

@@ -1,0 +1,303 @@
+"""Round-17 units: the burst-aware bench statistic (r16 verdict
+item 1 — the probes recorded disk bursts, the median now USES them),
+its bench_compare consumption, and the layout/serving/scan items of
+the r16 brief."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------- #
+# select_unburst_runs — the pure statistic core                     #
+# ---------------------------------------------------------------- #
+
+
+def test_select_unburst_rejects_burst_bracketed_samples():
+    """The exact r16 failure shape: committed similarity_lsh_multiprobe
+    landed on 2.429 s out of runs [7.855, 22.092, 2.429, 1.612, 1.922]
+    because the first two samples ate a disk burst and the median
+    picked the straddle point. With brackets recording the burst, the
+    statistic must drop those two and report the clean tail's median.
+    """
+    from bench import select_unburst_runs
+
+    walls = [7.855, 22.092, 2.429, 1.612, 1.922]
+    brackets = [
+        [0.090, 0.050],  # burst during run 0
+        [0.050, 0.080],  # burst during run 1
+        [0.015, 0.012],
+        [0.013, 0.012],
+        [0.012, 0.014],
+    ]
+    kept, rejected = select_unburst_runs(walls, brackets, baseline=0.012)
+    assert rejected == [0, 1]
+    assert kept == [2, 3, 4]
+    assert sorted(walls[i] for i in kept)[1] == 1.922  # the clean median
+
+
+def test_select_unburst_either_bracket_side_flags():
+    """A burst visible in EITHER the pre- or the post-probe flags the
+    run: the pair straddles the timed window."""
+    from bench import select_unburst_runs
+
+    walls = [1.0, 1.1, 5.0]
+    brackets = [[0.01, 0.01], [0.01, 0.01], [0.01, 0.05]]
+    kept, rejected = select_unburst_runs(walls, brackets, baseline=0.01)
+    assert rejected == [2] and kept == [0, 1]
+
+
+def test_select_unburst_min_kept_fallback():
+    """On a box degraded for the whole query window every bracket
+    exceeds the threshold; rejection must never go below min_kept —
+    the lowest-bracket runs are kept (least-contaminated estimate)."""
+    from bench import select_unburst_runs
+
+    walls = [9.0, 4.0, 5.0]
+    brackets = [[0.30, 0.25], [0.10, 0.09], [0.20, 0.15]]
+    kept, rejected = select_unburst_runs(walls, brackets, baseline=0.012)
+    assert kept == [1, 2]  # two lowest max-brackets
+    assert rejected == [0]
+
+
+def test_select_unburst_clean_runs_and_degenerate_baseline():
+    """No bracket above threshold -> nothing rejected; a zero/absent
+    baseline (first query of a run that produced no samples) must
+    disable rejection rather than divide by zero or flag everything."""
+    from bench import select_unburst_runs
+
+    walls = [1.0, 1.2, 0.9]
+    brackets = [[0.012, 0.013], [0.014, 0.012], [0.013, 0.015]]
+    assert select_unburst_runs(walls, brackets, 0.012) == ([0, 1, 2], [])
+    assert select_unburst_runs(walls, brackets, 0.0) == ([0, 1, 2], [])
+
+
+def test_io_probe_baseline_is_running_median():
+    """The baseline is the running MEDIAN of every probe sample this
+    process — the typical level most samples sit at. Not the min: on
+    this box, samples taken right after a Spark query run 1.5-2.5x the
+    quiet-moment minimum (shuffle flush-out), and a min-based baseline
+    rejected 36/40 headline entries in the shakeout run."""
+    import bench
+
+    bench._IO_SAMPLES.clear()
+    assert bench.io_probe_baseline() == 0.0  # degenerate -> disabled
+    bench._IO_SAMPLES.extend([0.05, 0.013, 0.09, 0.012])
+    assert bench.io_probe_baseline() == (0.013 + 0.05) / 2
+    bench._IO_SAMPLES.append(0.014)
+    assert bench.io_probe_baseline() == 0.014
+    bench._IO_SAMPLES.clear()
+
+
+# ---------------------------------------------------------------- #
+# bench_compare consumes the rejection metadata                     #
+# ---------------------------------------------------------------- #
+
+
+def _write_record(path, queries, runs, extra=None):
+    rec = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": queries,
+        "runs": runs,
+        "query_stat": "median_of_3_adaptive_to_5",
+    }
+    rec.update(extra or {})
+    with open(path, "w") as f:
+        json.dump(rec, f)
+    return path
+
+
+def test_bench_compare_labels_burst_suppressed(tmp_path, capsys):
+    """The r16->r17 compare must label entries whose new-record
+    statistic excluded burst samples, and attribute a REGRESSED row
+    whose KEPT samples were all bracketed by a degraded disk to the
+    disk, not the plan."""
+    import importlib
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    bc = importlib.import_module("bench_compare")
+
+    old = _write_record(
+        str(tmp_path / "old.json"),
+        {"qa": 1.0, "qb": 2.0},
+        {"qa": [1.0, 1.1, 0.9], "qb": [2.0, 2.1, 1.9]},
+    )
+    new = _write_record(
+        str(tmp_path / "new.json"),
+        {"qa": 1.9, "qb": 4.0},
+        {"qa": [7.0, 22.0, 1.9], "qb": [4.0, 4.1, 3.9]},
+        extra={
+            "burst_rejections": {
+                "qa": {
+                    "rejected_runs": [0, 1],
+                    "rejected_walls": [7.0, 22.0],
+                    "io_baseline": 0.012,
+                    "threshold_x": 2.0,
+                    "reason": "io_bracket>2x_idle_baseline",
+                }
+            },
+            "io_bracket_by_run": {
+                "qa": [[0.09, 0.05], [0.05, 0.08], [0.013, 0.012]],
+                # qb regressed with EVERY kept bracket >2x idle: the
+                # whole-window-degradation exoneration must fire
+                "qb": [[0.06, 0.05], [0.05, 0.07], [0.06, 0.05]],
+            },
+            "io_probe_baseline": 0.012,
+        },
+    )
+    argv = sys.argv
+    try:
+        sys.argv = ["bench_compare.py", old, new]
+        assert bc.main() == 0
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "burst-suppressed in new record" in out
+    assert "rejected runs [0, 1]" in out
+    assert "disk degraded across ALL kept samples" in out
+    # and a record WITHOUT the fields still compares (back-compat)
+    sys.argv = ["bench_compare.py", old, old]
+    try:
+        assert bc.main() == 0
+    finally:
+        sys.argv = argv
+
+
+def test_bench_source_wires_rejection_metadata():
+    """The record must carry the per-run brackets, the idle baseline,
+    and per-entry stat labels for rejected runs — greppable in source
+    so a refactor can't silently drop the evidence channel."""
+    src = open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        )
+    ).read()
+    for needle in (
+        '"io_bracket_by_run": io_bracket_by_run',
+        '"io_probe_baseline": io_probe_baseline()',
+        'out["burst_rejections"] = burst_rejections',
+        "_excl_burst_runs",
+        "select_unburst_runs(walls, brs, io_probe_baseline())",
+    ):
+        assert needle in src, needle
+
+
+# ---------------------------------------------------------------- #
+# serving-path: numpy probe selection + artifact drift hardening    #
+# ---------------------------------------------------------------- #
+
+
+def test_serving_probe_cells_matches_fold_reference(spark):
+    """r16 verdict item 6: the serving path's probe selection is now
+    one numpy matmul + stable argsort; the DECISION (which cells to
+    read) must be identical to the old per-centroid pure-Python fold
+    on the fixture panel — the module's rounding-robust contract."""
+    from tests.conftest import SF_SMALL
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    S.similarity_ivfpq_topk(spark, SF_SMALL).count()  # trains + caches
+    cents = S._TRAINED_CENTS[(SF_SMALL, S.LLOYD_ITERS)]
+    n_cells = len(cents)
+    probes = S._ivfpq_probes(n_cells)
+
+    def _fold_reference(qv, qnorm, k):
+        def _seq_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        sims = [
+            (_seq_dot(qv, cv) / (qnorm * S._seq_norm(cv)), -cid)
+            for cid, cv in cents
+        ]
+        order = sorted(range(len(cents)), key=lambda i: sims[i], reverse=True)
+        return [cents[i][0] for i in order[:k]]
+
+    panel = S._vecs(spark, SF_SMALL).limit(8).collect()
+    assert len(panel) == 8
+    for r in panel:
+        qv = [float(x) for x in r.v]
+        qnorm = S._seq_norm(qv)
+        got = S._serving_probe_cells(cents, qv, qnorm, probes)
+        assert got == _fold_reference(qv, qnorm, probes), r.vec_id
+    # sub-probes ask returns a prefix; degenerate probes clamps to 1
+    qv = [float(x) for x in panel[0].v]
+    qnorm = S._seq_norm(qv)
+    full = S._serving_probe_cells(cents, qv, qnorm, n_cells)
+    assert S._serving_probe_cells(cents, qv, qnorm, 3) == full[:3]
+    assert len(S._serving_probe_cells(cents, qv, qnorm, 0)) == 1
+
+
+def test_frames_meta_missing_column_refuses_descriptively(spark, tmp_path):
+    """r16 advice: a meta block MISSING the `blocks` (or `probes`)
+    column must produce the descriptive artifact-mismatch ValueError,
+    not a raw AttributeError from the gate condition itself."""
+    import pytest as _pytest
+
+    from tests.conftest import SF_SMALL
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    S.similarity_ivfpq_topk(spark, SF_SMALL).count()
+    path = str(tmp_path / "frames_noblocks")
+    S.save_index_frames(spark, path, SF_SMALL)
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    forged = spark.createDataFrame(
+        [(m.version, m.sf_dir, int(m.probes), int(m.n_cells))],
+        "version string, sf_dir string, probes int, n_cells int",
+    )
+    forged.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    with _pytest.raises(ValueError, match="artifact mismatch"):
+        S._validate_frames_meta(spark, path)
+
+
+def test_adc_codebook_drift_raises_loudly(spark, tmp_path):
+    """r16 advice: a codes row whose code is absent from the codebook
+    used to VANISH via the inner ADC join; the left join + raise_error
+    must turn the drift into a loud failure naming the rebuild."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from tests.conftest import SF_SMALL
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    S.similarity_ivfpq_topk(spark, SF_SMALL).count()
+    path = str(tmp_path / "frames_drift")
+    S.save_index_frames(spark, path, SF_SMALL)
+    # corrupt ONE cell's codes file: point code0 at an id no codebook
+    # block contains (schema-compatible drift, the silent-vanish case)
+    f = sorted(_glob.glob(f"{path}/codes/cell=*/*.parquet"))[0]
+    t = pq.read_table(f)
+    bad = pa.array([2**40] * t.num_rows, type=t.schema.field("code0").type)
+    t = t.set_column(t.schema.get_field_index("code0"), "code0", bad)
+    pq.write_table(t, f)
+    # drop Hadoop's .crc sidecar — the rewrite must read as VALID
+    # parquet (schema-compatible drift), not as a corrupt file
+    crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    emb = S._vecs(spark, SF_SMALL)
+    qv = [float(x) for x in emb.limit(1).collect()[0].v]
+    S.load_trained_index  # noqa: B018 — dicts already trained above
+    with _pytest.raises(Exception, match="codebook/codes drift"):
+        S.ivfpq_search_artifact(spark, path, qv).collect()

@@ -99,8 +99,18 @@ def main() -> int:
     probe_med = None
     io_probes_new: dict[str, float] = {}
     io_probe_med = None
+    burst_new: dict[str, dict] = {}
+    burst_old: dict[str, dict] = {}
+    brackets_new: dict[str, list] = {}
+    io_base_new = None
     try:
         new_rec = json.load(open(new_path))
+        # r17+: the bench statistic rejects burst-bracketed samples and
+        # records the rejections — consume them so cross-round deltas
+        # auto-exonerate disk bursts instead of reading them as plans
+        burst_new = new_rec.get("burst_rejections") or {}
+        brackets_new = new_rec.get("io_bracket_by_run") or {}
+        io_base_new = new_rec.get("io_probe_baseline")
         probes_new = new_rec.get("probe_by_query") or {}
         if probes_new:
             vals = sorted(probes_new.values())
@@ -121,6 +131,7 @@ def main() -> int:
                 vals[m] if len(vals) % 2 else (vals[m - 1] + vals[m]) / 2
             )
         old_rec = json.load(open(old_path))
+        burst_old = old_rec.get("burst_rejections") or {}
         so = old_rec.get("query_stat", "min_of_runs(pre-r12)")
         sn = new_rec.get("query_stat", "min_of_runs(pre-r12)")
         if so != sn:
@@ -224,6 +235,33 @@ def main() -> int:
                 f" [best run {min(new_runs[k]):.2f}s inside old band "
                 f"(max {max(old_runs[k]):.2f}s) — sampling, not plan]"
             )
+        # burst-suppression labels (r17): the record's own statistic
+        # dropped these samples — the printed number is already clean
+        # of them, and the rejection is visible here, not silent
+        for tag, burst in (("new", burst_new), ("old", burst_old)):
+            if k in burst:
+                flag += (
+                    f" [burst-suppressed in {tag} record: rejected runs "
+                    f"{burst[k]['rejected_runs']} "
+                    f"walls {burst[k].get('rejected_walls')}]"
+                )
+        # whole-window degradation: every sample the new statistic KEPT
+        # was still bracketed by a >2x-idle disk (the min-kept
+        # fallback) — the delta is the disk's, not the plan's
+        if regressed and io_base_new and brackets_new.get(k):
+            rej = set(burst_new.get(k, {}).get("rejected_runs", []))
+            kept_br = [
+                max(b)
+                for i, b in enumerate(brackets_new[k])
+                if i not in rej
+            ]
+            if kept_br and min(kept_br) > 2 * io_base_new:
+                flag += (
+                    " [disk degraded across ALL kept samples"
+                    f" (min bracket {min(kept_br):.3f}s vs idle"
+                    f" {io_base_new:.3f}s) — attributable to disk,"
+                    " not plan]"
+                )
         print(f"{d:+8.3f} {ratio:5.2f}x  {k}{flag}")
     return 0
 
