@@ -257,6 +257,95 @@ def select_unburst_runs(
     return kept, rejected
 
 
+#: the scan-heavy TPC-H headline block the layout A/B measures — the
+#: entries whose walls are bounded by parquet scan parallelism
+LAYOUT_AB_QUERIES = [
+    "q1_pricing_summary",
+    "q1_pricing_summary_fast",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
+]
+
+#: 20k rows/group ≈ 30 groups for sf0.1 lineitem — enough tasks to
+#: feed 32 cores without per-group overhead dominating at fixture scale
+LAYOUT_AB_ROW_GROUP = 20_000
+
+
+def _layout_ab_block(spark, queries, sf_dir: str, median_fn) -> dict:
+    """Measure the single-row-group fixture tax (r16 verdict item 3):
+    rewrite the TPC-H tables with bounded row groups into a temp copy,
+    layoutProbe-verify both layouts, and time the 7-query headline
+    block on each with runs interleaved A,B,A,B (same-box, same-
+    minute — a disk drift lands on both sides). Returns the per-query
+    walls + ratios; the caller records them as ``layout_ab`` so
+    cross-round totals stop silently absorbing a layout artifact of
+    the driver's fixtures."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from mysqldatasynctool_spark.sources.files import (
+        parquet_scan_parallelism,
+    )
+
+    tables = [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ]
+    copy_dir = _tf.mkdtemp(prefix="bench_layout_ab_")
+    try:
+        for t in tables:
+            _pq.write_table(
+                _pq.read_table(os.path.join(sf_dir, f"{t}.parquet")),
+                os.path.join(copy_dir, f"{t}.parquet"),
+                row_group_size=LAYOUT_AB_ROW_GROUP,
+            )
+        probe = {
+            tag: parquet_scan_parallelism(
+                os.path.join(d, "lineitem.parquet"), target_parallelism=32
+            )
+            for tag, d in (("driver", sf_dir), ("bounded", copy_dir))
+        }
+        per_q: dict[str, dict] = {}
+        for name in LAYOUT_AB_QUERIES:
+            spark.catalog.clearCache()
+            walls: dict[str, list[float]] = {"driver": [], "bounded": []}
+            for _ in range(3):
+                for tag, d in (("driver", sf_dir), ("bounded", copy_dir)):
+                    t0 = time.monotonic()
+                    queries[name](spark, d).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    walls[tag].append(round(time.monotonic() - t0, 3))
+            dm = median_fn(walls["driver"])
+            bm = median_fn(walls["bounded"])
+            per_q[name] = {
+                "driver_rg1": dm,
+                "bounded_rg20k": bm,
+                "ratio": round(dm / max(bm, 1e-9), 2),
+                "runs_driver": walls["driver"],
+                "runs_bounded": walls["bounded"],
+            }
+        ratios = sorted(q["ratio"] for q in per_q.values())
+        return {
+            "row_group_size": LAYOUT_AB_ROW_GROUP,
+            "lineitem_layout": probe,
+            "queries": per_q,
+            "median_ratio": ratios[len(ratios) // 2],
+        }
+    finally:
+        _sh.rmtree(copy_dir, ignore_errors=True)
+
+
 def _io_probe() -> float:
     """Fixed-work disk calibration: median-of-3 of `_io_probe_once`.
     Recorded at the START and END of every bench run and once per
@@ -657,6 +746,27 @@ def main() -> None:
         # them on a failed run
         shutil.rmtree(derby_root, ignore_errors=True)
 
+    # Layout A/B (r16 verdict item 3): the driver's sf0.1 fixtures are
+    # SINGLE-row-group parquet files (the repo's own layoutProbe proves
+    # it), so every scan in the headline TPC-H block runs on ONE task
+    # of 32 — the same pathology the r16 stress fix removed from the
+    # builder's corpora. Quantify the tax instead of absorbing it:
+    # rewrite a bounded-row-group (20k) copy of the TPC-H tables, run
+    # the 7-query headline block on BOTH layouts with runs interleaved
+    # A,B,A,B,... (so a disk drift mid-block contaminates both sides
+    # equally), and record both walls per query. Correctness/oracle
+    # checks stay on the driver fixtures untouched; the headline
+    # timings above also stay on the driver layout so the cross-round
+    # series remains comparable — this block makes the tax a recorded
+    # fact with a footnote, not a silent divisor.
+    layout_ab = None
+    try:
+        layout_ab = _layout_ab_block(spark, queries, sf_dir, _median)
+        spark.catalog.clearCache()
+        teardown_caches()
+    except Exception as exc:  # noqa: BLE001 — evidence block is additive
+        failed["_layout_ab"] = f"{type(exc).__name__}: {exc}"[:300]
+
     # the LSH quality numbers at THIS scale, recorded per round next
     # to the timings — a banding change that speeds LSH up by losing
     # recall shows up here, not just as a faster row
@@ -879,6 +989,18 @@ def main() -> None:
         out["ann_recall_300x"] = ann_300x
     if scale_sweep:
         out["scale_sweep"] = scale_sweep
+    if layout_ab:
+        out["layout_ab"] = layout_ab
+        if layout_ab.get("median_ratio", 0) >= 2:
+            # the tax is LARGE: flag the headline so cross-round
+            # totals are read layout-aware (r16 verdict item 3)
+            out["headline_layout_footnote"] = (
+                "driver sf fixtures are single-row-group parquet; the "
+                "TPC-H headline entries measured "
+                f"{layout_ab['median_ratio']}x slower on that layout "
+                f"than on a bounded-{LAYOUT_AB_ROW_GROUP}-row-group "
+                "rewrite of the same data (see layout_ab)"
+            )
     if n_bad:
         # failure count lives OUTSIDE the summed timings dict so it
         # can't corrupt the wall-clock headline metric

@@ -279,7 +279,9 @@ def cmd_layout_probe(args) -> int:
     for path in args.paths:
         try:
             rep = parquet_scan_parallelism(
-                path, target_parallelism=args.target_parallelism
+                path,
+                target_parallelism=args.target_parallelism,
+                sample_files=args.sample_files,
             )
         except Exception as exc:  # noqa: BLE001 — per-path report
             # a corrupt/non-parquet file must cost its own error ROW
@@ -511,6 +513,14 @@ def main(argv: list[str] | None = None) -> int:
         default=32,
         help="tasks the job would like to run; 'bounded' flags layouts "
         "that cannot feed it",
+    )
+    pl.add_argument(
+        "--sample-files",
+        type=int,
+        default=None,
+        help="probe at most N evenly-spaced files' footers on huge "
+        "trees and extrapolate (exact below N; keeps the preflight a "
+        "preflight at 100k+ files)",
     )
     sub.add_parser("version", help="print version")
 

@@ -175,14 +175,18 @@ def rollback_versioned(root: str, version: int) -> None:
     os.replace(tmp, os.path.join(root, _MANIFEST))
 
 
-def parquet_scan_parallelism(path: str, target_parallelism: int = 32) -> dict:
+def parquet_scan_parallelism(
+    path: str,
+    target_parallelism: int = 32,
+    sample_files: int | None = None,
+) -> dict:
     """Preflight layout probe: the MAXIMUM number of tasks a Spark
     parquet scan of ``path`` can fan out to, from file FOOTERS only
     (pyarrow metadata — no Spark job, no data read).
 
     Spark splits parquet by byte ranges (``maxPartitionBytes``), but a
     ROW GROUP is the atomic read unit: each row group is processed by
-    the one split containing its start offset, so scan parallelism is
+    the one split containing its midpoint, so scan parallelism is
     bounded by the TOTAL ROW-GROUP COUNT no matter how many executors
     the cluster has. A "few huge row groups" layout therefore caps a
     1000-executor scan at a handful of tasks — measured in this repo
@@ -201,7 +205,17 @@ def parquet_scan_parallelism(path: str, target_parallelism: int = 32) -> dict:
     ``max_scan_tasks = row_groups`` and ``bounded`` flags a layout
     that cannot feed ``target_parallelism`` tasks. Raises
     FileNotFoundError for a missing/empty path (a sizing probe must
-    not guess)."""
+    not guess).
+
+    ``sample_files=N`` keeps the preflight a PREFLIGHT on huge trees
+    (r16 verdict item 7: the footer walk is serial per file — at 100k
+    files it is a minutes-long driver loop): when the tree has more
+    than N files, footers are read for N evenly-spaced files
+    (deterministic, no RNG) and ``row_groups``/``rows`` are
+    extrapolated by the file-count ratio; ``bytes`` stays exact (a
+    stat per file, no footer read). Exact below the threshold. A
+    sampled report carries ``sampled: true`` + ``sampled_files`` so a
+    scheduler knows the bound is an estimate."""
     import os
 
     import pyarrow.parquet as pq
@@ -219,13 +233,28 @@ def parquet_scan_parallelism(path: str, target_parallelism: int = 32) -> dict:
         files = []
     if not files:
         raise FileNotFoundError(f"no parquet data at {path!r}")
-    n_groups = n_rows = n_bytes = 0
-    for f in files:
+    n_bytes = sum(os.path.getsize(f) for f in files)
+    probe_set = files
+    sampled = False
+    if sample_files is not None and 0 < sample_files < len(files):
+        # evenly spaced over the SORTED listing: hive trees interleave
+        # partitions through the sample instead of clustering on the
+        # first directories a random-free head-take would
+        idx = sorted(
+            {int(i * len(files) / sample_files) for i in range(sample_files)}
+        )
+        probe_set = [files[i] for i in idx]
+        sampled = True
+    n_groups = n_rows = 0
+    for f in probe_set:
         meta = pq.ParquetFile(f).metadata
         n_groups += meta.num_row_groups
         n_rows += meta.num_rows
-        n_bytes += os.path.getsize(f)
-    return {
+    if sampled:
+        scale = len(files) / len(probe_set)
+        n_groups = int(round(n_groups * scale))
+        n_rows = int(round(n_rows * scale))
+    out = {
         "files": len(files),
         "row_groups": n_groups,
         "rows": n_rows,
@@ -233,3 +262,7 @@ def parquet_scan_parallelism(path: str, target_parallelism: int = 32) -> dict:
         "max_scan_tasks": n_groups,
         "bounded": n_groups < target_parallelism,
     }
+    if sampled:
+        out["sampled"] = True
+        out["sampled_files"] = len(probe_set)
+    return out

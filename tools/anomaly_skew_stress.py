@@ -13,8 +13,18 @@ lognormal with occasional spikes so the z-score filter keeps a
 non-trivial row set.
 
 Standalone: python tools/anomaly_skew_stress.py [n_rows] [hot_share]
-(defaults 2_000_000 rows, 0.30 hot share — ~20 s per variant on 32
-threads). Prints one JSON line with walls and row counts.
+[runs] [--isolate]  (defaults 2_000_000 rows, 0.30 hot share — ~20 s
+per variant on 32 threads). Prints one JSON line with walls and row
+counts.
+
+``--isolate`` (r16 verdict item 5) runs EACH VARIANT in its own fresh
+subprocess/SparkSession over a shared corpus, so neither variant's
+median inherits the other's session history (page-cache layout, JIT
+state, shuffle-dir occupancy, storage-memory pressure): the r16 mixed-
+order data showed salted samples [211, 130, 18] s after an unsalted
+warm-up while the salted-only session had no such mode. The identity
+check still runs once in the parent session. The per-variant entry
+point is the internal ``--variant NAME --dir D`` mode.
 """
 
 from __future__ import annotations
@@ -22,14 +32,28 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+_VARIANTS = ("unsalted", "salted")
 
-def build_skewed_events(n_rows: int, hot_share: float, seed: int = 8) -> str:
+
+def _variant_fns():
+    from mysqldatasynctool_spark.operators.events import (
+        events_anomaly_salted,
+        events_anomaly_zscore,
+    )
+
+    return {"unsalted": events_anomaly_zscore, "salted": events_anomaly_salted}
+
+
+def build_skewed_events(
+    n_rows: int, hot_share: float, seed: int = 8, out_dir: str | None = None
+) -> str:
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -59,7 +83,8 @@ def build_skewed_events(n_rows: int, hot_share: float, seed: int = 8) -> str:
             "value": np.round(value, 6),
         }
     )
-    out_dir = tempfile.mkdtemp(prefix="anomaly_skew_")
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="anomaly_skew_")
     # bounded row groups (r16, same fix as ann/lsh_stress): pyarrow's
     # 1 Mi-row default gave this 4 M-row corpus only 4 row groups =
     # 4 scan tasks on a 32-core box. Both variants shared the layout,
@@ -73,52 +98,94 @@ def build_skewed_events(n_rows: int, hot_share: float, seed: int = 8) -> str:
     return out_dir
 
 
+def run_variant(spark, out_dir: str, name: str, runs: int = 1) -> dict:
+    """Time ONE variant over an existing corpus: ``runs`` samples,
+    median + raw samples + flagged-row count. The unit the ``--isolate``
+    mode runs in its own subprocess."""
+    fn = _variant_fns()[name]
+    samples = []
+    count = None
+    for _ in range(max(1, runs)):
+        t0 = time.monotonic()
+        count = fn(spark, out_dir).count()
+        samples.append(round(time.monotonic() - t0, 3))
+    s = sorted(samples)
+    m = len(s) // 2
+    wall = s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
+    return {"variant": name, "wall": wall, "runs": samples, "rows": count}
+
+
+def _run_variant_subprocess(out_dir: str, name: str, runs: int) -> dict:
+    """Fresh python + fresh SparkSession for one variant — no session
+    history shared with the other variant or the parent."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--variant",
+            name,
+            "--dir",
+            out_dir,
+            "--runs",
+            str(runs),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("VARIANT_JSON: "):
+            return json.loads(line[len("VARIANT_JSON: ") :])
+    raise RuntimeError(
+        f"variant subprocess {name!r} produced no VARIANT_JSON "
+        f"(rc={proc.returncode}): {proc.stderr[-500:]}"
+    )
+
+
 def run_stress(
     spark,
     n_rows: int = 2_000_000,
     hot_share: float = 0.30,
     seed: int = 8,
     runs: int = 1,
+    isolate: bool = False,
 ) -> dict:
     """``runs`` > 1 reports the MEDIAN wall per variant with the raw
     samples alongside (r16: single-sample walls on the sandbox box
     swing ±3× under disk bursts — one 4M/60% pair read 0.87× and its
     identical re-run 6.0×; a median-of-3 is the same discipline
-    bench.py adopted in r11 for the same reason)."""
-    from mysqldatasynctool_spark.operators.events import (
-        events_anomaly_salted,
-        events_anomaly_zscore,
-    )
-
+    bench.py adopted in r11 for the same reason). ``isolate=True``
+    times each variant in a fresh subprocess/SparkSession (r16 verdict
+    item 5 — cross-variant session interference put a cold-start mode
+    in mixed-order samples); the parent session only builds the corpus
+    and runs the identity check."""
     out_dir = build_skewed_events(n_rows, hot_share, seed)
     try:
         report: dict = {
             "n_rows": n_rows,
             "hot_share": hot_share,
             "seed": seed,
+            "isolation": "subprocess-per-variant" if isolate else "shared-session",
         }
         walls: dict = {}
         counts: dict = {}
         all_runs: dict = {}
-        for name, fn in (
-            ("unsalted", events_anomaly_zscore),
-            ("salted", events_anomaly_salted),
-        ):
-            samples = []
-            for _ in range(max(1, runs)):
-                t0 = time.monotonic()
-                counts[name] = fn(spark, out_dir).count()
-                samples.append(round(time.monotonic() - t0, 3))
-            s = sorted(samples)
-            m = len(s) // 2
-            walls[name] = s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
-            all_runs[name] = samples
+        for name in _VARIANTS:
+            row = (
+                _run_variant_subprocess(out_dir, name, runs)
+                if isolate
+                else run_variant(spark, out_dir, name, runs)
+            )
+            walls[name] = row["wall"]
+            counts[name] = row["rows"]
+            all_runs[name] = row["runs"]
         report["runs"] = all_runs
         # identity on the skewed corpus, not just the fixture: compare
         # result hashes via a full subtract both ways (cheap relative
         # to the windows themselves)
-        a = events_anomaly_zscore(spark, out_dir)
-        b = events_anomaly_salted(spark, out_dir)
+        fns = _variant_fns()
+        a = fns["unsalted"](spark, out_dir)
+        b = fns["salted"](spark, out_dir)
         diff = a.exceptAll(b).count() + b.exceptAll(a).count()
         report.update(
             {
@@ -138,12 +205,29 @@ def run_stress(
 def main() -> int:
     from mysqldatasynctool_spark.session import get_spark
 
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    hot_share = float(sys.argv[2]) if len(sys.argv) > 2 else 0.30
-    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    argv = sys.argv[1:]
+    if "--variant" in argv:
+        # internal per-variant entry point (fresh process = fresh
+        # SparkSession): time one variant over an existing corpus
+        name = argv[argv.index("--variant") + 1]
+        out_dir = argv[argv.index("--dir") + 1]
+        runs = int(argv[argv.index("--runs") + 1]) if "--runs" in argv else 1
+        spark = get_spark(app_name=f"anomaly_skew_{name}")
+        spark.sparkContext.setLogLevel("ERROR")
+        row = run_variant(spark, out_dir, name, runs)
+        print("VARIANT_JSON: " + json.dumps(row, sort_keys=True))
+        return 0
+
+    isolate = "--isolate" in argv
+    pos = [a for a in argv if not a.startswith("--")]
+    n_rows = int(pos[0]) if len(pos) > 0 else 2_000_000
+    hot_share = float(pos[1]) if len(pos) > 1 else 0.30
+    runs = int(pos[2]) if len(pos) > 2 else 1
     spark = get_spark(app_name="anomaly_skew_stress")
     spark.sparkContext.setLogLevel("ERROR")
-    report = run_stress(spark, n_rows=n_rows, hot_share=hot_share, runs=runs)
+    report = run_stress(
+        spark, n_rows=n_rows, hot_share=hot_share, runs=runs, isolate=isolate
+    )
     print("ANOMALY_SKEW_JSON: " + json.dumps(report, sort_keys=True))
     return 0 if report["result_identical"] else 1
 

@@ -1,0 +1,69 @@
+"""Committed stress record (r16 verdict item 4): the ×300 ANN stress
+existed behind SPARK_GRAFT_STRESS_300X but no committed record carried
+it — the 0.8842 recall lived only in CHANGELOG prose. This runner
+executes the ANN stress at a given factor BRACKETED by the bench
+cpu/io probes (so a reader can verify the box was quiet) and persists
+``STRESS_r{N}.json`` at the repo root.
+
+Usage: python tools/stress_record.py [factor] [seed]   (default 300 8)
+Optionally merges extra blocks from files named on argv as
+``key=path.json`` (e.g. ``anomaly_skew_isolated=/tmp/skew.json``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def main() -> int:
+    import bench
+    from ann_stress import run_stress_ann
+
+    from mysqldatasynctool_spark.session import get_spark
+
+    pos = [a for a in sys.argv[1:] if "=" not in a]
+    extras = [a for a in sys.argv[1:] if "=" in a]
+    factor = int(pos[0]) if len(pos) > 0 else 300
+    seed = int(pos[1]) if len(pos) > 1 else 8
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    rec: dict = {
+        "record": "ann_stress",
+        "factor": factor,
+        "seed": seed,
+        "sf_dir": sf_dir,
+        "cpu_probe": {"start": bench._cpu_probe()},
+        "io_probe": {"start": bench._io_probe()},
+    }
+    spark = get_spark(app_name=f"stress_record_x{factor}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        rec[f"ann_recall_{factor}x"] = run_stress_ann(
+            spark, sf_dir, factor=factor, seed=seed
+        )
+    finally:
+        spark.stop()
+    rec["cpu_probe"]["end"] = bench._cpu_probe()
+    rec["io_probe"]["end"] = bench._io_probe()
+    for kv in extras:
+        key, path = kv.split("=", 1)
+        with open(path) as f:
+            rec[key] = json.load(f)
+
+    out = os.path.join(REPO, f"STRESS_r{bench._current_round():02d}.json")
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out}")
+    print("STRESS_JSON: " + json.dumps(rec, sort_keys=True)[:1800])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
