@@ -377,3 +377,31 @@ def test_scan_parallelism_sampling_mode(tmp_path):
     # threshold >= file count -> exact path, no flag
     below = parquet_scan_parallelism(str(d), sample_files=500)
     assert "sampled" not in below and below["row_groups"] == 1000
+
+
+def test_serving_cent_cache_per_index_and_reset():
+    """The serving path's centroid matrix + exact norms are one-time
+    per index (the list->matrix conversion and _seq_norm folds cost
+    seconds at 10^5 cells — per-query would defeat the numpy rewrite):
+    a keyed call populates the cache, a stale-length entry is rebuilt
+    (an index retrained to a different cell count under the same key
+    must not serve the old matrix), and reset_trained_state clears it."""
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    cents = [(i, [float(i), 1.0]) for i in range(8)]
+    qv, qnorm = [1.0, 0.5], S._seq_norm([1.0, 0.5])
+    S._SERVING_CENT_CACHE.clear()
+    a = S._serving_probe_cells(cents, qv, qnorm, 3, cache_key=("k", 3))
+    assert ("k", 3) in S._SERVING_CENT_CACHE
+    assert S._serving_probe_cells(cents, qv, qnorm, 3, cache_key=("k", 3)) == a
+    # stale-length entry (same key, different index) is rebuilt
+    bigger = cents + [(8, [9.0, 9.0])]
+    b = S._serving_probe_cells(bigger, qv, qnorm, 9, cache_key=("k", 3))
+    assert len(b) == 9 and S._SERVING_CENT_CACHE[("k", 3)][2] == 9
+    # unkeyed calls never populate
+    S._SERVING_CENT_CACHE.clear()
+    S._serving_probe_cells(cents, qv, qnorm, 3)
+    assert not S._SERVING_CENT_CACHE
+    S._SERVING_CENT_CACHE[("k", 3)] = ("x", "y", 1)
+    S.reset_trained_state()
+    assert not S._SERVING_CENT_CACHE
