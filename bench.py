@@ -211,11 +211,9 @@ def io_probe_baseline() -> float:
     median inflates and rejection gracefully disables — uniform
     degradation is the run-level io_probe bracket's job to attribute,
     not the per-sample filter's."""
-    if not _IO_SAMPLES:
-        return 0.0
-    s = sorted(_IO_SAMPLES)
-    m = len(s) // 2
-    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+    import statistics
+
+    return statistics.median(_IO_SAMPLES) if _IO_SAMPLES else 0.0
 
 
 def select_unburst_runs(
@@ -237,12 +235,15 @@ def select_unburst_runs(
     two burst-eaten samples the probes had already recorded as such —
     the statistic now USES the evidence instead of just filing it.
 
-    Never rejects below ``min_kept`` kept samples: if it would, the
-    lowest-max-bracket runs are kept instead (rejection is measurement
-    hygiene, not a data-loss mechanism — on a box degraded for the
-    whole query window, the least-contaminated samples are still the
-    best available estimate, and the per-query io probe in the record
-    attributes the residual).
+    Never rejects below ``min_kept`` kept samples: if fewer would
+    survive, the filter DISABLES itself and keeps every run (plain
+    median). When every sample in the query's window is bracketed
+    above the threshold, bracket magnitude no longer discriminates
+    samples — the first committed record with a pick-lowest-bracket
+    fallback kept events_sessionization's two SLOWEST runs (1.92/1.74
+    vs a 1.43-1.59 tail) because probe noise, not wall quality, chose
+    them. Whole-window degradation is the per-query io probe's job to
+    attribute, not the per-sample filter's.
     """
     if baseline <= 0:
         return list(range(len(walls))), []
@@ -251,9 +252,8 @@ def select_unburst_runs(
     }
     kept = [i for i in range(len(walls)) if i not in flagged]
     if len(kept) < min_kept:
-        by_bracket = sorted(range(len(walls)), key=lambda i: max(brackets[i]))
-        kept = sorted(by_bracket[: max(min_kept, len(kept))])
-    rejected = [i for i in range(len(walls)) if i not in kept]
+        return list(range(len(walls))), []
+    rejected = sorted(flagged)
     return kept, rejected
 
 
@@ -933,17 +933,19 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        # each query number is the MEDIAN of 3 runs (r12 discipline
-        # change — r10/r11 records were best-of-2/3 minima, so
-        # cross-round comparisons at the r11→r12 boundary compare a
-        # median against a min and read slightly slower at equal
-        # plans); the migrate blocks stay best-of-N because their
-        # first run pays one-time setup. Per-run wall times behind
-        # every number, so a regression in the headline metric is
-        # distinguishable from single-run box noise without
-        # re-running the whole suite.
+        # each query number is the MEDIAN of its burst-KEPT runs (r17
+        # discipline change: runs whose io-probe bracket exceeded 2x
+        # the run's typical probe level are excluded, and the adaptive
+        # extension re-runs to >=3 kept samples, capped at 6/7 — the
+        # label below changes so bench_compare prints its
+        # statistic-changed note at the r16→r17 boundary; r12-r16
+        # records were plain medians of 3-5). The migrate blocks stay
+        # best-of-N because their first run pays one-time setup.
+        # Per-run wall times behind every number, so a regression in
+        # the headline metric is distinguishable from single-run box
+        # noise without re-running the whole suite.
         "runs": all_runs,
-        "query_stat": "median_of_3_adaptive_to_5",
+        "query_stat": "burst_filtered_median_adaptive_to_6",
         # per-entry overrides: COLD_STEADY rows exclude the cold run
         # from their headline median (r13 advice — the label travels
         # with the record so cross-round tooling reads the right stat)

@@ -2236,6 +2236,11 @@ def load_trained_index(spark: SparkSession, path: str) -> int:
         if kind == "ivf":
             rs.sort(key=lambda r: r.pos)
             _TRAINED_CENTS[ck] = [(int(r.cid), list(r.vec)) for r in rs]
+            # the REPLACE contract extends to the serving-path matrix
+            # cache (r17 review): a rebuilt index with the SAME cell
+            # count under the same key would pass the length guard in
+            # _serving_probe_cells and serve stale centroids
+            _SERVING_CENT_CACHE.pop(ck, None)
             # the trained cell count IS len(centroids): restore the
             # budget primitive here too (r15 advice — previously only
             # load_index_frames populated it, so a dicts-only load
@@ -2375,6 +2380,7 @@ def _validate_frames_meta(spark: SparkSession, path: str):
         md.get("version") != ver
         or "n_cells" not in md
         or "probes" not in md
+        or "sf_dir" not in md
         or md.get("blocks") != PQ_BLOCKS
     ):
         raise ValueError(

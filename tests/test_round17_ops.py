@@ -51,17 +51,21 @@ def test_select_unburst_either_bracket_side_flags():
     assert rejected == [2] and kept == [0, 1]
 
 
-def test_select_unburst_min_kept_fallback():
+def test_select_unburst_disables_when_whole_window_degraded():
     """On a box degraded for the whole query window every bracket
-    exceeds the threshold; rejection must never go below min_kept —
-    the lowest-bracket runs are kept (least-contaminated estimate)."""
+    exceeds the threshold; the filter must DISABLE itself and keep all
+    runs (plain median) — bracket magnitude no longer discriminates
+    samples, and a pick-lowest-bracket fallback was measured keeping a
+    query's two slowest runs on probe noise. Same when only one clean
+    sample survives (a single-sample 'median' is a lucky minimum)."""
     from bench import select_unburst_runs
 
     walls = [9.0, 4.0, 5.0]
     brackets = [[0.30, 0.25], [0.10, 0.09], [0.20, 0.15]]
-    kept, rejected = select_unburst_runs(walls, brackets, baseline=0.012)
-    assert kept == [1, 2]  # two lowest max-brackets
-    assert rejected == [0]
+    assert select_unburst_runs(walls, brackets, 0.012) == ([0, 1, 2], [])
+    # one clean sample -> still below min_kept -> disabled
+    brackets1 = [[0.30, 0.25], [0.012, 0.013], [0.20, 0.15]]
+    assert select_unburst_runs(walls, brackets1, 0.012) == ([0, 1, 2], [])
 
 
 def test_select_unburst_clean_runs_and_degenerate_baseline():
@@ -131,13 +135,21 @@ def test_bench_compare_labels_burst_suppressed(tmp_path, capsys):
 
     old = _write_record(
         str(tmp_path / "old.json"),
-        {"qa": 1.0, "qb": 2.0},
-        {"qa": [1.0, 1.1, 0.9], "qb": [2.0, 2.1, 1.9]},
+        {"qa": 1.0, "qb": 2.0, "qc": 3.0},
+        {
+            "qa": [1.0, 1.1, 0.9],
+            "qb": [2.0, 2.1, 1.9],
+            "qc": [5.0, 3.0, 3.1, 2.9],
+        },
     )
     new = _write_record(
         str(tmp_path / "new.json"),
-        {"qa": 1.9, "qb": 4.0},
-        {"qa": [7.0, 22.0, 1.9], "qb": [4.0, 4.1, 3.9]},
+        {"qa": 1.9, "qb": 4.0, "qc": 6.0},
+        {
+            "qa": [7.0, 22.0, 1.9],
+            "qb": [4.0, 4.1, 3.9],
+            "qc": [9.5, 6.0, 6.1, 5.9],
+        },
         extra={
             "burst_rejections": {
                 "qa": {
@@ -153,8 +165,19 @@ def test_bench_compare_labels_burst_suppressed(tmp_path, capsys):
                 # qb regressed with EVERY kept bracket >2x idle: the
                 # whole-window-degradation exoneration must fire
                 "qb": [[0.06, 0.05], [0.05, 0.07], [0.06, 0.05]],
+                # qc is COLD_STEADY: run0 (the cold run, EXCLUDED from
+                # the statistic) has a QUIET bracket; every steady
+                # bracket is degraded — the exoneration must ignore
+                # run0 and still fire (r17 review finding)
+                "qc": [
+                    [0.012, 0.013],
+                    [0.06, 0.05],
+                    [0.05, 0.07],
+                    [0.06, 0.05],
+                ],
             },
             "io_probe_baseline": 0.012,
+            "stat_by_query": {"qc": "steady_median_excl_cold_run0"},
         },
     )
     argv = sys.argv
@@ -167,6 +190,10 @@ def test_bench_compare_labels_burst_suppressed(tmp_path, capsys):
     assert "burst-suppressed in new record" in out
     assert "rejected runs [0, 1]" in out
     assert "disk degraded across ALL kept samples" in out
+    # the COLD_STEADY row's quiet cold bracket did not mask the
+    # whole-window degradation of its steady samples
+    qc_line = [ln for ln in out.splitlines() if " qc" in ln]
+    assert qc_line and "disk degraded across ALL kept samples" in qc_line[0]
     # and a record WITHOUT the fields still compares (back-compat)
     sys.argv = ["bench_compare.py", old, old]
     try:
@@ -405,3 +432,22 @@ def test_serving_cent_cache_per_index_and_reset():
     S._SERVING_CENT_CACHE[("k", 3)] = ("x", "y", 1)
     S.reset_trained_state()
     assert not S._SERVING_CENT_CACHE
+
+
+def test_load_trained_index_invalidates_serving_cache(spark, tmp_path):
+    """r17 review finding: load_trained_index REPLACES the in-process
+    centroids; a same-length serving matrix cached under the same key
+    would pass _serving_probe_cells' length guard and serve stale
+    centroids. The load must pop the serving-cache entry for every
+    IVF key it replaces."""
+    from tests.conftest import SF_SMALL
+    from mysqldatasynctool_spark.operators import similarity as S
+
+    S.reset_trained_state()
+    S.similarity_ivfpq_topk(spark, SF_SMALL).count()
+    path = str(tmp_path / "idx")
+    S.save_trained_index(spark, path)
+    key = (SF_SMALL, S.LLOYD_ITERS)
+    S._SERVING_CENT_CACHE[key] = ("stale-matrix", "stale-norms", 999)
+    S.load_trained_index(spark, path)
+    assert key not in S._SERVING_CENT_CACHE

@@ -51,9 +51,7 @@ def _variant_fns():
     return {"unsalted": events_anomaly_zscore, "salted": events_anomaly_salted}
 
 
-def build_skewed_events(
-    n_rows: int, hot_share: float, seed: int = 8, out_dir: str | None = None
-) -> str:
+def build_skewed_events(n_rows: int, hot_share: float, seed: int = 8) -> str:
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -83,8 +81,7 @@ def build_skewed_events(
             "value": np.round(value, 6),
         }
     )
-    if out_dir is None:
-        out_dir = tempfile.mkdtemp(prefix="anomaly_skew_")
+    out_dir = tempfile.mkdtemp(prefix="anomaly_skew_")
     # bounded row groups (r16, same fix as ann/lsh_stress): pyarrow's
     # 1 Mi-row default gave this 4 M-row corpus only 4 row groups =
     # 4 scan tasks on a 32-core box. Both variants shared the layout,

@@ -103,6 +103,7 @@ def main() -> int:
     burst_old: dict[str, dict] = {}
     brackets_new: dict[str, list] = {}
     io_base_new = None
+    stat_new: dict[str, str] = {}
     try:
         new_rec = json.load(open(new_path))
         # r17+: the bench statistic rejects burst-bracketed samples and
@@ -111,6 +112,7 @@ def main() -> int:
         burst_new = new_rec.get("burst_rejections") or {}
         brackets_new = new_rec.get("io_bracket_by_run") or {}
         io_base_new = new_rec.get("io_probe_baseline")
+        stat_new = new_rec.get("stat_by_query") or {}
         probes_new = new_rec.get("probe_by_query") or {}
         if probes_new:
             vals = sorted(probes_new.values())
@@ -250,6 +252,13 @@ def main() -> int:
         # fallback) — the delta is the disk's, not the plan's
         if regressed and io_base_new and brackets_new.get(k):
             rej = set(burst_new.get(k, {}).get("rejected_runs", []))
+            # COLD_STEADY entries exclude run0 from their statistic
+            # BEFORE the burst filter sees it, so rejected_runs can
+            # never contain 0 — a quiet cold bracket must not mask
+            # whole-window degradation of the steady samples the
+            # number was actually computed from
+            if stat_new.get(k, "").startswith("steady_median_excl_cold_run0"):
+                rej.add(0)
             kept_br = [
                 max(b)
                 for i, b in enumerate(brackets_new[k])

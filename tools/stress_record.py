@@ -33,6 +33,14 @@ def main() -> int:
     seed = int(pos[1]) if len(pos) > 1 else 8
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    # load extras BEFORE the multi-minute stress: a typo'd path must
+    # fail in the first second, not after the run it would discard
+    extra_blocks = {}
+    for kv in extras:
+        key, path = kv.split("=", 1)
+        with open(path) as f:
+            extra_blocks[key] = json.load(f)
+
     rec: dict = {
         "record": "ann_stress",
         "factor": factor,
@@ -51,10 +59,7 @@ def main() -> int:
         spark.stop()
     rec["cpu_probe"]["end"] = bench._cpu_probe()
     rec["io_probe"]["end"] = bench._io_probe()
-    for kv in extras:
-        key, path = kv.split("=", 1)
-        with open(path) as f:
-            rec[key] = json.load(f)
+    rec.update(extra_blocks)
 
     out = os.path.join(REPO, f"STRESS_r{bench._current_round():02d}.json")
     with open(out, "w") as f:
