@@ -653,7 +653,13 @@ def main() -> None:
     try:
         runs = []
         dir_phases = []
+        # per-run disk sample for the migrate blocks too (r17: the one
+        # entry class WITHOUT the io channel regressed 1.8x on uniform
+        # per-table phase inflation — environment by every other
+        # signal, but unattributable in-record without this)
+        mig_io: list[float] = []
         for _ in range(3):
+            mig_io.append(_io_probe_once())
             dest = tempfile.mkdtemp(prefix="bench_migrate_")
             t0 = time.monotonic()
             elapsed = None
@@ -677,6 +683,9 @@ def main() -> None:
             dir_phases.append({r.table: r.phases for r in reports if r.phases})
         all_runs["migrate_full_db_with_verify"] = runs
         timings["migrate_full_db_with_verify"] = min(runs)
+        io_probe_by_query["migrate_full_db_with_verify"] = sorted(mig_io)[
+            len(mig_io) // 2
+        ]
         # per-table copy/verify wall-time from the BEST run — r6 moved
         # +23% on this metric with no code change; the split makes any
         # future drift attributable (fused scan+write vs verify
@@ -714,12 +723,14 @@ def main() -> None:
         runs = []
         run_phases = []
         jdbc_bad = 0
+        mig_io = []
         for i in range(3):
             # unconditional 3 runs (r12: the adaptive skip saved ~15 s
             # but left the headline metric resting on 2 samples — a
             # [18.2s, 14.5s] burst pair recorded 14.5 where the third
             # sample lands ~12.5; same 3-sample floor as the directory
             # migrate)
+            mig_io.append(_io_probe_once())
             dest_ep = Endpoint(
                 url_override=f"jdbc:derby:{derby_root}/dest{i};create=true", driver=drv
             )
@@ -735,6 +746,9 @@ def main() -> None:
         n_bad += jdbc_bad
         all_runs["migrate_jdbc_db_to_db"] = runs
         timings["migrate_jdbc_db_to_db"] = min(runs)
+        io_probe_by_query["migrate_jdbc_db_to_db"] = sorted(mig_io)[
+            len(mig_io) // 2
+        ]
         # per-table plan/copy/verify wall-time from the BEST run:
         # attributes the residual gap vs the reference (read-side vs
         # Derby's serialized embedded writes) instead of assuming it
