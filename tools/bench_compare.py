@@ -172,6 +172,17 @@ def main() -> int:
                     f"start {io_n['start']:.3f}s end {io_n['end']:.3f}s"
                     " — no old-record bracket to compare"
                 )
+        # single-row-group fixture tax (r17+ records carry layout_ab):
+        # a cross-round move in the scan-heavy block should be read
+        # next to the layout ratio, not as plan drift
+        la_o = (old_rec.get("layout_ab") or {}).get("median_ratio")
+        la_n = (new_rec.get("layout_ab") or {}).get("median_ratio")
+        if la_n is not None:
+            print(
+                "layout tax (driver rg1 vs bounded-rg median ratio): "
+                + (f"{la_o}x -> " if la_o is not None else "")
+                + f"{la_n}x"
+            )
     except Exception:  # noqa: BLE001 — context line is additive
         pass
     common = sorted(set(old_q) & set(new_q))
