@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mysqldatasynctool_spark.operators import collect_registry
+from mysqldatasynctool_spark.plans import executed_plan_metrics
 from mysqldatasynctool_spark.session import get_spark
 
 #: headline set: the flagship + one representative per operator family
@@ -459,6 +460,14 @@ def main() -> None:
     #: name -> rejection metadata for entries whose statistic excluded
     #: burst-contaminated samples (r16 verdict item 1)
     burst_rejections: dict[str, dict] = {}
+    #: name -> executed-plan SQL-metric sums (shuffle/spill/broadcast
+    #: bytes, exchange counts) from ONE untimed post-run execution.
+    #: These are plan x data quantities — deterministic up to
+    #: compression jitter, immune to the box's disk — so cross-round
+    #: wall drift can be split into "plan volume changed" vs
+    #: "environment" without replay experiments (r14-r17's recurring
+    #: adjudication, now in-record).
+    plan_metrics_by_query: dict[str, dict] = {}
     for name in HEADLINE:
         # cache hygiene BETWEEN queries (never between a query's own
         # runs — within-query reuse is the amortization being
@@ -569,6 +578,20 @@ def main() -> None:
                 "cold": runs[0],
                 "steady": _median(kept_walls),
             }
+        # ONE untimed execution of the df's OWN plan instance to read
+        # its SQL metrics (the timed noop writes execute a separate
+        # write QueryExecution whose accumulators we can't reach from
+        # the df handle). toRdd().count() materializes every row
+        # JVM-side — no Arrow/driver transfer — on the query's warmed
+        # caches, so the volumes reflect the same steady state the
+        # median wall does. Best-effort: a py4j hiccup costs this row's
+        # plan_metrics, never the wall numbers.
+        try:
+            mdf = queries[name](spark, sf_dir)
+            mdf._jdf.queryExecution().toRdd().count()
+            plan_metrics_by_query[name] = executed_plan_metrics(mdf)
+        except Exception:  # noqa: BLE001 — metrics are supplementary
+            pass
     # release the last family's caches before the migrate blocks
     spark.catalog.clearCache()
     teardown_caches()
@@ -982,6 +1005,11 @@ def main() -> None:
         # attributable to the exact samples it kept and dropped
         "io_bracket_by_run": io_bracket_by_run,
         "io_probe_baseline": io_probe_baseline(),
+        # executed-plan SQL-metric sums per headline query (shuffle /
+        # spill / broadcast bytes, exchange counts) — the box-immune
+        # plan-volume signal bench_compare uses to separate plan
+        # regressions from environment drift
+        "plan_metrics_by_query": plan_metrics_by_query,
     }
     if burst_rejections:
         out["burst_rejections"] = burst_rejections

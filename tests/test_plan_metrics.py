@@ -1,0 +1,191 @@
+"""Executed-plan metric accounting (plans/metrics.py): the box-immune
+cross-round signal. Shuffle/broadcast/spill byte counters summed off
+the finalized (post-AQE) physical plan."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mysqldatasynctool_spark.plans import executed_plan_metrics
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_groupby_counts_one_shuffle(spark):
+    df = (
+        spark.range(0, 50_000)
+        .selectExpr("id % 97 as k", "id as v")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    df.collect()
+    m = executed_plan_metrics(df)
+    assert m["num_shuffles"] == 1
+    assert m["num_broadcasts"] == 0
+    assert m["shuffle_bytes_written"] > 0
+    # partial-agg emits up to 97 rows PER map task (8 tasks here)
+    assert 97 <= m["shuffle_records_written"] <= 8 * 97
+    # everything written was read back by the reduce side
+    assert m["shuffle_bytes_read"] == m["shuffle_bytes_written"]
+    assert m["nodes"] > 3
+
+
+def test_broadcast_join_has_zero_shuffle_and_broadcast_bytes(spark):
+    orders = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(SF_SMALL, "customer.parquet"))
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+    j.collect()
+    m = executed_plan_metrics(j)
+    assert m["num_broadcasts"] == 1
+    assert m["broadcast_bytes"] > 0
+    assert m["num_shuffles"] == 0
+    assert m["shuffle_bytes_written"] == 0
+    # both parquet scans accounted, post-pruning file footprint
+    assert m["scan_files"] == 2
+    assert m["scan_files_bytes"] > 0
+
+
+def test_shuffle_join_writes_more_than_broadcast_join(spark):
+    """The metric orders the two physical strategies the way the 100-TB
+    cost model does: hash-partitioning both sides costs shuffle bytes,
+    broadcasting the small side costs none."""
+    orders = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(SF_SMALL, "customer.parquet"))
+
+    merge = orders.hint("merge").join(cust, orders.o_custkey == cust.c_custkey)
+    merge.collect()
+    m_merge = executed_plan_metrics(merge)
+
+    bcast = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    bcast.collect()
+    m_bcast = executed_plan_metrics(bcast)
+
+    assert m_merge["num_shuffles"] == 2  # both sides exchange
+    assert m_merge["shuffle_bytes_written"] > m_bcast["shuffle_bytes_written"] == 0
+
+
+def test_unexecuted_df_reports_shape_only(spark):
+    df = spark.range(0, 1000).groupBy((F.col("id") % 5).alias("k")).count()
+    m = executed_plan_metrics(df)  # no action ran
+    assert m["shuffle_bytes_written"] == 0
+    assert m["shuffle_records_written"] == 0
+    assert m["nodes"] >= 1
+
+
+def test_reused_exchange_not_double_counted(spark):
+    """Self-join on an aggregated frame: Spark reuses the exchange; the
+    reuse must be counted as an event, not re-summed into the bytes."""
+    base = (
+        spark.range(0, 20_000)
+        .selectExpr("id % 53 as k", "id as v")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    joined = base.alias("a").join(base.alias("b"), "k").where("a.s = b.s")
+    joined.collect()
+    m = executed_plan_metrics(joined)
+    single = base.groupBy().count()  # unrelated; just need base's own volume
+    # Re-run base alone to get one exchange's write volume for comparison.
+    base2 = (
+        spark.range(0, 20_000)
+        .selectExpr("id % 53 as k", "id as v")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    base2.collect()
+    m_base = executed_plan_metrics(base2)
+    if m["reused_exchanges"] >= 1:
+        # the reused side contributed 0 extra written bytes: total stays
+        # in the band of one aggregation exchange + the join exchange(s),
+        # strictly less than a naive 2x double-count of every exchange
+        assert m["shuffle_bytes_written"] < 2 * max(
+            m_base["shuffle_bytes_written"], 1
+        ) + m["shuffle_bytes_read"]
+    assert m["shuffle_bytes_written"] > 0
+    _ = single  # silence lint
+
+
+def test_bench_compare_consumes_plan_metrics(tmp_path, capsys):
+    """A REGRESSED wall with unchanged shuffle volume is exonerated as
+    environment; a changed volume is flagged as a plan change even
+    though walls are noisy; changed exchange count flags plan shape."""
+    import importlib
+    import json
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    bc = importlib.import_module("bench_compare")
+
+    def write(path, queries, runs, pm):
+        rec = {
+            "queries": queries,
+            "runs": runs,
+            "plan_metrics_by_query": pm,
+        }
+        with open(path, "w") as f:
+            json.dump(rec, f)
+        return str(path)
+
+    pm = lambda sb, ns: {"shuffle_bytes_written": sb, "num_shuffles": ns}  # noqa: E731
+    old = write(
+        tmp_path / "old.json",
+        {"qa": 1.0, "qb": 1.0},
+        {"qa": [1.0, 1.1], "qb": [1.0, 1.1]},
+        {"qa": pm(10_000_000, 2), "qb": pm(10_000_000, 2)},
+    )
+    new = write(
+        tmp_path / "new.json",
+        {"qa": 2.0, "qb": 2.0},
+        {"qa": [2.0, 2.1], "qb": [2.0, 2.1]},
+        # qa: same volume (environment); qb: 2x volume + extra shuffle
+        {"qa": pm(10_100_000, 2), "qb": pm(20_000_000, 3)},
+    )
+    argv = sys.argv
+    try:
+        sys.argv = ["bench_compare.py", old, new]
+        assert bc.main() == 0
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "shuffle volume" in out  # common-set totals line
+    qa = [ln for ln in out.splitlines() if ln.endswith("qa") or " qa" in ln]
+    qb = [ln for ln in out.splitlines() if " qb" in ln]
+    assert qa and "environment suspected" in qa[0]
+    assert qb and "PLAN VOLUME CHANGE" in qb[0]
+    assert "PLAN SHAPE CHANGE: 2 -> 3 shuffles" in qb[0]
+
+
+def test_bench_source_wires_plan_metrics():
+    """The bench record must carry plan_metrics_by_query — greppable in
+    source so a refactor can't silently drop the volume channel."""
+    src = open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        )
+    ).read()
+    assert '"plan_metrics_by_query": plan_metrics_by_query' in src
+    assert "executed_plan_metrics(mdf)" in src
+
+
+def test_registry_query_yields_metrics(spark):
+    """The surface works on a real registry entry end-to-end (q3:
+    join-heavy, aggregated) — this is exactly what bench.py records."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q3_shipping_priority"](spark, SF_SMALL)
+    df.collect()
+    m = executed_plan_metrics(df)
+    assert m["shuffle_bytes_written"] > 0
+    assert m["num_shuffles"] >= 1
+    assert m["scan_files"] >= 2

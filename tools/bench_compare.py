@@ -104,8 +104,14 @@ def main() -> int:
     brackets_new: dict[str, list] = {}
     io_base_new = None
     stat_new: dict[str, str] = {}
+    pm_new: dict[str, dict] = {}
+    pm_old: dict[str, dict] = {}
     try:
         new_rec = json.load(open(new_path))
+        # r17+: executed-plan SQL-metric sums — plan x data quantities,
+        # deterministic up to compression jitter, so they split wall
+        # drift into "plan volume changed" vs "environment" directly
+        pm_new = new_rec.get("plan_metrics_by_query") or {}
         # r17+: the bench statistic rejects burst-bracketed samples and
         # records the rejections — consume them so cross-round deltas
         # auto-exonerate disk bursts instead of reading them as plans
@@ -133,6 +139,7 @@ def main() -> int:
                 vals[m] if len(vals) % 2 else (vals[m - 1] + vals[m]) / 2
             )
         old_rec = json.load(open(old_path))
+        pm_old = old_rec.get("plan_metrics_by_query") or {}
         burst_old = old_rec.get("burst_rejections") or {}
         so = old_rec.get("query_stat", "min_of_runs(pre-r12)")
         sn = new_rec.get("query_stat", "min_of_runs(pre-r12)")
@@ -192,6 +199,18 @@ def main() -> int:
         f"common set ({len(common)} queries): "
         f"{t_old:.1f}s -> {t_new:.1f}s ({(t_new / t_old - 1) * 100:+.1f}%)"
     )
+    # shuffle-volume totals over the common set (r17+ both sides): the
+    # wall total above is plan x data x box; this one is plan x data
+    pm_common = [k for k in common if k in pm_new and k in pm_old]
+    if pm_common:
+        sb_old = sum(pm_old[k].get("shuffle_bytes_written", 0) for k in pm_common)
+        sb_new = sum(pm_new[k].get("shuffle_bytes_written", 0) for k in pm_common)
+        if sb_old:
+            print(
+                f"shuffle volume ({len(pm_common)} queries with plan "
+                f"metrics): {sb_old / 1e6:.1f} MB -> {sb_new / 1e6:.1f} MB "
+                f"({(sb_new / sb_old - 1) * 100:+.1f}%) — box-immune"
+            )
     added = sorted(set(new_q) - set(old_q))
     gone = sorted(set(old_q) - set(new_q))
     if added:
@@ -258,6 +277,31 @@ def main() -> int:
                     f"{burst[k]['rejected_runs']} "
                     f"walls {burst[k].get('rejected_walls')}]"
                 )
+        # plan-volume check (r17+ both sides): shuffle bytes are a
+        # property of plan x data, not the box — a regressed wall whose
+        # shuffle volume is unchanged is environment by construction; a
+        # changed volume IS a plan change regardless of wall noise
+        if k in pm_new and k in pm_old:
+            vo = pm_old[k].get("shuffle_bytes_written", 0)
+            vn = pm_new[k].get("shuffle_bytes_written", 0)
+            if max(vo, vn) > 0:
+                vr = vn / vo if vo else float("inf")
+                if not 0.8 <= vr <= 1.2:
+                    flag += (
+                        f" [PLAN VOLUME CHANGE: shuffle "
+                        f"{vo / 1e6:.2f} -> {vn / 1e6:.2f} MB"
+                        f" ({(vr - 1) * 100:+.0f}%)]"
+                    )
+                elif regressed:
+                    flag += (
+                        f" [plan volume unchanged (shuffle "
+                        f"{vn / 1e6:.2f} MB, {(vr - 1) * 100:+.1f}%) — "
+                        "environment suspected]"
+                    )
+            ns_o = pm_old[k].get("num_shuffles")
+            ns_n = pm_new[k].get("num_shuffles")
+            if ns_o is not None and ns_n is not None and ns_o != ns_n:
+                flag += f" [PLAN SHAPE CHANGE: {ns_o} -> {ns_n} shuffles]"
         # whole-window degradation: every sample the new statistic KEPT
         # was still bracketed by a >2x-idle disk (the min-kept
         # fallback) — the delta is the disk's, not the plan's
