@@ -329,6 +329,55 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_plan_volume(args) -> int:
+    """Measured plan-volume report for a registered query or ad-hoc
+    SQL over the fixture tables: executes the plan once JVM-side (no
+    driver materialization) and prints the executed-plan SQL metric
+    sums — shuffle bytes written/read, spill, broadcast bytes, scan
+    footprint, exchange counts. These are plan x data quantities (the
+    same on a quiet or thrashing box): the numbers a user sizes a
+    cluster's network/memory budget with BEFORE running at 100 TB.
+    ``layoutProbe`` bounds the scan side; this verb prices everything
+    after the scan."""
+    import json as _json
+
+    from .operators import collect_registry
+    from .plans import executed_plan_metrics
+    from .session import get_spark
+
+    spark = get_spark(app_name="planVolume")
+    if args.sql:
+        from .sources.fixtures import load_all
+
+        load_all(spark, args.sf_dir)  # registers the fixture views
+        df = spark.sql(args.sql)
+        label = "sql"
+    else:
+        queries, _ = collect_registry()
+        if args.name not in queries:
+            print(f"unknown query {args.name!r}", file=sys.stderr)
+            return 2
+        df = queries[args.name](spark, args.sf_dir)
+        label = args.name
+    df._jdf.queryExecution().toRdd().count()
+    m = executed_plan_metrics(df)
+    rep = {"query": label, **m}
+    if args.project_to_bytes:
+        from .plans import size_report
+
+        if m.get("scan_files_bytes", 0) <= 0:
+            rep["projection_error"] = (
+                "no measured scan_files_bytes to scale from (synthetic "
+                "or fully-cached input) — projection skipped"
+            )
+        else:
+            rep["sizing"] = size_report(
+                m, m["scan_files_bytes"], args.project_to_bytes
+            )
+    print(_json.dumps(rep))
+    return 0
+
+
 def cmd_ann_index(args) -> int:
     """Ops lifecycle for the trained-ANN parquet index artifact
     (VERDICT r13 item 5's user-facing path): ``save`` trains (if
@@ -522,6 +571,28 @@ def main(argv: list[str] | None = None) -> int:
         "trees and extrapolate (exact below N; keeps the preflight a "
         "preflight at 100k+ files)",
     )
+    pv = sub.add_parser(
+        "planVolume",
+        help="measured plan-volume report (shuffle/spill/broadcast "
+        "bytes from the executed plan) for a registered query or "
+        "ad-hoc SQL",
+    )
+    pv.add_argument("name", nargs="?", help="registered query name")
+    pv.add_argument(
+        "--sql", default=None, help="ad-hoc SQL over the fixture views "
+        "(instead of NAME)"
+    )
+    pv.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001", help="dataset dir"
+    )
+    pv.add_argument(
+        "--project-to-bytes",
+        type=float,
+        default=None,
+        help="also project the measured volume to a corpus of this "
+        "many bytes (e.g. 1e14 for 100 TB) and recommend "
+        "spark.sql.shuffle.partitions for it",
+    )
     sub.add_parser("version", help="print version")
 
     for sp in (pm, pc, pt):
@@ -536,6 +607,8 @@ def main(argv: list[str] | None = None) -> int:
             p.error(f"config file not found: {args.config}")
     if args.command == "query" and not (args.list or args.name):
         p.error("query: give a NAME or --list")
+    if args.command == "planVolume" and not (args.sql or args.name):
+        p.error("planVolume: give a NAME or --sql")
     return {
         "migrate": cmd_migrate,
         "migrateDb": cmd_migrate_db,
@@ -543,6 +616,7 @@ def main(argv: list[str] | None = None) -> int:
         "createTable": cmd_create_table,
         "query": cmd_query,
         "annIndex": cmd_ann_index,
+        "planVolume": cmd_plan_volume,
         "layoutProbe": cmd_layout_probe,
         "version": cmd_version,
     }[args.command](args)

@@ -255,3 +255,36 @@ def test_cli_layout_probe(capsys, tmp_path):
     rc = main(["layoutProbe", str(tmp_path / "missing")])
     assert rc == 2
     assert "error" in capsys.readouterr().out
+
+
+def test_cli_plan_volume(spark, capsys):
+    """planVolume executes once JVM-side and prints the measured
+    volume JSON for a registered query and for ad-hoc SQL; refuses
+    when given neither."""
+    import json as _json
+
+    rc = main(
+        ["planVolume", "q3_shipping_priority", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["query"] == "q3_shipping_priority"
+    assert rep["num_broadcasts"] >= 1 and rep["broadcast_bytes"] > 0
+    assert rep["scan_files"] == 3  # lineitem + orders + customer
+
+    rc = main(
+        [
+            "planVolume",
+            "--sql",
+            "SELECT o_orderstatus, count(*) c FROM orders GROUP BY 1",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["query"] == "sql"
+    assert rep["num_shuffles"] == 1 and rep["shuffle_bytes_written"] > 0
+
+    rc = main(["planVolume", "nonexistent_query_name"])
+    assert rc == 2

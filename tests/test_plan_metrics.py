@@ -178,6 +178,60 @@ def test_bench_source_wires_plan_metrics():
     assert "executed_plan_metrics(mdf)" in src
 
 
+def test_project_volume_and_recommend_conf():
+    """Linear projection + partition recommendation: 100 TB from a
+    10 MB fixture measurement, with broadcast ceiling warnings."""
+    from mysqldatasynctool_spark.plans import (
+        project_volume,
+        recommend_conf,
+        size_report,
+    )
+
+    m = {
+        "shuffle_bytes_written": 1_000_000,
+        "shuffle_bytes_read": 1_000_000,
+        "shuffle_records_written": 500,
+        "spill_bytes": 0,
+        "broadcast_bytes": 2_000,
+        "scan_files_bytes": 10_000_000,
+        "num_shuffles": 2,
+        "num_broadcasts": 1,
+        "reused_exchanges": 0,
+        "nodes": 20,
+        "scan_files": 3,
+    }
+    p = project_volume(m, 1e7)  # 10M x -> 100 TB corpus class
+    assert p["shuffle_bytes_written"] == 10_000_000_000_000
+    assert p["num_shuffles"] == 2  # shape invariant
+    # 2 KB broadcast at fixture -> 20 GB projected: both ceilings blown
+    assert any("executor budget" in w for w in p["warnings"])
+
+    conf = recommend_conf(p)
+    n = conf["spark.sql.shuffle.partitions"]
+    # 10 TB shuffle / 128 MiB -> ~74.5k partitions, rounded to x32
+    assert 74_000 < n <= 78_000 and n % 32 == 0
+    assert conf["projected_partition_bytes"] <= 128 * 1024 * 1024
+
+    # small volumes clamp to the floor
+    small = recommend_conf(project_volume(m, 1.0))
+    assert small["spark.sql.shuffle.partitions"] == 32
+
+    rep = size_report(m, m["scan_files_bytes"], 1e14)
+    assert rep["projected"]["scale_ratio"] == 1e7
+    assert rep["recommended"]["spark.sql.shuffle.partitions"] == n
+
+    # spill at measured scale warns
+    p2 = project_volume({**m, "spill_bytes": 1}, 10.0)
+    assert any("spills at measured scale" in w for w in p2["warnings"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        project_volume(m, 0)
+    with _pytest.raises(ValueError):
+        size_report(m, 0, 1e14)
+
+
 def test_registry_query_yields_metrics(spark):
     """The surface works on a real registry entry end-to-end (q3:
     join-heavy, aggregated) — this is exactly what bench.py records."""

@@ -53,6 +53,12 @@ def audit_query(spark, fn, sf_dir: str) -> dict:
     m["shuffle_per_scanned_byte"] = (
         round(m["shuffle_bytes_written"] / scanned, 4) if scanned else None
     )
+    # entries carrying an in-query exact verification twin (a
+    # within_tol column) measure operator + verification volume; at
+    # production scale only the operator runs. The label keeps the
+    # ranking honest: agg_approx_distinct's 5.9 MB at sf0.01 is 88%
+    # countDistinct-twin expand — the HLL side alone shuffles 0.7 MB.
+    m["verification_carrying"] = "within_tol" in df.columns
     return m
 
 
@@ -105,6 +111,9 @@ def main() -> int:
         "spillers": sorted(
             n for n, m in by_query.items() if m["spill_bytes"] > 0
         ),
+        "verification_carrying": sorted(
+            n for n, m in by_query.items() if m.get("verification_carrying")
+        ),
         "by_query": by_query,
     }
     if errors:
@@ -121,13 +130,14 @@ def main() -> int:
     )
     for name, m in ranked[: args.top]:
         r = m["shuffle_per_scanned_byte"]
+        vc = " [verification-carrying]" if m.get("verification_carrying") else ""
         print(
             f"{m['shuffle_bytes_written'] / 1e6:10.2f} "
             f"{m['shuffle_bytes_read'] / 1e6:8.2f} "
             f"{m['spill_bytes'] / 1e6:8.2f} "
             f"{m['broadcast_bytes'] / 1e6:8.2f} "
             f"{m['num_shuffles']:3d} {m['num_broadcasts']:3d} "
-            f"{(f'{r:8.3f}' if r is not None else '       -')}  {name}"
+            f"{(f'{r:8.3f}' if r is not None else '       -')}  {name}{vc}"
         )
     print(
         f"\ntotals over {len(by_query)} entries: "
