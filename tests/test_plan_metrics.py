@@ -165,6 +165,57 @@ def test_bench_compare_consumes_plan_metrics(tmp_path, capsys):
     assert "PLAN SHAPE CHANGE: 2 -> 3 shuffles" in qb[0]
 
 
+def test_bench_compare_sidecar_plan_metrics(tmp_path, capsys):
+    """A record named like a round artifact but lacking
+    plan_metrics_by_query picks volumes up from its
+    BENCH_PLANMETRICS_r{N}.json sidecar."""
+    import importlib
+    import json
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    bc = importlib.import_module("bench_compare")
+
+    old = tmp_path / "BENCH_LOCAL_r17.json"
+    new = tmp_path / "BENCH_LOCAL_r18.json"
+    json.dump(
+        {"queries": {"qa": 1.0}, "runs": {"qa": [1.0, 1.1]}}, open(old, "w")
+    )
+    json.dump(
+        {
+            "queries": {"qa": 2.0},
+            "runs": {"qa": [2.0, 2.1]},
+            "plan_metrics_by_query": {
+                "qa": {"shuffle_bytes_written": 1_000_000, "num_shuffles": 1}
+            },
+        },
+        open(new, "w"),
+    )
+    json.dump(
+        {
+            "plan_metrics_by_query": {
+                "qa": {"shuffle_bytes_written": 1_010_000, "num_shuffles": 1}
+            }
+        },
+        open(tmp_path / "BENCH_PLANMETRICS_r17.json", "w"),
+    )
+    argv = sys.argv
+    try:
+        sys.argv = ["bench_compare.py", str(old), str(new)]
+        assert bc.main() == 0
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "read from sidecar BENCH_PLANMETRICS_r17.json" in out
+    assert "environment suspected" in out  # volume ~unchanged, wall 2x
+
+
 def test_bench_source_wires_plan_metrics():
     """The bench record must carry plan_metrics_by_query — greppable in
     source so a refactor can't silently drop the volume channel."""

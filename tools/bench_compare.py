@@ -85,6 +85,37 @@ def load_queries(path: str) -> tuple[dict[str, float], dict[str, list[float]]]:
     return {k: min(v) for k, v in runs.items()}, runs
 
 
+def _sidecar_plan_metrics(record_path: str) -> dict:
+    """Plan-metrics fallback for records that predate the in-record
+    `plan_metrics_by_query` field (r17's committed BENCH_LOCAL was
+    written before the channel existed): look for
+    BENCH_PLANMETRICS_r{N}.json next to the record — a
+    tools/shuffle_audit.py sweep of the headline set reshaped to
+    {"plan_metrics_by_query": {...}}. Volumes are plan x data, so a
+    sidecar measured on a different day is still the same number."""
+    import os
+    import re
+
+    m = re.search(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", record_path)
+    if not m:
+        return {}
+    p = os.path.join(
+        os.path.dirname(record_path) or ".",
+        f"BENCH_PLANMETRICS_r{int(m.group(1)):02d}.json",
+    )
+    if not os.path.exists(p):
+        return {}
+    try:
+        rec = json.load(open(p))
+        pm = rec.get("plan_metrics_by_query") or {}
+        if pm:
+            print(f"note: plan metrics for {os.path.basename(record_path)} "
+                  f"read from sidecar {os.path.basename(p)}")
+        return pm
+    except Exception:  # noqa: BLE001 — sidecar is additive
+        return {}
+
+
 def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
@@ -111,7 +142,10 @@ def main() -> int:
         # r17+: executed-plan SQL-metric sums — plan x data quantities,
         # deterministic up to compression jitter, so they split wall
         # drift into "plan volume changed" vs "environment" directly
-        pm_new = new_rec.get("plan_metrics_by_query") or {}
+        pm_new = (
+            new_rec.get("plan_metrics_by_query")
+            or _sidecar_plan_metrics(new_path)
+        )
         # r17+: the bench statistic rejects burst-bracketed samples and
         # records the rejections — consume them so cross-round deltas
         # auto-exonerate disk bursts instead of reading them as plans
@@ -139,7 +173,10 @@ def main() -> int:
                 vals[m] if len(vals) % 2 else (vals[m - 1] + vals[m]) / 2
             )
         old_rec = json.load(open(old_path))
-        pm_old = old_rec.get("plan_metrics_by_query") or {}
+        pm_old = (
+            old_rec.get("plan_metrics_by_query")
+            or _sidecar_plan_metrics(old_path)
+        )
         burst_old = old_rec.get("burst_rejections") or {}
         so = old_rec.get("query_stat", "min_of_runs(pre-r12)")
         sn = new_rec.get("query_stat", "min_of_runs(pre-r12)")
