@@ -1153,11 +1153,20 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def substring_span_report(docs: DataFrame, width: int = SPAN_TOKENS) -> DataFrame:
-    """Core of ``dedup_substring_spans`` over any (doc_id, text) frame."""
+    """Core of ``dedup_substring_spans`` over any (doc_id, text) frame.
+
+    The h-window exchange is the operator's dominant shuffle (one row
+    per token instance), so its row is kept minimal: no position
+    column (the window and the final per-doc agg never read it), and
+    the fingerprint travels as ``unhex(md5)`` — the 16-byte binary
+    value, not the 32-char hex string (bijective, so the window
+    partitioning and is_dup are bit-identical; measured at sf0.1 this
+    halves the shuffle row and never leaves the query, so oracle
+    parity is untouched)."""
     from ..functions.text import ngram_rows
 
-    spans = ngram_rows(docs, width, out_col="_span", keep_pos=True).select(
-        "doc_id", "pos", F.md5(F.col("_span")).alias("h")
+    spans = ngram_rows(docs, width, out_col="_span").select(
+        "doc_id", F.unhex(F.md5(F.col("_span"))).alias("h")
     )
     wh = W.partitionBy("h")
     flagged = spans.withColumn(
