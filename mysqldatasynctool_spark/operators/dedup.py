@@ -973,14 +973,19 @@ def paragraph_dedup_report(docs: DataFrame) -> DataFrame:
     tok = docs.select(
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
     ).withColumn("seg_id", (F.col("pos") / SEGMENT_TOKENS).cast("int"))
+    # the digest is unhex'd to its 16-byte binary before the h-window
+    # shuffle (bijective with the hex string; it never reaches the
+    # output) — same shuffle-row diet as substring_span_report
     segs = tok.groupBy("doc_id", "seg_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "t"))),
-                    lambda s: s.getField("t"),
-                ),
-                " ",
+        F.unhex(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                        lambda s: s.getField("t"),
+                    ),
+                    " ",
+                )
             )
         ).alias("h")
     )
