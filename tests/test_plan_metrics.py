@@ -283,6 +283,61 @@ def test_project_volume_and_recommend_conf():
         size_report(m, 0, 1e14)
 
 
+def test_lsh_shuffle_volume_scales_linearly(spark):
+    """The scale CONTRACT of the banded MinHash-LSH dedup, now
+    asserted in measured bytes instead of prose: growing the corpus
+    x4 must grow the shuffle volume ~x4 (banded equi-join, one row
+    per (doc, band)), never ~x16 (an all-pairs or cross-join shape).
+    Uses the same seeded stress-corpus builder as the x10..x300
+    harness, so the planted-duplicate structure is realistic."""
+    import shutil
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from lsh_stress import build_stress_corpus
+
+    from mysqldatasynctool_spark.operators import (
+        dedup as D,
+        teardown_caches,
+    )
+
+    base = (
+        spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+        .toPandas()
+    )
+
+    def volume(factor: int) -> dict:
+        # constant planted count at both factors so the volume delta
+        # is purely corpus-driven (factor=2 only leaves 100 synth docs)
+        out_dir, _ = build_stress_corpus(
+            base, factor=factor, seed=8, n_planted=50
+        )
+        try:
+            spark.catalog.clearCache()
+            teardown_caches()
+            df = D.dedup_minhash_lsh(spark, out_dir)
+            df._jdf.queryExecution().toRdd().count()
+            return executed_plan_metrics(df)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    m2, m8 = volume(2), volume(8)
+    assert m2["shuffle_bytes_written"] > 0
+    ratio = m8["shuffle_bytes_written"] / m2["shuffle_bytes_written"]
+    # corpus x4: linear => ~4 (planted-dup structure adds jitter);
+    # quadratic would be ~16. 7 is the generous linear ceiling.
+    assert 2.0 <= ratio <= 7.0, f"shuffle volume ratio {ratio:.2f}"
+    # plan shape must not change with scale
+    assert m8["num_shuffles"] == m2["num_shuffles"]
+    assert m8["spill_bytes"] == 0
+
+
 def test_registry_query_yields_metrics(spark):
     """The surface works on a real registry entry end-to-end (q3:
     join-heavy, aggregated) — this is exactly what bench.py records."""
