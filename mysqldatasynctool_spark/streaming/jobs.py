@@ -795,9 +795,15 @@ def run_to_memory_sink(
     name: str,
     output_mode: str = "append",
     state_partitions: int | None = None,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Drive a streaming frame to completion over the available input
     (test harness path): memory sink + processAllAvailable.
+
+    ``progress_out``: pass a list to receive the drained query's
+    per-micro-batch progress entries (feed to
+    ``streaming.observe.progress_report`` for the state/watermark ops
+    report) — captured after the drain, before stop().
 
     ``state_partitions`` sizes the streaming query's shuffle/state
     partition count — THE stateful-streaming knob that
@@ -832,6 +838,8 @@ def run_to_memory_sink(
         )
         try:
             q.processAllAvailable()
+            if progress_out is not None:
+                progress_out.extend(q.recentProgress)
         finally:
             q.stop()
     finally:

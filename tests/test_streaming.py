@@ -713,3 +713,73 @@ def test_left_outer_funnel_join_stream_matches_batch(spark):
     # and null rows are unique per click
     keys = [(r.user_id, r.click_id, r.purchase_id) for r in left]
     assert len(keys) == len(set(keys))
+
+
+def test_progress_report_on_real_run(spark):
+    """progress_report over a real drained watermarked-session run:
+    throughput + state-operator extent reported, raw series kept, no
+    growth warning on a bounded backfill."""
+    from mysqldatasynctool_spark.streaming import (
+        progress_report,
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_session_windows,
+    )
+
+    stream = read_events_stream(spark, "/root/testdata/sf0.001")
+    captured: list = []
+    df = run_to_memory_sink(
+        streaming_session_windows(stream),
+        "obs_sessions",
+        output_mode="append",
+        progress_out=captured,
+    )
+    assert df.count() > 0 and captured
+    rep = progress_report(captured)
+    assert rep["n_batches"] >= 1
+    assert rep["input_rows"] == 1000  # sf0.001 events rows
+    ops = rep["state_operators"]
+    assert ops and ops[0]["memory_used_bytes_max"] > 0
+    assert ops[0]["rows_total_series"]  # raw evidence retained
+    assert rep["max_batch_duration_ms"] > 0
+    assert rep["warnings"] == []  # bounded drain, no growth signature
+
+
+def test_progress_report_growth_warning_on_synthetic_series():
+    """The unbounded-state signature (monotone growth, zero eviction,
+    >=3 batches) warns; eviction or too few batches must not."""
+    from mysqldatasynctool_spark.streaming.observe import progress_report
+
+    def batch(bid, rows_total, removed=0, dropped=0):
+        return {
+            "batchId": bid,
+            "numInputRows": 100,
+            "processedRowsPerSecond": 1000.0,
+            "batchDuration": 50,
+            "eventTime": {"watermark": "1970-01-01T00:00:00.000Z"},
+            "stateOperators": [
+                {
+                    "operatorName": "stateStoreSave",
+                    "numRowsTotal": rows_total,
+                    "numRowsUpdated": 100,
+                    "numRowsRemoved": removed,
+                    "numRowsDroppedByWatermark": dropped,
+                    "memoryUsedBytes": rows_total * 100,
+                    "numShufflePartitions": 8,
+                }
+            ],
+        }
+
+    growing = [batch(i, 100 * (i + 1)) for i in range(4)]
+    rep = progress_report(growing)
+    assert rep["warnings"] and "zero eviction" in rep["warnings"][0]
+    assert rep["state_operators"][0]["state_growth_warning"] is True
+    assert rep["state_operators"][0]["rows_total_series"] == [100, 200, 300, 400]
+
+    evicting = [batch(i, 100 * (i + 1), removed=5) for i in range(4)]
+    assert progress_report(evicting)["warnings"] == []
+
+    short = [batch(i, 100 * (i + 1)) for i in range(2)]
+    assert progress_report(short)["warnings"] == []
+
+    assert progress_report([])["n_batches"] == 0
