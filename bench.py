@@ -468,6 +468,10 @@ def main() -> None:
     #: "environment" without replay experiments (r14-r17's recurring
     #: adjudication, now in-record).
     plan_metrics_by_query: dict[str, dict] = {}
+    #: streaming entries only: measured state extent / eviction /
+    #: throughput per round (streaming/observe.py over the metrics
+    #: pass's run) — the stream twin of plan_metrics_by_query
+    streaming_state_by_query: dict[str, dict] = {}
     for name in HEADLINE:
         # cache hygiene BETWEEN queries (never between a query's own
         # runs — within-query reuse is the amortization being
@@ -591,6 +595,22 @@ def main() -> None:
             mdf._jdf.queryExecution().toRdd().count()
             plan_metrics_by_query[name] = executed_plan_metrics(mdf)
         except Exception:  # noqa: BLE001 — metrics are supplementary
+            pass
+        # streaming rows: the metrics pass above re-ran the stream, so
+        # streamruns.RUN_PROGRESS holds that run's raw micro-batch
+        # progress — reduce it to the state/eviction ops report (the
+        # stream twin of plan_metrics: rows held, memory, watermark
+        # eviction, unbounded-growth warning)
+        try:
+            from mysqldatasynctool_spark.operators import streamruns
+            from mysqldatasynctool_spark.streaming.observe import (
+                progress_report,
+            )
+
+            prog = streamruns.RUN_PROGRESS.get(name)
+            if prog:
+                streaming_state_by_query[name] = progress_report(prog)
+        except Exception:  # noqa: BLE001 — supplementary
             pass
     # release the last family's caches before the migrate blocks
     spark.catalog.clearCache()
@@ -1011,6 +1031,8 @@ def main() -> None:
         # regressions from environment drift
         "plan_metrics_by_query": plan_metrics_by_query,
     }
+    if streaming_state_by_query:
+        out["streaming_state_by_query"] = streaming_state_by_query
     if burst_rejections:
         out["burst_rejections"] = burst_rejections
     if phase_split:

@@ -35,6 +35,21 @@ from pyspark.sql import functions as F
 from .events import EVENTS_OHLC_ORACLE, EVENTS_SESSION_WINDOW_BUILTIN_ORACLE
 from .windows import WINDOW_EWMA_ORACLE
 
+#: raw per-micro-batch progress of each entry's LAST run, keyed by
+#: registry name — bench.py reads this after timing and records
+#: ``streaming.observe.progress_report`` per round, so every bench
+#: record carries measured state-extent/eviction evidence for the
+#: streaming rows (the stream twin of ``plan_metrics_by_query``)
+RUN_PROGRESS: dict[str, list] = {}
+
+
+def _progress(name: str) -> list:
+    """Fresh capture list for one run (cleared so a long-lived session
+    never accumulates across bench samples)."""
+    lst = RUN_PROGRESS.setdefault(name, [])
+    lst.clear()
+    return lst
+
 
 def streaming_run_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the streaming hourly-OHLC job over the events fixture and
@@ -48,7 +63,10 @@ def streaming_run_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     return run_to_memory_sink(
-        streaming_ohlc_bars(stream), "sr_ohlc", output_mode="complete"
+        streaming_ohlc_bars(stream),
+        "sr_ohlc",
+        output_mode="complete",
+        progress_out=_progress("streaming_run_ohlc"),
     )
 
 
@@ -64,7 +82,10 @@ def streaming_run_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     out = run_to_memory_sink(
-        streaming_session_windows(stream), "sr_session", output_mode="complete"
+        streaming_session_windows(stream),
+        "sr_session",
+        output_mode="complete",
+        progress_out=_progress("streaming_run_session_window"),
     )
     return out.orderBy("user_id", "session_start")
 
@@ -78,7 +99,10 @@ def streaming_run_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     out = run_to_memory_sink(
-        streaming_ewma(stream), "sr_ewma", output_mode="append"
+        streaming_ewma(stream),
+        "sr_ewma",
+        output_mode="append",
+        progress_out=_progress("streaming_run_ewma"),
     )
     return out.select("event_id", "user_id", "ts", "value", "ewma").orderBy(
         "user_id", "ts", "event_id"
@@ -106,7 +130,10 @@ def streaming_run_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     out = run_to_memory_sink(
-        streaming_dedup_within_watermark(stream), "sr_dedup", output_mode="append"
+        streaming_dedup_within_watermark(stream),
+        "sr_dedup",
+        output_mode="append",
+        progress_out=_progress("streaming_run_dedup"),
     )
     return out.select("user_id", "event_type").orderBy("user_id", "event_type")
 
@@ -157,6 +184,7 @@ def streaming_run_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=size_state_partitions(
             parquet_input_rows(sf_dir), outer=False
         ),
+        progress_out=_progress("streaming_run_funnel_join"),
     )
     return out.orderBy("user_id", "click_id", "purchase_id")
 
@@ -226,6 +254,7 @@ def streaming_run_funnel_join_left(
         state_partitions=size_state_partitions(
             parquet_input_rows(horizon_dir), outer=True
         ),
+        progress_out=_progress("streaming_run_funnel_join_left"),
     )
     return out.filter(F.col("user_id") != SENTINEL_USER).orderBy(
         "user_id", "click_id", "purchase_id"
