@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from mysqldatasynctool_spark.plans import executed_plan_metrics
 
 SF_SMALL = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 def test_groupby_counts_one_shuffle(spark):
@@ -336,6 +337,87 @@ def test_lsh_shuffle_volume_scales_linearly(spark):
     # plan shape must not change with scale
     assert m8["num_shuffles"] == m2["num_shuffles"]
     assert m8["spill_bytes"] == 0
+
+
+def test_ann_shuffle_volume_scales_linearly(spark):
+    """Same contract for the ANN flagship: the ivfpq funnel's serving
+    plan must shuffle ~linearly in the corpus (cell-bucketed
+    shortlist), never quadratically (all-pairs). Training happens per
+    corpus (separate jobs, not in this plan); the measured frame is
+    the served top-k query itself."""
+    import shutil
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from ann_stress import build_stress_corpus
+
+    from mysqldatasynctool_spark.operators import (
+        reset_trained_state,
+        similarity as S,
+        teardown_caches,
+    )
+
+    base = (
+        spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+        .toPandas()
+    )
+
+    def volume(factor: int) -> dict:
+        out_dir, _ = build_stress_corpus(base, factor=factor, seed=8, n_planted=10)
+        try:
+            spark.catalog.clearCache()
+            teardown_caches()
+            reset_trained_state()
+            df = S.similarity_ivfpq_topk(spark, out_dir)
+            df._jdf.queryExecution().toRdd().count()
+            return executed_plan_metrics(df)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    m2, m8 = volume(2), volume(8)
+    written = (m2["shuffle_bytes_written"], m8["shuffle_bytes_written"])
+    moved2 = m2["shuffle_bytes_written"] + m2["broadcast_bytes"]
+    moved8 = m8["shuffle_bytes_written"] + m8["broadcast_bytes"]
+    assert moved2 > 0
+    # corpus x4: the funnel's data movement must stay ~linear (<= 7x),
+    # never the ~16x of an all-pairs shape. Shuffle-only if the plan
+    # shuffles; otherwise the broadcast side carries the volume.
+    ratio = moved8 / moved2
+    assert ratio <= 7.0, f"ANN data-movement ratio {ratio:.2f} ({written})"
+    assert m8["spill_bytes"] == 0
+
+
+def test_no_spill_on_heaviest_entries(spark):
+    """Zero-spill canary: the registry's top-volume entries (per the
+    committed SHUFFLE_AUDIT ranking) must not spill at sf0.01 — a
+    nonzero spill at fixture scale is the early warning that the same
+    plan OOM-spills at cluster scale."""
+    import __spark_entry__ as entry
+
+    from mysqldatasynctool_spark.operators import teardown_caches
+
+    queries = entry.queries()
+    heavy = [
+        "agg_approx_distinct",
+        "events_sliding_distinct_approx",
+        "q21_waiting_supplier_agg",
+        "agg_weighted_median",
+        "q2_min_cost_supplier",
+    ]
+    for name in heavy:
+        spark.catalog.clearCache()
+        teardown_caches()
+        df = queries[name](spark, SF_DIR)
+        df._jdf.queryExecution().toRdd().count()
+        m = executed_plan_metrics(df)
+        assert m["spill_bytes"] == 0, f"{name} spilled {m['spill_bytes']}b"
+        assert m["shuffle_bytes_written"] > 0  # non-degenerate check
 
 
 def test_registry_query_yields_metrics(spark):
