@@ -590,24 +590,39 @@ def main() -> None:
         # caches, so the volumes reflect the same steady state the
         # median wall does. Best-effort: a py4j hiccup costs this row's
         # plan_metrics, never the wall numbers.
+        # snapshot the FINAL TIMED run's streaming progress before the
+        # metrics pass re-runs the stream: streamruns._progress clears
+        # the capture list on entry, so a metrics-pass failure after
+        # that clear would otherwise erase evidence that already
+        # existed (r17 review finding)
+        from mysqldatasynctool_spark.operators import streamruns
+
+        prog_snapshot = list(streamruns.RUN_PROGRESS.get(name) or [])
         try:
             mdf = queries[name](spark, sf_dir)
             mdf._jdf.queryExecution().toRdd().count()
-            plan_metrics_by_query[name] = executed_plan_metrics(mdf)
+            pm = executed_plan_metrics(mdf)
+            if prog_snapshot or streamruns.RUN_PROGRESS.get(name):
+                # streaming entries return a post-sink memory-table
+                # frame — these volumes price the result-set sort, NOT
+                # the streaming job (whose cost signal is the state
+                # report below); the flag tells bench_compare to keep
+                # its plan-volume verdicts off these rows
+                pm["post_sink_only"] = True
+            plan_metrics_by_query[name] = pm
         except Exception:  # noqa: BLE001 — metrics are supplementary
             pass
-        # streaming rows: the metrics pass above re-ran the stream, so
-        # streamruns.RUN_PROGRESS holds that run's raw micro-batch
-        # progress — reduce it to the state/eviction ops report (the
-        # stream twin of plan_metrics: rows held, memory, watermark
-        # eviction, unbounded-growth warning)
+        # streaming rows: reduce the raw micro-batch progress to the
+        # state/eviction ops report (the stream twin of plan_metrics:
+        # rows held, memory, watermark eviction, unbounded-growth
+        # warning). Prefer the metrics pass's fresh capture; fall back
+        # to the final timed run's snapshot.
         try:
-            from mysqldatasynctool_spark.operators import streamruns
             from mysqldatasynctool_spark.streaming.observe import (
                 progress_report,
             )
 
-            prog = streamruns.RUN_PROGRESS.get(name)
+            prog = streamruns.RUN_PROGRESS.get(name) or prog_snapshot
             if prog:
                 streaming_state_by_query[name] = progress_report(prog)
         except Exception:  # noqa: BLE001 — supplementary

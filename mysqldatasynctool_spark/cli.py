@@ -362,7 +362,7 @@ def cmd_plan_volume(args) -> int:
     df._jdf.queryExecution().toRdd().count()
     m = executed_plan_metrics(df)
     rep = {"query": label, **m}
-    if args.project_to_bytes:
+    if args.project_to_bytes is not None:
         from .plans import size_report
 
         if m.get("scan_files_bytes", 0) <= 0:
@@ -609,6 +609,12 @@ def main(argv: list[str] | None = None) -> int:
         p.error("query: give a NAME or --list")
     if args.command == "planVolume" and not (args.sql or args.name):
         p.error("planVolume: give a NAME or --sql")
+    if (
+        args.command == "planVolume"
+        and args.project_to_bytes is not None
+        and args.project_to_bytes <= 0
+    ):
+        p.error("planVolume: --project-to-bytes must be positive")
     return {
         "migrate": cmd_migrate,
         "migrateDb": cmd_migrate_db,

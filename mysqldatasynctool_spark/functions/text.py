@@ -32,10 +32,14 @@ def ngram_rows(docs, n: int, out_col: str = "gram", keep_pos: bool = False):
     """ALL (doc_id, n-gram) occurrence rows via posexplode + window
     ``lead`` — THE codegen-safe n-gram core, shared by MinHash
     shingles (n=3, distinct), decontamination grams (n=4, distinct),
-    the substring-span dedup (n=SPAN_TOKENS, positions kept), and the
-    heavy-hitter bigram stream (n=2, multiplicities kept). One
-    definition so the lead/_last boundary semantics can never drift
-    between call sites.
+    the substring-span dedup (n=SPAN_TOKENS, multiplicities kept),
+    and the heavy-hitter bigram stream (n=2, multiplicities kept).
+    One definition so the lead/_last boundary semantics can never
+    drift between call sites. ``keep_pos`` adds the token position to
+    the output row for callers that need span offsets (none of the
+    registry operators do since the r17 shuffle diet — the substring
+    report's h-window never read it — but the span-offset use case is
+    real, e.g. extracting the duplicated byte ranges for rewriting).
 
     Why not an array-expression (``transform`` over ``sequence``): a
     higher-order transform runs interpreted (outside codegen) and

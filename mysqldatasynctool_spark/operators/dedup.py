@@ -1150,7 +1150,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the codegen-safe n-gram formulation, functions/text.py:31 — never
     the O(tokens²) transform-over-sequence); span text collapses to a
     16-byte md5 BEFORE any shuffle, so the h-window moves only
-    (digest, doc_id, pos); cross-doc detection is min≠max doc_id over
+    (digest, doc_id) rows; cross-doc detection is min≠max doc_id over
     the digest window — no self-join, no collect_list hot key; the
     final per-doc agg is the second and last shuffle.
     """

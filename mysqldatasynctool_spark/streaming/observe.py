@@ -12,8 +12,9 @@ the few numbers an operator watches at 100 TB:
 - throughput (input rows, processed rows/s, batch durations),
 - per-state-operator extent (rows total, memory, shuffle partitions),
 - eviction evidence (rows removed + rows dropped by watermark), and
-- the one derived WARNING that matters: state rows growing
-  monotonically across batches with ZERO eviction observed — the
+- the one derived WARNING that matters: state rows never shrinking
+  (net growth, plateaus allowed — no-data micro-batches are routine)
+  across batches with ZERO eviction observed — the
   missing/ineffective-watermark signature that ends in an executor
   OOM at scale (a fixed corpus drained in few batches legitimately
   grows state, hence the minimum-batch guard).
@@ -75,7 +76,18 @@ def progress_report(src: Any) -> Dict[str, Any]:
     """
     ps = _progress_dicts(src)
     if not ps:
-        return {"n_batches": 0, "input_rows": 0, "state_operators": [], "warnings": []}
+        # full key set even when empty — consumers diff these records
+        # across rounds, and a schema that depends on capture success
+        # reads as spurious drift
+        return {
+            "n_batches": 0,
+            "input_rows": 0,
+            "avg_processed_rows_per_s": None,
+            "max_batch_duration_ms": 0,
+            "last_watermark": None,
+            "state_operators": [],
+            "warnings": [],
+        }
     rates = [
         float(p["processedRowsPerSecond"])
         for p in ps
@@ -113,14 +125,20 @@ def progress_report(src: Any) -> Dict[str, Any]:
             "memory_used_bytes_max": mem_max,
             "num_shuffle_partitions": parts,
         }
+        # NON-DECREASING with net growth, not strictly monotone: Spark
+        # routinely injects no-data micro-batches (watermark flushes),
+        # so a plateau batch is the common case — a leak that pauses
+        # for one idle batch must still warn. Any DECREASE is eviction
+        # evidence and breaks the signature on its own.
         growing = (
             len(rows_series) >= MIN_BATCHES_FOR_GROWTH_SIGNAL
-            and all(b > a for a, b in zip(rows_series, rows_series[1:]))
+            and rows_series[-1] > rows_series[0]
+            and all(b >= a for a, b in zip(rows_series, rows_series[1:]))
         )
         if growing and removed == 0 and dropped == 0:
             op["state_growth_warning"] = True
             warnings.append(
-                f"state operator '{name}': rows grew every batch "
+                f"state operator '{name}': rows never shrank "
                 f"({rows_series[0]} -> {rows_series[-1]}) with zero "
                 "eviction — check the watermark covers this operator "
                 "(unbounded state OOMs at scale)"

@@ -165,6 +165,37 @@ def test_bench_compare_consumes_plan_metrics(tmp_path, capsys):
     assert qb and "PLAN VOLUME CHANGE" in qb[0]
     assert "PLAN SHAPE CHANGE: 2 -> 3 shuffles" in qb[0]
 
+    # a volume change must print even when the wall barely moved (the
+    # 0.15s wall gate must not hide the box-immune signal — r17 review
+    # finding), and post_sink_only rows get no volume verdicts at all
+    old2 = write(
+        tmp_path / "old2.json",
+        {"qc": 1.0, "qd": 1.0},
+        {"qc": [1.0], "qd": [1.0]},
+        {
+            "qc": pm(10_000_000, 2),
+            "qd": {**pm(10_000_000, 2), "post_sink_only": True},
+        },
+    )
+    new2 = write(
+        tmp_path / "new2.json",
+        {"qc": 1.05, "qd": 1.05},  # wall delta under the 0.15s gate
+        {"qc": [1.05], "qd": [1.05]},
+        {
+            "qc": pm(30_000_000, 3),  # real plan change, quiet wall
+            "qd": {**pm(30_000_000, 3), "post_sink_only": True},
+        },
+    )
+    try:
+        sys.argv = ["bench_compare.py", old2, new2]
+        assert bc.main() == 0
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    qc = [ln for ln in out.splitlines() if " qc" in ln]
+    assert qc and "PLAN VOLUME CHANGE" in qc[0] and "PLAN SHAPE CHANGE" in qc[0]
+    assert not [ln for ln in out.splitlines() if " qd" in ln]
+
 
 def test_bench_compare_sidecar_plan_metrics(tmp_path, capsys):
     """A record named like a round artifact but lacking

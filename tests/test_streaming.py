@@ -782,4 +782,25 @@ def test_progress_report_growth_warning_on_synthetic_series():
     short = [batch(i, 100 * (i + 1)) for i in range(2)]
     assert progress_report(short)["warnings"] == []
 
-    assert progress_report([])["n_batches"] == 0
+    # a PLATEAU batch (no-data micro-batch) must not mask the leak —
+    # the signature is non-decreasing with net growth, not strictly
+    # monotone (r17 review finding)
+    plateau = [batch(0, 100), batch(1, 200), batch(2, 200), batch(3, 300)]
+    assert progress_report(plateau)["warnings"]
+
+    # ...but a DECREASE is eviction evidence and breaks the signature
+    shrank = [batch(0, 100), batch(1, 200), batch(2, 150), batch(3, 300)]
+    assert progress_report(shrank)["warnings"] == []
+
+    empty = progress_report([])
+    assert empty["n_batches"] == 0
+    # full schema even when empty (consumers diff records across rounds)
+    assert set(empty) == {
+        "n_batches",
+        "input_rows",
+        "avg_processed_rows_per_s",
+        "max_batch_duration_ms",
+        "last_watermark",
+        "state_operators",
+        "warnings",
+    }

@@ -254,11 +254,41 @@ def main() -> int:
         print(f"added ({len(added)}): {', '.join(added)}")
     if gone:
         print(f"removed ({len(gone)}): {', '.join(gone)}")
+    def _volume_flags(k: str) -> str:
+        """PLAN VOLUME / PLAN SHAPE verdicts from the box-immune
+        metrics — computed independently of the wall delta so a plan
+        regression that barely moves the fixture wall still prints
+        (the whole point of the channel). Rows whose metrics price
+        only the post-sink result sort (streaming entries,
+        `post_sink_only`) get no volume verdicts — their cost signal
+        is streaming_state_by_query, not exchange bytes."""
+        if k not in pm_new or k not in pm_old:
+            return ""
+        if pm_new[k].get("post_sink_only") or pm_old[k].get("post_sink_only"):
+            return ""
+        s = ""
+        vo = pm_old[k].get("shuffle_bytes_written", 0)
+        vn = pm_new[k].get("shuffle_bytes_written", 0)
+        if max(vo, vn) > 0:
+            vr = vn / vo if vo else float("inf")
+            if not 0.8 <= vr <= 1.2:
+                s += (
+                    f" [PLAN VOLUME CHANGE: shuffle "
+                    f"{vo / 1e6:.2f} -> {vn / 1e6:.2f} MB"
+                    f" ({(vr - 1) * 100:+.0f}%)]"
+                )
+        ns_o = pm_old[k].get("num_shuffles")
+        ns_n = pm_new[k].get("num_shuffles")
+        if ns_o is not None and ns_n is not None and ns_o != ns_n:
+            s += f" [PLAN SHAPE CHANGE: {ns_o} -> {ns_n} shuffles]"
+        return s
+
     rows = sorted(common, key=lambda k: old_q[k] - new_q[k])
     print(f"\n{'delta':>8} {'ratio':>6}  query")
     for k in rows:
         d = new_q[k] - old_q[k]
-        if abs(d) < 0.15:
+        vol_flag = _volume_flags(k)
+        if abs(d) < 0.15 and not vol_flag:
             continue
         ratio = new_q[k] / old_q[k] if old_q[k] else float("inf")
         regressed = (
@@ -314,31 +344,30 @@ def main() -> int:
                     f"{burst[k]['rejected_runs']} "
                     f"walls {burst[k].get('rejected_walls')}]"
                 )
-        # plan-volume check (r17+ both sides): shuffle bytes are a
+        # plan-volume verdicts (r17+ both sides): shuffle bytes are a
         # property of plan x data, not the box — a regressed wall whose
         # shuffle volume is unchanged is environment by construction; a
         # changed volume IS a plan change regardless of wall noise
-        if k in pm_new and k in pm_old:
+        # (computed above the wall gate so it prints even on rows whose
+        # fixture wall barely moved)
+        flag += vol_flag
+        if (
+            regressed
+            and not vol_flag
+            and k in pm_new
+            and k in pm_old
+            and not pm_new[k].get("post_sink_only")
+            and not pm_old[k].get("post_sink_only")
+        ):
             vo = pm_old[k].get("shuffle_bytes_written", 0)
             vn = pm_new[k].get("shuffle_bytes_written", 0)
             if max(vo, vn) > 0:
                 vr = vn / vo if vo else float("inf")
-                if not 0.8 <= vr <= 1.2:
-                    flag += (
-                        f" [PLAN VOLUME CHANGE: shuffle "
-                        f"{vo / 1e6:.2f} -> {vn / 1e6:.2f} MB"
-                        f" ({(vr - 1) * 100:+.0f}%)]"
-                    )
-                elif regressed:
-                    flag += (
-                        f" [plan volume unchanged (shuffle "
-                        f"{vn / 1e6:.2f} MB, {(vr - 1) * 100:+.1f}%) — "
-                        "environment suspected]"
-                    )
-            ns_o = pm_old[k].get("num_shuffles")
-            ns_n = pm_new[k].get("num_shuffles")
-            if ns_o is not None and ns_n is not None and ns_o != ns_n:
-                flag += f" [PLAN SHAPE CHANGE: {ns_o} -> {ns_n} shuffles]"
+                flag += (
+                    f" [plan volume unchanged (shuffle "
+                    f"{vn / 1e6:.2f} MB, {(vr - 1) * 100:+.1f}%) — "
+                    "environment suspected]"
+                )
         # whole-window degradation: every sample the new statistic KEPT
         # was still bracketed by a >2x-idle disk (the min-kept
         # fallback) — the delta is the disk's, not the plan's
