@@ -1077,10 +1077,22 @@ def events_sliding_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFram
     makes windowed distinct counting feasible on unbounded keys.
     """
     ev = load(spark, sf_dir, "events")
+    # two-step distinct (r17 volume audit — this entry shuffled 21.6
+    # bytes per scanned byte, x4 of it the inherent sliding-window
+    # fan-out and x2 the countDistinct+HLL expand): dedup
+    # (window, user) ONCE with map-side combine, then count the pairs
+    # exactly AND estimate them with HLL from the distinct rows
+    # (register max is idempotent — the estimate over distinct values
+    # equals the estimate over the multiset). Same trick as
+    # agg_approx_distinct; measured 4.77 -> 1.12 MB at sf0.01,
+    # result-identical.
+    pairs = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("user_id")
+    ).agg(F.count("*").alias("_n"))
     return (
-        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        pairs.groupBy("w")
         .agg(
-            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_users"),
             # rsd=0.01: measured worst-case window error 0% (sf0.01) /
             # 2.5% (sf0.1) — comfortably inside the 5% bound; 0.02
             # measured up to 18% on small windows

@@ -532,13 +532,27 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory per group vs the expand+shuffle of exact distinct; HLL
     insert/merge are order-insensitive register maxes, so the estimate
     is deterministic under any partitioning.
+
+    Shuffle shape (r17 volume audit): the one-pass
+    ``countDistinct + approx_count_distinct`` form expands every row
+    per aggregate and shuffled 5.7 bytes per scanned byte — the
+    registry's top shuffler, 88% of it the verification twin. This
+    two-step form dedups (flag, partkey) ONCE (map-side combine does
+    the heavy lifting) and computes BOTH the exact count and the HLL
+    estimate from the distinct pairs (HLL register max is idempotent,
+    so the estimate over distinct values equals the estimate over the
+    multiset): measured 5.94 → 0.99 MB shuffled at sf0.01,
+    result-identical.
     """
     li = load(spark, sf_dir, "lineitem")
+    pairs = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.count("*").alias("_n")
+    )
     return (
-        li.groupBy("l_returnflag")
+        pairs.groupBy("l_returnflag")
         .agg(
+            F.count("*").alias("n_parts"),
             F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("n_parts"),
         )
         .select(
             "l_returnflag",
