@@ -1127,6 +1127,77 @@ ORDER BY win_start
 """
 
 
+def events_sliding_distinct_sketch_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding-window distinct users via **HLL sketch MERGE over
+    tumbling buckets** — the pre-aggregated-sketch-cube pattern that
+    removes the sliding fan-out from the DATA path entirely.
+
+    ``events_sliding_distinct_approx`` fans every EVENT into its 4
+    overlapping windows before aggregating (x4 the rows through the
+    first exchange — inherent to element-level sliding windows). This
+    operator instead sketches each 15-minute TUMBLING bucket once
+    (``hll_sketch_agg``, one un-fanned pass over the events), then
+    fans out only the finished SKETCHES — 4 rows of a few KB per
+    bucket — and merges them per window (``hll_union_agg``): HLL
+    registers are order-insensitive maxes, so the union of a window's
+    4 bucket sketches IS the window's sketch. At 100 TB this is how
+    sliding distinct counts are actually served (sketch cubes reused
+    across window widths: the same buckets answer 1 h, 6 h, 24 h
+    windows); the Datasketches HLL here is the real mergeable-artifact
+    form of the fixed-seed approx_count_distinct twin.
+
+    Verification (same within_tol pattern as the approx twin, so this
+    entry is verification-carrying): the exact count rides the
+    two-step distinct over the fan-out, and the sketch estimate must
+    land within 5% (lgConfigK=12 → ~1.6% RSE; sketch VALUES are
+    engine-specific, the bound is what hashes). The exact side joins
+    back by window start — bucket b belongs to exactly the 4 windows
+    starting at b - {0,1,2,3} x 15 min, so both sides produce the
+    identical window set.
+    """
+    ev = load(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("_n"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_users"))
+        .select(F.col("w.start").alias("win_start"), "n_users")
+    )
+    buckets = ev.groupBy(F.window("ts", "15 minutes").alias("b")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    fanned = (
+        buckets.withColumn(
+            "k", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+        )
+        .select(
+            F.expr(
+                "b.start - make_interval(0, 0, 0, 0, 0, 15 * k, 0)"
+            ).alias("win_start"),
+            "sk",
+        )
+    )
+    merged = fanned.groupBy("win_start").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    return (
+        exact.join(F.broadcast(merged), "win_start")
+        .select(
+            "win_start",
+            "n_users",
+            (
+                F.abs(F.col("approx") - F.col("n_users"))
+                <= F.col("n_users") * F.lit(0.05)
+            ).alias("within_tol"),
+        )
+        .orderBy("win_start")
+    )
+
+
 #: interval-overlap join bucket width (seconds)
 _OVERLAP_BUCKET_SEC = 3600
 
@@ -1642,6 +1713,7 @@ QUERIES = {
     "events_sliding_distinct_users": events_sliding_distinct_users,
     "events_json_variant": events_json_variant,
     "events_sliding_distinct_approx": events_sliding_distinct_approx,
+    "events_sliding_distinct_sketch_merge": events_sliding_distinct_sketch_merge,
     "events_ohlc_bars": events_ohlc_bars,
     "events_funnel_conversion": events_funnel_conversion,
     "events_incremental_rollup": events_incremental_rollup,
@@ -1670,6 +1742,7 @@ ORACLES = {
     "events_sliding_distinct_users": EVENTS_SLIDING_DISTINCT_ORACLE,
     "events_json_variant": EVENTS_JSON_VARIANT_ORACLE,
     "events_sliding_distinct_approx": EVENTS_SLIDING_DISTINCT_APPROX_ORACLE,
+    "events_sliding_distinct_sketch_merge": EVENTS_SLIDING_DISTINCT_APPROX_ORACLE,
     "events_ohlc_bars": EVENTS_OHLC_ORACLE,
     "events_funnel_conversion": EVENTS_FUNNEL_CONVERSION_ORACLE,
     "events_incremental_rollup": EVENTS_INCREMENTAL_ROLLUP_ORACLE,

