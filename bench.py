@@ -46,6 +46,9 @@ HEADLINE = [
     "events_anomaly_salted",
     "events_sessionization",
     "events_sliding_window",
+    # r17: sliding distinct via HLL sketch merge over tumbling buckets
+    # (the sketch-cube pattern) timed next to its event-fan-out twin
+    "events_sliding_distinct_sketch_merge",
     "events_asof_join",
     "events_asof_join_salted",
     "join_asof_nearest",
