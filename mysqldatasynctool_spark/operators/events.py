@@ -1065,16 +1065,37 @@ ORDER BY win_start
 """
 
 
+def _distinct_window_users(ev: DataFrame) -> DataFrame:
+    """Distinct non-NULL (sliding-window, user) pairs — the shared
+    dedup frame of the two-step distinct rewrites (r17 volume diet).
+    NULL users are excluded up front so a pair-COUNT over this frame
+    equals ``COUNT(DISTINCT user_id)`` exactly (which ignores NULLs,
+    as do approx_count_distinct and hll_sketch_agg — r17 review
+    finding: a ``count(*)`` over pairs would have counted a NULL
+    group the oracle excludes). ``.distinct()`` instead of a counting
+    agg keeps the shuffled pair row free of a dead partial-count
+    column."""
+    return (
+        ev.where(F.col("user_id").isNotNull())
+        .select(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .distinct()
+    )
+
+
 def events_sliding_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL twin of ``events_sliding_distinct_users``: per sliding
     window, the exact distinct-user count PLUS a ``within_tol``
     boolean asserting the fixed-memory ``approx_count_distinct``
     sketch lands within 5% — the same oracle pattern as
     ``agg_approx_distinct`` (sketch values are engine-specific and
-    can't hash; the bound can). At 100 TB the HLL path never builds
-    the per-(window,user) dedup state the exact rewrite needs —
-    counters are constant-size and merge associatively, which is what
-    makes windowed distinct counting feasible on unbounded keys.
+    can't hash; the bound can). The pure-HLL production path —
+    constant-size counters, no per-(window,user) state at all — is
+    ``events_sliding_distinct_sketch_merge``; this entry shares the
+    exact twin's dedup pass because it must carry the exact count for
+    its in-query bound anyway (see the plan note below).
     """
     ev = load(spark, sf_dir, "events")
     # two-step distinct (r17 volume audit — this entry shuffled 21.6
@@ -1085,10 +1106,14 @@ def events_sliding_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFram
     # (register max is idempotent — the estimate over distinct values
     # equals the estimate over the multiset). Same trick as
     # agg_approx_distinct; measured 4.77 -> 1.12 MB at sf0.01,
-    # result-identical.
-    pairs = ev.groupBy(
-        F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("user_id")
-    ).agg(F.count("*").alias("_n"))
+    # result-identical. NOTE the scale trade the rewrite makes: the
+    # HLL side now reads the deduped pairs instead of the raw stream,
+    # so this plan DOES materialize per-(window,user) dedup state —
+    # cheaper in bytes whenever the exact twin is computed anyway
+    # (this verification-carrying entry always is). The sketch-only
+    # production form with NO dedup state is
+    # events_sliding_distinct_sketch_merge below.
+    pairs = _distinct_window_users(ev)
     return (
         pairs.groupBy("w")
         .agg(
@@ -1159,10 +1184,7 @@ def events_sliding_distinct_sketch_merge(
     """
     ev = load(spark, sf_dir, "events")
     exact = (
-        ev.groupBy(
-            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("user_id")
-        )
-        .agg(F.count("*").alias("_n"))
+        _distinct_window_users(ev)
         .groupBy("w")
         .agg(F.count("*").alias("n_users"))
         .select(F.col("w.start").alias("win_start"), "n_users")

@@ -528,10 +528,13 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch ever drifts out of bound, the hash goes red. The exact twin
     is agg_distinct.
 
-    Scale note: this is THE cardinality operator at 100 TB — fixed
-    memory per group vs the expand+shuffle of exact distinct; HLL
-    insert/merge are order-insensitive register maxes, so the estimate
-    is deterministic under any partitioning.
+    Scale note: approx_count_distinct is THE cardinality operator at
+    100 TB — HLL insert/merge are order-insensitive register maxes,
+    so the estimate is deterministic under any partitioning, and the
+    PURE sketch path needs only fixed memory per group. (This
+    verification-carrying entry computes the exact count anyway for
+    its in-query bound, so its plan shares one distinct pass between
+    both sides — see the shuffle-shape note below.)
 
     Shuffle shape (r17 volume audit): the one-pass
     ``countDistinct + approx_count_distinct`` form expands every row
@@ -545,8 +548,13 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     result-identical.
     """
     li = load(spark, sf_dir, "lineitem")
-    pairs = li.groupBy("l_returnflag", "l_partkey").agg(
-        F.count("*").alias("_n")
+    # NULL partkeys are excluded up front so the pair COUNT equals
+    # COUNT(DISTINCT l_partkey) exactly (NULL-ignoring, like the HLL);
+    # .distinct() keeps the shuffled pair row free of a dead count
+    pairs = (
+        li.where(F.col("l_partkey").isNotNull())
+        .select("l_returnflag", "l_partkey")
+        .distinct()
     )
     return (
         pairs.groupBy("l_returnflag")
