@@ -484,3 +484,34 @@ def test_sliding_distinct_sketch_merge_matches_exact(spark):
     # fan-out is gone from the operator half
     assert m["spill_bytes"] == 0
     assert m["shuffle_records_written"] < 1.5 * m_fanned["shuffle_records_written"]
+
+
+def test_two_step_distinct_excludes_null_keys(spark):
+    """The shared distinct-pairs rewrite must match COUNT(DISTINCT)
+    semantics on NULL keys (which it excludes) — the fixtures never
+    emit NULL keys, so this pins the invariant on a synthetic frame."""
+    from pyspark.sql import functions as F
+
+    from mysqldatasynctool_spark.operators.events import (
+        _distinct_window_users,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:01:00"),
+            (2, "2024-01-01 00:02:00"),
+            (2, "2024-01-01 00:03:00"),  # dup pair
+            (None, "2024-01-01 00:04:00"),  # NULL user: excluded
+        ],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    pairs = _distinct_window_users(ev)
+    counts = {
+        r.start: r.n
+        for r in pairs.groupBy(F.col("w.start").alias("start"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # every window containing the events has exactly 2 distinct
+    # non-NULL users (1 and 2) — the NULL row contributes nothing
+    assert counts and set(counts.values()) == {2}
