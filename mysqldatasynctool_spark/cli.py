@@ -374,6 +374,19 @@ def cmd_plan_volume(args) -> int:
             rep["sizing"] = size_report(
                 m, m["scan_files_bytes"], args.project_to_bytes
             )
+            if m.get("num_file_scans", 0) > 1:
+                # scan_files_bytes sums per scan node — a self-joined
+                # table read through multiple non-reused scans counts
+                # its bytes once per node, inflating the denominator
+                # and UNDERSTATING projected volume/partitions
+                # (ADVICE r17). Reused scans don't double-count
+                # (ReusedExchange is skipped by the walker).
+                rep["sizing"]["scan_accounting_note"] = (
+                    f"measured corpus bytes summed over "
+                    f"{m['num_file_scans']} file-scan nodes; a table "
+                    "scanned by multiple non-reused nodes counts per "
+                    "node, so the projection is a lower bound"
+                )
     print(_json.dumps(rep))
     return 0
 

@@ -31,21 +31,72 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-17 ROTATION (r16 verdict item 2, tools/correctness_union.py
+#: ROUND-18 ROTATION (r17 verdict item 2, tools/correctness_union.py
 #: verbatim): positions 1-50 are the union tool's suggested slate —
-#: the 17 stalest r12-era records lead (scd2, sample-per-group,
-#: sliding-distinct-approx, PIT join, ohlc, recursive-tree,
-#: fk-discovery, dq-expectations, dim-truncation, page-checksums,
-#: market-basket, symmetric-diff, the three streaming_run_*,
-#: incremental-rollup, cusum), then the oldest r13 block
-#: oldest-green-record-first (asof/weighted-median/phash, the
-#: drawdown/cohort/markov/gini/burst/outliers aggregates, the
-#: q1/q3/q5/q21 TPC-H core, the join/agg primitive block, and the
-#: dedup/recall tail). No source moved since r16's 50/50 slate, so
-#: there is no changed-code block; after this slate no driver record
-#: is older than r13. Everything else keeps its previous relative
-#: order (stable), oldest-green-record-first.
+#: the never-driver-checked ``events_sliding_distinct_sketch_merge``
+#: leads (registered r17 but absent from the r17 slate, so no driver
+#: record exists), then the four STALE-GREEN entries whose code
+#: changed after their last green record (agg_approx_distinct r14,
+#: the two streaming funnel joins r15, dedup_substring_spans r16 —
+#: all already judge-sim green after their r17 rewrites, now getting
+#: the driver grade), then the r13-era block oldest-green-first
+#: (interval-overlap, linear-fit, funnel-conversion, triangle-count,
+#: q11/q22, the scalar/sort/date/cross/pivot/unpivot/grouping-sets
+#: primitives, the agg/window/setop/events blocks, and the
+#: bruteforce baseline tail). After this slate no driver record is
+#: older than r14. Everything else keeps its previous relative order
+#: (stable), oldest-green-record-first.
 VERIFY_PRIORITY: tuple[str, ...] = (
+    "events_sliding_distinct_sketch_merge",
+    "agg_approx_distinct",
+    "streaming_run_funnel_join_left",
+    "streaming_run_funnel_join",
+    "dedup_substring_spans",
+    "events_interval_overlap_join",
+    "agg_linear_fit",
+    "events_funnel_conversion",
+    "graph_triangle_count",
+    "q11_important_stock",
+    "q22_global_sales_opportunity",
+    "scalar_functions",
+    "sort_limit_topk",
+    "date_arithmetic",
+    "join_cross",
+    "pivot_status_priority",
+    "unpivot_part_metrics",
+    "agg_grouping_sets",
+    "agg_max_by",
+    "agg_moments_manual",
+    "agg_correlation_manual",
+    "agg_percentiles_exact",
+    "join_asof",
+    "string_functions2",
+    "null_conditional",
+    "sql_cte_subqueries",
+    "window_value_functions",
+    "window_topk_per_group",
+    "window_rank_functions",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_range_frame",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except_all",
+    "setop_distinct_rows",
+    "similarity_pq_audit",
+    "events_gap_fill",
+    "events_date_functions",
+    "migration_catalog_exclude",
+    "events_funnel_join",
+    "array_functions",
+    "events_json_extract",
+    "events_map_functions",
+    "udf_grouped_agg_pandas",
+    "events_retention_cohorts",
+    "similarity_topk_bruteforce",
     "migration_scd2_history",
     "pipeline_sample_per_group",
     "events_sliding_distinct_approx",
@@ -124,7 +175,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_knn_label_vote",
     "pipeline_dataset_card",
     "agg_key_skew_report",
-    "dedup_substring_spans",
     "events_json_variant",
     "events_session_window_builtin",
     "events_sliding_distinct_users",
@@ -148,12 +198,10 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "text_bpe_merge_step",
     "events_anomaly_salted",
     "q15_top_supplier",
-    "streaming_run_funnel_join_left",
     "events_anomaly_zscore",
     "text_unigram_perplexity",
     "agg_rfm_segmentation",
     "similarity_ivfpq_topk",
-    "streaming_run_funnel_join",
     "window_pareto_cumshare",
     "similarity_ann_recall_report",
     "similarity_mmr_rerank",
@@ -196,43 +244,10 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_sample_stratified",
     "pipeline_repetition_score",
     "pipeline_mix_weights",
-    "agg_max_by",
-    "agg_moments_manual",
-    "agg_correlation_manual",
-    "agg_percentiles_exact",
-    "join_asof",
-    "string_functions2",
-    "null_conditional",
-    "sql_cte_subqueries",
-    "window_value_functions",
-    "window_topk_per_group",
-    "window_rank_functions",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_range_frame",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except_all",
-    "setop_distinct_rows",
-    "similarity_pq_audit",
-    "events_gap_fill",
-    "events_date_functions",
-    "migration_catalog_exclude",
-    "events_funnel_join",
-    "array_functions",
-    "events_json_extract",
-    "events_map_functions",
-    "udf_grouped_agg_pandas",
-    "events_retention_cohorts",
-    "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
     "similarity_label_centroids",
     "similarity_quantize_int8",
     "events_sessionization",
-    "agg_approx_distinct",
     "join_skew_salted",
     "agg_percentiles",
     "agg_histogram_fixed_bins",
@@ -242,19 +257,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_pagination_page",
     "migration_stringify",
     "migration_compare_checksums",
-    "events_interval_overlap_join",
-    "agg_linear_fit",
-    "events_funnel_conversion",
-    "graph_triangle_count",
-    "q11_important_stock",
-    "q22_global_sales_opportunity",
-    "scalar_functions",
-    "sort_limit_topk",
-    "date_arithmetic",
-    "join_cross",
-    "pivot_status_priority",
-    "unpivot_part_metrics",
-    "agg_grouping_sets",
 )
 
 

@@ -1072,9 +1072,14 @@ def _distinct_window_users(ev: DataFrame) -> DataFrame:
     equals ``COUNT(DISTINCT user_id)`` exactly (which ignores NULLs,
     as do approx_count_distinct and hll_sketch_agg — r17 review
     finding: a ``count(*)`` over pairs would have counted a NULL
-    group the oracle excludes). ``.distinct()`` instead of a counting
-    agg keeps the shuffled pair row free of a dead partial-count
-    column."""
+    group the oracle excludes). CAVEAT (ADVICE r17): the exclusion
+    also drops a WINDOW whose events are all NULL-user — the oracle
+    fans those events into windows and keeps them with count 0; a
+    dataset with an all-NULL-user window would diverge. Latent only
+    (fixtures never emit one); left-join the window keys back with
+    ``coalesce(n, 0)`` if that parity ever matters. ``.distinct()``
+    instead of a counting agg keeps the shuffled pair row free of a
+    dead partial-count column."""
     return (
         ev.where(F.col("user_id").isNotNull())
         .select(

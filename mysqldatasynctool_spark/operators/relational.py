@@ -549,7 +549,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     # NULL partkeys are excluded up front so the pair COUNT equals
-    # COUNT(DISTINCT l_partkey) exactly (NULL-ignoring, like the HLL);
+    # COUNT(DISTINCT l_partkey) exactly (NULL-ignoring, like the HLL).
+    # CAVEAT (ADVICE r17): the exclusion also drops a GROUP whose
+    # partkeys are ALL NULL — the oracle would keep that flag with
+    # count 0. Latent only (TPC-H never emits an all-NULL-key group);
+    # if oracle parity on such groups ever matters, left-join the
+    # group keys back with coalesce(n, 0).
     # .distinct() keeps the shuffled pair row free of a dead count
     pairs = (
         li.where(F.col("l_partkey").isNotNull())

@@ -56,6 +56,7 @@ _EMPTY: Dict[str, Any] = {
     "scan_files_bytes": 0,
     "num_shuffles": 0,
     "num_broadcasts": 0,
+    "num_file_scans": 0,
     "reused_exchanges": 0,
     "nodes": 0,
 }
@@ -87,6 +88,12 @@ def _walk(jplan, acc: Dict[str, Any]) -> None:
         if metric in vals and vals[metric] > 0:
             acc[key] += int(vals[metric])
 
+    if name.startswith("FileSourceScan") or name.startswith("BatchScan"):
+        # scan_files_bytes sums PER SCAN NODE: a table read through
+        # two non-reused scans (self-join) contributes its bytes
+        # twice. num_file_scans lets consumers (planVolume) flag
+        # when the summed footprint may exceed the on-disk corpus.
+        acc["num_file_scans"] += 1
     if name.startswith("ShuffleExchange"):
         acc["num_shuffles"] += 1
     elif name.startswith("BroadcastExchange"):

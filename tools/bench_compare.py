@@ -96,14 +96,21 @@ def _sidecar_plan_metrics(record_path: str) -> dict:
     import os
     import re
 
-    m = re.search(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", record_path)
+    m = re.search(r"BENCH(?:_LOCAL)?_r(\d+[a-z]?)\.json$", record_path)
     if not m:
         return {}
-    p = os.path.join(
-        os.path.dirname(record_path) or ".",
-        f"BENCH_PLANMETRICS_r{int(m.group(1)):02d}.json",
-    )
-    if not os.path.exists(p):
+    # committed sidecars use the round string verbatim and unpadded
+    # (BENCH_PLANMETRICS_r17.json); tolerate a zero-padded variant too
+    # rather than silently dropping the volume channel (ADVICE r17)
+    d = os.path.dirname(record_path) or "."
+    n = m.group(1).rstrip("abcdefghijklmnopqrstuvwxyz")
+    cands = [
+        os.path.join(d, f"BENCH_PLANMETRICS_r{m.group(1)}.json"),
+        os.path.join(d, f"BENCH_PLANMETRICS_r{n}.json"),
+        os.path.join(d, f"BENCH_PLANMETRICS_r{int(n):02d}.json"),
+    ]
+    p = next((c for c in cands if os.path.exists(c)), None)
+    if p is None:
         return {}
     try:
         rec = json.load(open(p))
@@ -269,8 +276,16 @@ def main() -> int:
         s = ""
         vo = pm_old[k].get("shuffle_bytes_written", 0)
         vn = pm_new[k].get("shuffle_bytes_written", 0)
-        if max(vo, vn) > 0:
-            vr = vn / vo if vo else float("inf")
+        if vo == 0 and vn > 0:
+            # a shuffle APPEARED (e.g. an AQE broadcast demotion) —
+            # the case the flag most wants to explain; '+inf%' would
+            # bury it in formatting noise (ADVICE r17)
+            s += (
+                f" [PLAN VOLUME CHANGE: shuffle appeared "
+                f"(0 -> {vn / 1e6:.2f} MB)]"
+            )
+        elif max(vo, vn) > 0:
+            vr = vn / vo
             if not 0.8 <= vr <= 1.2:
                 s += (
                     f" [PLAN VOLUME CHANGE: shuffle "
