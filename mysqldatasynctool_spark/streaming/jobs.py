@@ -603,6 +603,69 @@ def stage_events_with_horizon(sf_dir: str, hours: int = 2) -> str:
     return root
 
 
+def stage_events_time_split(
+    sf_dir: str, n_files: int = 6, hours: int = 2
+) -> str:
+    """Stage the events fixture as ``n_files`` TIME-ORDERED parquet
+    files (sentinel horizon pair included, in the last file) so a
+    ``read_events_stream(..., max_files_per_trigger=1)`` run replays
+    the corpus as ``n_files`` micro-batches with an ADVANCING
+    watermark between them — the harness behind the streaming-state
+    eviction contract (VERDICT r17 item 7).
+
+    Why this exists: the single-file staging drains in one data
+    micro-batch, so state eviction (rows removed once the watermark
+    passes) never happens *during* the run and a dropped watermark is
+    observationally identical to a working one. Splitting by event
+    time makes each batch advance the watermark past the previous
+    batch's horizon, so bounded-state operators (dedup-within-
+    watermark, interval stream-stream joins) must show
+    ``numRowsRemoved``/``numRowsDroppedByWatermark`` activity in
+    their progress — which ``observe.progress_report`` then certifies
+    (and whose absence trips the unbounded-growth warning). At
+    production this is exactly a partition-per-time-slice topic
+    replay.
+
+    File-source ordering: the initial listing processes files oldest
+    modification time first (``latestFirst=false`` default), so each
+    chunk's mtime is set explicitly — chunk k at epoch ``k`` seconds —
+    making replay order deterministic regardless of write speed.
+    Returns a directory usable as ``sf_dir``; cached per process like
+    :func:`stage_events_with_horizon`.
+    """
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    cache_key = (sf_dir, n_files, hours, st.st_mtime_ns, st.st_size)
+    cached = _HORIZON_STAGED.get(cache_key)
+    if cached and os.path.isdir(cached):
+        return cached
+
+    horizon = stage_events_with_horizon(sf_dir, hours=hours)
+    combined = pq.read_table(
+        os.path.join(horizon, "events.parquet", "events-000.parquet")
+    )
+    order = pc.sort_indices(combined, sort_keys=[("ts", "ascending")])
+    combined = combined.take(order)
+    root = tempfile.mkdtemp(prefix="events_timesplit_")
+    staged = os.path.join(root, "events.parquet")
+    os.makedirs(staged)
+    n = combined.num_rows
+    per = max(1, (n + n_files - 1) // n_files)
+    for k, lo in enumerate(range(0, n, per)):
+        path = os.path.join(staged, f"events-{k:03d}.parquet")
+        pq.write_table(combined.slice(lo, per), path)
+        os.utime(path, (k, k))
+    # the horizon call above already armed the atexit cleanup
+    _HORIZON_STAGED[cache_key] = root
+    return root
+
+
 def streaming_funnel_join_left(
     clicks: DataFrame, purchases: DataFrame, minutes: int = 10
 ) -> DataFrame:

@@ -68,6 +68,12 @@ def main() -> int:
     ap.add_argument("--out", default=None, help="write the full JSON report here")
     ap.add_argument("--names", default=None, help="comma-separated subset")
     ap.add_argument("--top", type=int, default=25, help="table rows to print")
+    ap.add_argument(
+        "--no-gate",
+        action="store_true",
+        help="skip the volume-regression gate vs the committed "
+        "SHUFFLE_AUDIT.json (tools/volume_gate.py)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="shuffle_audit")
@@ -152,11 +158,35 @@ def main() -> int:
         print(f"spillers at fixture scale: {', '.join(report['spillers'])}")
     if errors:
         print(f"errors ({len(errors)}): {errors}")
+    gate_rc = 0
+    if not args.no_gate and not args.names:
+        # regression GATE (VERDICT r17 item 4): compare this fresh
+        # full-registry sweep against the COMMITTED baseline before
+        # (over)writing it. Subset runs (--names) skip the gate — a
+        # partial sweep can't stand in for the registry.
+        from volume_gate import run_gate
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        baseline = os.path.join(repo, "SHUFFLE_AUDIT.json")
+        if os.path.exists(baseline):
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(
+                "w", suffix=".json", delete=False
+            ) as tf:
+                json.dump(report, tf)
+                fresh_path = tf.name
+            try:
+                gate_rc = run_gate(
+                    fresh_path, baseline, os.path.join(repo, "CHANGELOG.md")
+                )
+            finally:
+                os.unlink(fresh_path)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
         print(f"wrote {args.out}")
-    return 1 if errors else 0
+    return 1 if errors else gate_rc
 
 
 if __name__ == "__main__":
