@@ -511,6 +511,19 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The tiny 2-row quantile dim rides a broadcast NLJ against the
     KB-scale bucket stats (allowlisted: the scalar-subquery class).
+
+    Narrow-row audit (VERDICT r17 item 5, measured r18): of the
+    2.47 MB this entry shuffles at sf0.01, 1.47 MB is the fixture
+    RoundRobin rebalance (absent at production layouts — see
+    plans/metrics.rebalance_bytes) and 0.92 MB is the phase-1 bucket
+    exchange. Packing (l_returnflag, bkt) into one long key measures
+    923 → 768 KB (−17%) on that exchange — rejected: the compressed
+    row is already 8.4 B/record (the (bkt, decimal-weight) payload
+    dominates; the repeated flag string compresses away), a general
+    pack needs a group-key dictionary pass (the 1-char-flag ascii
+    trick doesn't generalize), and the exchange's record count is
+    combine-bounded by buckets x mappers at scale, so the absolute
+    saving does not grow with the corpus.
     """
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"

@@ -268,26 +268,61 @@ def migration_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHICH column drifted (truncation, encoding, lost precision)
     without re-reading either side twice.
 
-    One scan: the numeric columns unpivot (stack) into (column, value)
-    rows map-side, then a single grouped aggregate. Min/max stay exact
-    (doubles compared, not summed); distinct counts are exact here and
-    would flip to approx_count_distinct at 100 TB (the audited HLL
-    twin — see agg_approx_distinct).
+    One scan: the numeric columns unpivot (stack) into rows map-side,
+    then aggregate. Min/max stay exact (doubles compared, not
+    summed); distinct counts are exact here and would flip to
+    approx_count_distinct at 100 TB (the audited HLL twin — see
+    agg_approx_distinct).
+
+    Shuffle shape (r18 volume diet): the r17 form shuffled the
+    column NAME STRING on every unpivoted cell through BOTH
+    countDistinct exchanges (partial-distinct pairs, then the
+    per-name re-aggregation of the whole distinct frame — wide rows
+    twice). This form collapses the multiset to distinct
+    ``(col_id, value, cnt)`` pairs in ONE narrow exchange — a 1-based
+    int id instead of the label, and the pair-counts make the single
+    pass a sufficient statistic for every profile column: n_rows =
+    sum(cnt), n_nulls = cnt of the null-value pair, n_distinct =
+    count of non-null pairs, min/max over pair values. The second
+    exchange then carries 4 rows per mapper, not the distinct frame;
+    names decode AFTER aggregation via element_at on a literal array.
+    Measured 2.23 → 1.63 MB total (operator share, i.e. minus the
+    fixture rebalance class, 1.31 → 0.71 MB — the remainder is the
+    irreducible distinct-pair frame itself) at sf0.01,
+    result-identical.
     """
     li = load(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    stack_expr = "stack({n}, {pairs}) as (col_name, value)".format(
-        n=len(cols), pairs=", ".join(f"'{c}', {c}" for c in cols)
+    stack_expr = "stack({n}, {pairs}) as (col_id, value)".format(
+        n=len(cols),
+        pairs=", ".join(f"{i + 1}, {c}" for i, c in enumerate(cols)),
     )
-    return (
+    pairs = (
         li.selectExpr(stack_expr)
-        .groupBy("col_name")
+        .groupBy("col_id", "value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    names = F.array(*[F.lit(c) for c in cols])
+    return (
+        pairs.groupBy("col_id")
         .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_nulls"),
-            F.countDistinct("value").alias("n_distinct"),
+            F.sum("cnt").alias("n_rows"),
+            F.sum(
+                F.when(F.col("value").isNull(), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_nulls"),
+            F.count("value").alias("n_distinct"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
+        )
+        .select(
+            F.element_at(names, F.col("col_id")).alias("col_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_value",
+            "max_value",
         )
         .orderBy("col_name")
     )

@@ -628,11 +628,29 @@ def q21_waiting_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     and L = {s} — so numwait(s) = late-line count over orders where
     n_supps > 1 and n_late_supps == 1 and s is the late one.
 
-    100 TB shape: groupBy(orderkey, suppkey) then groupBy(orderkey) —
-    the second agg reuses the first's hash partitioning (no new
-    exchange) — vs the original's two lineitem-sized shuffle joins.
-    Both forms are registered; the bench carries the original so the
-    rewrite's advantage stays measured, not assumed.
+    100 TB shape (re-measured r18, volume diet): ONE fact scan, ONE
+    fact-sized exchange. groupBy(orderkey, suppkey) partial-aggregates
+    with map-side combine; the per-order statistics (n_supps,
+    n_late_supps) come from a WINDOW over l_orderkey on the per-supp
+    frame — each window partition is one order's supplier set (≤7
+    rows), bounded at any scale. The r17 form computed per-order
+    stats with a second groupBy + self-join of the per-supp frame:
+    AQE failed to reuse the fork's exchange (one branch embeds a
+    ReusedExchange for the orders broadcast, breaking sameResult), so
+    the fact subtree — scan, rebalance, partial-agg exchange —
+    executed TWICE (measured: 2×905 KB rebalance + 2×327 KB partials
+    at sf0.01). The window form has no fork: measured 2.53 → 1.27 MB
+    total shuffle, fact scanned once, result-identical (same oracle).
+
+    vs the classic form at scale: q21_waiting_supplier's EXISTS /
+    NOT-EXISTS self-joins ride 8.75 MB of fact-derived BROADCASTS at
+    sf0.01 (so its *shuffle* bytes read low) — those broadcasts grow
+    with lineitem, exceed any broadcast ceiling at warehouse scale,
+    and AQE then demotes them to fact-sized shuffle joins. This
+    rewrite's data movement is bounded by per-(order,supplier) partial
+    rows and dim-only broadcasts. Both forms are registered; the
+    bench carries the original so the rewrite's advantage stays
+    measured, not assumed.
     """
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load(spark, sf_dir, "supplier")
@@ -647,14 +665,17 @@ def q21_waiting_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines")
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supps"),
-        F.sum(F.when(F.col("n_late_lines") > 0, 1).otherwise(0)).alias("n_late_supps"),
-    )
-    qualifying = (
-        per_supp.filter(F.col("n_late_lines") > 0)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+    w_order = Window.partitionBy("l_orderkey")
+    late = F.when(F.col("n_late_lines") > 0, 1).otherwise(0)
+    qualifying = per_supp.select(
+        "l_suppkey",
+        "n_late_lines",
+        F.count("*").over(w_order).alias("n_supps"),
+        F.sum(late).over(w_order).alias("n_late_supps"),
+    ).filter(
+        (F.col("n_late_lines") > 0)
+        & (F.col("n_supps") > 1)
+        & (F.col("n_late_supps") == 1)
     )
     return (
         qualifying.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)

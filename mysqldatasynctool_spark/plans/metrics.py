@@ -58,6 +58,7 @@ _EMPTY: Dict[str, Any] = {
     "num_broadcasts": 0,
     "num_file_scans": 0,
     "reused_exchanges": 0,
+    "rebalance_bytes": 0,
     "nodes": 0,
 }
 
@@ -96,6 +97,20 @@ def _walk(jplan, acc: Dict[str, Any]) -> None:
         acc["num_file_scans"] += 1
     if name.startswith("ShuffleExchange"):
         acc["num_shuffles"] += 1
+        # RoundRobin exchanges are REBALANCE physics, not operator
+        # semantics: in this repo they come from the fixture
+        # single-row-group repartition (sources/fixtures._rebalance),
+        # which a production many-row-group layout never runs.
+        # Attributed separately (still included in the totals) so
+        # volume analysis can subtract the fixture-only share —
+        # agg_weighted_median's 2.47 MB at sf0.01 is 60% this class.
+        try:
+            if "RoundRobinPartitioning" in jplan.outputPartitioning().toString():
+                acc["rebalance_bytes"] += int(
+                    vals.get("shuffleBytesWritten", 0) or 0
+                )
+        except Exception:
+            pass  # partitioning accessor is informational only
     elif name.startswith("BroadcastExchange"):
         acc["num_broadcasts"] += 1
         # dataSize exists on ShuffleExchangeExec too (serialized map
@@ -141,6 +156,10 @@ def executed_plan_metrics(df: DataFrame) -> Dict[str, Any]:
         broadcast_bytes — serialized broadcast relations.
         scan_files / scan_files_bytes — post-pruning file-source scan
             footprint (file sizes, not column-pruned bytes).
+        rebalance_bytes — the subset of shuffle_bytes_written moved
+            by RoundRobin (rebalance) exchanges: fixture-layout
+            physics here, not operator cost; subtract for the
+            production-shape volume.
         num_shuffles / num_broadcasts / reused_exchanges / nodes —
             plan-shape counts from the EXECUTED tree (post-AQE, so an
             AQE broadcast-demotion shows up here even when the

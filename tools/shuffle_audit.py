@@ -53,6 +53,12 @@ def audit_query(spark, fn, sf_dir: str) -> dict:
     m["shuffle_per_scanned_byte"] = (
         round(m["shuffle_bytes_written"] / scanned, 4) if scanned else None
     )
+    # production-shape volume: total minus the RoundRobin rebalance
+    # class (fixture single-row-group physics — a many-row-group
+    # production layout never runs those exchanges)
+    m["operator_shuffle_bytes"] = (
+        m["shuffle_bytes_written"] - m.get("rebalance_bytes", 0)
+    )
     # entries carrying an in-query exact verification twin (a
     # within_tol column) measure operator + verification volume; at
     # production scale only the operator runs. The label keeps the
