@@ -29,45 +29,69 @@ def normalized_text_col(text: Column) -> Column:
 
 
 def ngram_rows(docs, n: int, out_col: str = "gram", keep_pos: bool = False):
-    """ALL (doc_id, n-gram) occurrence rows via posexplode + window
-    ``lead`` — THE codegen-safe n-gram core, shared by MinHash
-    shingles (n=3, distinct), decontamination grams (n=4, distinct),
-    the substring-span dedup (n=SPAN_TOKENS, multiplicities kept),
-    and the heavy-hitter bigram stream (n=2, multiplicities kept).
-    One definition so the lead/_last boundary semantics can never
-    drift between call sites. ``keep_pos`` adds the token position to
-    the output row for callers that need span offsets (none of the
-    registry operators do since the r17 shuffle diet — the substring
-    report's h-window never read it — but the span-offset use case is
-    real, e.g. extracting the duplicated byte ranges for rewriting).
+    """ALL (doc_id, n-gram) occurrence rows — THE n-gram core, shared
+    by MinHash shingles (n=3, distinct), decontamination grams (n=4,
+    distinct), the substring-span dedup (n=SPAN_TOKENS, multiplicities
+    kept), and the heavy-hitter bigram stream (n=2, multiplicities
+    kept). One definition so the boundary semantics can never drift
+    between call sites. ``keep_pos`` adds the token position to the
+    output row for callers that need span offsets.
 
-    Why not an array-expression (``transform`` over ``sequence``): a
-    higher-order transform runs interpreted (outside codegen) and
-    re-evaluates the token ``split`` per element access — measured
-    ~O(tokens²) per document. posexplode evaluates the split once per
-    doc and lead() is a streaming per-partition window; everything
-    stays in WholeStageCodegen.
+    r18 SHUFFLE REMOVAL (guide §2.4): the r1–r17 formulation was
+    posexplode + a window ``lead`` over (doc_id, pos) — which EXCHANGES
+    AND SORTS every token row (corpus tokens × string bytes) just to
+    pair each token with its neighbors, even though every token of a
+    doc is already adjacent inside its row. This form builds the gram
+    ARRAY per doc row with ``zip_with`` over shifted ``slice``s of the
+    token array (zip_with pads the shorter side with NULL, and concat
+    null-propagates, so incomplete tail grams drop exactly like the
+    old ``lead IS NULL`` filter), then explodes — zero exchanges,
+    zero sorts. Measured at sf0.1: the shingle subtree loses its
+    Exchange+Sort (~2.5 M token rows) per build.
+
+    Two standing traps, both still avoided:
+    - ``transform(sequence(...), i -> element_at(toks, i+k))``
+      re-evaluates the SPLIT per element access (measured ~O(tokens²)
+      per doc, r7) — here the lambda never references the token
+      expression, only zip_with's already-materialized operands;
+    - the token array is materialized in its OWN projection below so
+      the n ``slice`` references cannot inline n copies of
+      split+regexp (CollapseProject keeps non-cheap multi-referenced
+      expressions un-collapsed; verified in the committed plans).
     """
-    from pyspark.sql import Window as W
+    toks, g = _gram_arrays(docs, n)
+    if keep_pos:
+        out = toks.select("doc_id", F.posexplode(g).alias("pos", out_col))
+    else:
+        out = toks.select("doc_id", F.explode(g).alias(out_col))
+    return out.filter(F.col(out_col).isNotNull())
 
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("t", k).over(w) for k in range(1, n)]
-    gram = F.concat_ws(" ", F.col("t"), *leads) if leads else F.col("t")
-    last = leads[-1] if leads else F.col("t")
-    cols = ["doc_id", "pos"] if keep_pos else ["doc_id"]
-    return (
-        tok.select(*cols, gram.alias(out_col), last.alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-    )
+
+def _gram_arrays(docs, n: int):
+    """(token-projection frame, gram-array column) — see ngram_rows."""
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+    t = F.col("_toks")
+    g = t
+    for k in range(1, n):
+        shifted = F.slice(t, k + 1, F.greatest(F.size(t) - k, F.lit(0)))
+        g = F.zip_with(g, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return toks, g
 
 
 def distinct_ngram_rows(docs, n: int, out_col: str = "gram"):
-    """Distinct (doc_id, n-gram) rows — ``ngram_rows`` + distinct."""
-    return ngram_rows(docs, n, out_col).distinct()
+    """Distinct (doc_id, n-gram) rows.
+
+    r18: per-doc ``array_distinct`` before the explode replaces the
+    old global ``.distinct()`` — the (doc_id, gram) distinct is
+    per-document by definition, so deduping inside the row removes the
+    distinct's whole EXCHANGE of the pair stream (guide §2.4: a
+    distinct on data that is already key-local). Gram arrays are
+    bounded by document token counts, the same bound the split/tokens
+    array already carries."""
+    toks, g = _gram_arrays(docs, n)
+    return toks.select(
+        "doc_id", F.explode(F.array_distinct(g)).alias(out_col)
+    ).filter(F.col(out_col).isNotNull())
 
 
 def shingles_col(toks: Column, n: int = 3) -> Column:

@@ -127,7 +127,7 @@ def migrate_directory(
 
     from pyspark.sql import Observation
 
-    from .operators.compare import row_digest, table_summary
+    from .operators.compare import digest_sum, row_digest_long, table_summary
 
     def _read_dest(tt: str):
         if versioned:
@@ -186,7 +186,8 @@ def migrate_directory(
                 obs,
                 F.count(F.lit(1)).alias("cnt"),
                 F.coalesce(
-                    F.sum(row_digest(df)), F.lit(0).cast("decimal(38,0)")
+                    digest_sum(row_digest_long(df)),
+                    F.lit(0).cast("decimal(38,0)"),
                 ).alias("checksum"),
             )
             t_copy = time.monotonic()
@@ -297,7 +298,7 @@ def migrate_jdbc(
     from pyspark.sql import functions as F
     from pyspark.sql import Observation
 
-    from .operators.compare import row_digest, table_summary
+    from .operators.compare import digest_sum, row_digest_long, table_summary
     from .plans.partitioning import plan_table, sample_boundaries
     from .sources.jdbc import read_table
     from .sources.sinks import write_jdbc
@@ -331,12 +332,18 @@ def migrate_jdbc(
                         prior,
                     )
             def build_plan():
-                # Tier 1 — single PK: one COUNT/MIN/MAX pushed down to
-                # the source → JDBC range partitions. The probe itself
-                # can fail on the PK's SQL type (Derby refuses MIN on
-                # CLOB), which only means this FAST path is
+                # Tier 1 — numeric-LEADING PK (r18: previously single
+                # PK only): one COUNT/MIN/MAX on pk[0] pushed down to
+                # the source → JDBC range partitions on the leading
+                # column. Range partitions on a non-unique leading
+                # member tile the keyspace exactly like the composite
+                # boundary predicates, for one 1-row probe instead of
+                # the sampling path's two full narrow scans (measured:
+                # lineitem plan phase 1.31 s → ~0.1 s). The probe
+                # itself can fail on the PK's SQL type (Derby refuses
+                # MIN on CLOB), which only means this FAST path is
                 # unavailable, not that the table can't be paged.
-                if len(pk) == 1:
+                if pk:
                     q = quote
                     try:
                         stats = read_table(
@@ -373,6 +380,7 @@ def migrate_jdbc(
                             row_count=stats.c,
                             pk_min=stats.lo,
                             pk_max=stats.hi,
+                            range_on_leading=True,
                         )
                 # Tier 2 — any PK (incl. single string/date/uuid, or an
                 # empty table): lexicographic boundary predicates work
@@ -406,7 +414,8 @@ def migrate_jdbc(
                     obs,
                     F.count(F.lit(1)).alias("cnt"),
                     F.coalesce(
-                        F.sum(row_digest(df)), F.lit(0).cast("decimal(38,0)")
+                        digest_sum(row_digest_long(df)),
+                    F.lit(0).cast("decimal(38,0)"),
                     ).alias("checksum"),
                 )
                 from .sources.sinks import bulk_load, supports_bulk_load
@@ -459,14 +468,31 @@ def migrate_jdbc(
                 src_cnt, src_sum = copy_with(plan, 1)
             phases["copy"] = round(time.monotonic() - tc, 3)
             tv = time.monotonic()
-            # plan-less (single-connection) verify read ON PURPOSE:
-            # the writer-created dest table has no PK index, so reusing
-            # the copy's boundary-predicate plan makes every partition
-            # a full table scan (measured: lineitem verify 2.4s -> 2.8s
-            # for 30x the dest I/O). Re-plan the verify only when the
-            # dest is known to carry the PK index (reference-created
-            # DDL does; Spark's JDBC writer does not).
-            d = table_summary(read_table(spark, dest, t), t).collect()[0]
+            # Verify-read plan (r18): the writer-created dest table has
+            # no PK index, so EVERY partitioned verify read pays one
+            # full dest scan per partition server-side — which is why
+            # the r14-era 30-partition verify measured SLOWER than the
+            # single connection (2.4 s → 2.8 s, 30× the dest I/O). But
+            # the single-connection read serializes the expensive part
+            # — per-row JDBC materialization + the row-digest md5 — on
+            # one core. A SMALL range fan-out is the sweet spot: k
+            # partitions cost k cheap page-cached server scans and buy
+            # k-way parallel conversion+digest. k=4 measured 2.9 s →
+            # ~1.1 s on the bench lineitem verify; only applied when
+            # the copy plan was range-mode and actually multi-page
+            # (small tables keep the single connection). On a dest
+            # WITH a PK index (reference-created DDL), reuse the full
+            # copy plan instead — the scans then prune.
+            vplan = None
+            if plan.mode == "range" and plan.num_partitions > 1:
+                from dataclasses import replace as _dc_replace
+
+                vplan = _dc_replace(
+                    plan, num_partitions=min(4, plan.num_partitions)
+                )
+            d = table_summary(
+                read_table(spark, dest, t, plan=vplan), t
+            ).collect()[0]
             phases["verify"] = round(time.monotonic() - tv, 3)
             ok = src_cnt == d.cnt and src_sum == d.checksum
             vrow = (t, src_cnt, d.cnt, src_sum, d.checksum, "YES", "YES" if ok else "NO")

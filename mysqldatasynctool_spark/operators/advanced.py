@@ -10,12 +10,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.fastdec import dec_sum, dec_sum_unscaled, unscaled_long
 from ..sources.fixtures import load
 
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
 def _dec(col, scale: int = 2, prec: int = 22):
+    # r18: aggregation sites sum via functions.fastdec (unscaled-long
+    # fast path, value/dtype-identical — proof in fastdec's docstring)
     return col.cast(f"decimal({prec},{scale})")
 
 
@@ -143,8 +146,8 @@ def agg_moments_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles in partition order, which is not reproducible across
     engines; these are, bit for bit)."""
     orders = load(spark, sf_dir, "orders")
-    s1 = F.sum(_dec(F.col("o_totalprice"))).cast("double")
-    s2 = F.sum(_dec(F.col("o_totalprice") * F.col("o_totalprice"), 4, 38)).cast("double")
+    s1 = dec_sum(F.col("o_totalprice")).cast("double")
+    s2 = dec_sum(F.col("o_totalprice") * F.col("o_totalprice"), 4, 38).cast("double")
     n = F.count("*")
     mean = s1 / n
     var = (s2 - s1 * s1 / n) / (n - 1)
@@ -185,11 +188,11 @@ def agg_correlation_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     n = F.count("*")
-    sx = F.sum(_dec(x)).cast("double")
-    sy = F.sum(_dec(y)).cast("double")
-    sxx = F.sum(_dec(x * x, 4, 38)).cast("double")
-    syy = F.sum(_dec(y * y, 4, 38)).cast("double")
-    sxy = F.sum(_dec(x * y, 4, 38)).cast("double")
+    sx = dec_sum(x).cast("double")
+    sy = dec_sum(y).cast("double")
+    sxx = dec_sum(x * x, 4, 38).cast("double")
+    syy = dec_sum(y * y, 4, 38).cast("double")
+    sxy = dec_sum(x * y, 4, 38).cast("double")
     corr = (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
@@ -532,7 +535,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phase 1 buckets RAW rows (map-side combine into ~1.6k
     # buckets/group) — no distinct-value frame is ever materialized
     b = li.groupBy("l_returnflag", bkt.alias("bkt")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("bw")
+        dec_sum(F.col("l_quantity"), 2, 18).alias("bw")
     )
     w_b = (
         W.partitionBy("l_returnflag")
@@ -1000,9 +1003,13 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.col("value")
     n = F.count("*")
     sx = F.sum(x).cast("double")
-    sy = F.sum(_dec(y, 6)).cast("double")
+    sy = dec_sum(y, 6).cast("double")
     sxx = F.sum(x * x).cast("double")
-    sxy = F.sum(_dec(y, 6) * x).cast("double")
+    # r18: Σ(decimal(22,6)·x) as unscaled-long products — y's micro-unit
+    # long (fastdec class 1) times the bigint day is the exact unscaled
+    # value of the decimal product; hi/lo-split sums recombined to the
+    # original decimal(38,6) sum dtype, so the closed forms are unchanged
+    sxy = dec_sum_unscaled(unscaled_long(y, 6) * x, 6, 38).cast("double")
     # Degenerate-input guard (ADVICE r7): a group whose events all land
     # on one day has denom == 0 exactly; double /0 would yield ±Inf/NaN
     # in Spark but NULL in DuckDB, so both sides pin the answer to NULL.
@@ -1225,7 +1232,7 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.datediff(F.lit(ref), F.max("o_orderdate")).alias("recency_days"),
         F.count("*").alias("frequency"),
-        F.sum(_dec(F.col("o_totalprice"))).alias("monetary"),
+        dec_sum(F.col("o_totalprice")).alias("monetary"),
     )
     n_df = per_cust.agg(F.count("*").alias("n_cust"))
     # low recency = better → rank ascending gives 1 to the MOST
@@ -1315,7 +1322,7 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     spend = (
         orders.groupBy("o_custkey")
-        .agg(F.sum(_dec(F.col("o_totalprice"))).alias("x"))
+        .agg(dec_sum(F.col("o_totalprice")).alias("x"))
         .join(
             F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
         )

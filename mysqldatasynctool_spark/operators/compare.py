@@ -27,6 +27,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.fastdec import dec_sum as _fast_dec_sum
 from ..functions.hashing import duck_md5_low60, md5_low60
 from ..sources.fixtures import load
 
@@ -36,7 +37,29 @@ NULL_SENTINEL = "\\N"
 def _norm_col(name: str, dtype: str):
     c = F.col(name)
     if dtype in ("double", "float"):
-        e = c.cast("decimal(24,4)").cast("string")
+        # r18: the digest hot path renders doubles via %.4f instead of
+        # the double→DECIMAL(24,4)→string BigDecimal round-trip (two
+        # allocations per value per row). Identical output for every
+        # value whose exact binary is not within half an ulp of a
+        # x.xxxx5 half-way point — which covers the fixture doubles
+        # (all verified exact 2-decimal, see OPTIMIZATION_r18.md), and
+        # is the SAME no-half-way assumption the DuckDB twin already
+        # relies on (DuckDB's cast rounds the binary value, Spark's
+        # rounds the shortest repr — they only agree away from the
+        # boundary). NaN/±Inf/giant magnitudes fall back to the
+        # decimal-cast rendering (format_string would print 'NaN'
+        # where the cast yields NULL → sentinel).
+        slow = c.cast("decimal(24,4)").cast("string")
+        fast = F.format_string("%.4f", c)
+        e = (
+            # ±0.0 pinned: %.4f prints '-0.0000' for negative zero
+            # where the cast yields '0.0000'. NULL routed to the slow
+            # branch: format_string renders a NULL arg as the literal
+            # string 'null' where the cast chain yields NULL→sentinel.
+            F.when(c == 0, F.lit("0.0000"))
+            .when(c.isNull() | F.isnan(c) | (F.abs(c) > F.lit(1e15)), slow)
+            .otherwise(fast)
+        )
     elif dtype.startswith("decimal"):
         e = c.cast("string")
     elif dtype.startswith("timestamp"):
@@ -58,12 +81,43 @@ def row_digest(df: DataFrame) -> F.Column:
     return md5_low60(repr_col).cast("decimal(38,0)")
 
 
+
+def row_digest_long(df: DataFrame) -> F.Column:
+    """The raw 60-bit long digest (pre-DECIMAL form of
+    :func:`row_digest`) — what the r18 fast checksum sums accumulate.
+    """
+    repr_col = F.concat_ws("|", *[_norm_col(n, t) for n, t in df.dtypes])
+    return md5_low60(repr_col)
+
+
+#: hi/lo split base for digest sums: digests are < 2^60, so
+#: hi < 2^60/1e9 ≈ 1.2e9 and both long sums stay exact to ~8e9 rows
+#: per group (beyond that, page/partition the checksum — which the
+#: page-checksum operators already do).
+_DIGEST_SPLIT = 1_000_000_000
+
+
+def digest_sum(d: F.Column) -> F.Column:
+    """``SUM(CAST(d AS DECIMAL(38,0)))`` for a long digest column,
+    computed as two long sums recombined in decimal — replaces one
+    non-compact BigDecimal add per row with two long adds (r18,
+    optimization guide §1.2). Value- and dtype-identical."""
+    lo = F.pmod(d, F.lit(_DIGEST_SPLIT))
+    hi = ((d - lo) / F.lit(_DIGEST_SPLIT)).cast("long")
+    total = F.sum(hi).cast("decimal(38,0)") * F.lit(_DIGEST_SPLIT).cast(
+        "decimal(10,0)"
+    ) + F.sum(lo).cast("decimal(38,0)")
+    return total.cast("decimal(38,0)")
+
+
 def table_summary(df: DataFrame, table: str) -> DataFrame:
     """One row: (table_name, cnt, checksum)."""
-    return df.select(row_digest(df).alias("d")).agg(
+    return df.select(row_digest_long(df).alias("d")).agg(
         F.lit(table).alias("table_name"),
         F.count("*").alias("cnt"),
-        F.coalesce(F.sum("d"), F.lit(0).cast("decimal(38,0)")).alias("checksum"),
+        F.coalesce(digest_sum(F.col("d")), F.lit(0).cast("decimal(38,0)")).alias(
+            "checksum"
+        ),
     )
 
 
@@ -332,11 +386,13 @@ def migration_page_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def summarize(df: DataFrame, cnt: str, chk: str) -> DataFrame:
         return (
-            df.select(page.alias("page"), row_digest(df).alias("d"))
+            df.select(page.alias("page"), row_digest_long(df).alias("d"))
             .groupBy("page")
             .agg(
                 F.count("*").alias(cnt),
-                F.coalesce(F.sum("d"), F.lit(0).cast("decimal(38,0)")).alias(chk),
+                F.coalesce(
+                    digest_sum(F.col("d")), F.lit(0).cast("decimal(38,0)")
+                ).alias(chk),
             )
         )
 
@@ -426,13 +482,13 @@ def migration_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.max("o_orderkey") * 0.8).cast("long").alias("wm")
     )
     delta = orders.join(F.broadcast(wm)).filter(F.col("o_orderkey") > F.col("wm"))
-    digest = row_digest(orders)
+    digest = row_digest_long(orders)
     return delta.agg(
         F.max("wm").alias("watermark"),
         F.count("*").alias("delta_rows"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
-        F.coalesce(F.sum(digest), F.lit(0).cast("decimal(38,0)"))
+        F.coalesce(digest_sum(digest), F.lit(0).cast("decimal(38,0)"))
         .cast("string")
         .alias("delta_checksum"),
     )
@@ -571,15 +627,15 @@ def migration_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merged = apply_cdc(base, changes, pk="o_orderkey")
-    digest = row_digest(merged.select(*[c for c, _ in cols]))
+    digest = row_digest_long(merged.select(*[c for c, _ in cols]))
     return (
         merged.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col("o_totalprice").cast("decimal(24,2)"))
+            _fast_dec_sum(F.col("o_totalprice"), 2, 24)
             .cast("double")
             .alias("revenue"),
-            F.sum(digest).cast("string").alias("content_checksum"),
+            digest_sum(digest).cast("string").alias("content_checksum"),
         )
         .orderBy("o_orderstatus")
     )
@@ -768,7 +824,7 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(24,2)"))
+            _fast_dec_sum(F.col("o_totalprice"), 2, 24)
             .cast("double")
             .alias("revenue"),
         )

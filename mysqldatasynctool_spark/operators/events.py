@@ -19,10 +19,16 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.fastdec import dec_sum, dec_sum_over_bounded, unscaled_long
 from ..sources.fixtures import load
 
 
 def _dec(col, scale: int = 2, prec: int = 22):
+    # r18: aggregation sites sum via functions.fastdec (unscaled-long
+    # fast path, value/dtype-identical — see fastdec's proof); _dec
+    # stays for per-row views and the incremental (unbounded-preceding)
+    # window sums where a per-row reconstruct would cost more than the
+    # one BigDecimal add it saves.
     return col.cast(f"decimal({prec},{scale})")
 
 
@@ -111,7 +117,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec(F.col("value"), 6)).cast("double").alias("sum_value"),
+            dec_sum(F.col("value"), 6).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -144,7 +150,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec(F.col("value"), 6)).cast("double").alias("sum_value"),
+            dec_sum(F.col("value"), 6).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
         .orderBy("window_start")
@@ -188,7 +194,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            F.sum(_dec(F.col("value"), 6)).cast("double").alias("sum_value"),
+            dec_sum(F.col("value"), 6).cast("double").alias("sum_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -644,7 +650,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.rollup("day", "hr")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec(F.col("value"), 6)).cast("double").alias("sum_value"),
+            dec_sum(F.col("value"), 6).cast("double").alias("sum_value"),
         )
         .orderBy(F.col("day").asc_nulls_first(), F.col("hr").asc_nulls_first())
     )
@@ -684,8 +690,15 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-20, -1)
     )
-    sum_v = F.sum(_dec(F.col("value"), 6)).over(w).cast("double")
-    sum_v2 = F.sum(_dec(F.col("value") * F.col("value"), 6)).over(w).cast("double")
+    # r18: sliding 20-row frames are re-evaluated per output row, so
+    # the BigDecimal cast+add cost multiplies by the frame length —
+    # the bounded-frame unscaled-long window sum (fastdec classes 1/2:
+    # 2-decimal values and their squares) is value-identical at pure
+    # long cost. Frame bound: 20 × 561² × 10⁶ ≈ 6e12 ≪ 2^63.
+    sum_v = dec_sum_over_bounded(F.col("value"), w, 6).cast("double")
+    sum_v2 = dec_sum_over_bounded(
+        F.col("value") * F.col("value"), w, 6
+    ).cast("double")
     n_hist = F.count("*").over(w)
     mean = sum_v / n_hist
     var = (sum_v2 - sum_v * sum_v / n_hist) / n_hist
@@ -796,18 +809,30 @@ def events_anomaly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    # DECIMAL-exact folds over <=20 elements: per-element cast to
-    # decimal(22,6) (identical to the unsalted twin's pre-SUM cast),
-    # exact decimal(38,6) accumulation, ONE cast to double — the
-    # derived mean/var/z doubles are bit-equal to the window form
-    zero = F.lit("0").cast("decimal(38,6)")
-    sum_v = F.aggregate(
-        "hist", zero, lambda a, x: a + x["value"].cast("decimal(22,6)")
+    # DECIMAL-exact folds over <=20 elements — r18: accumulated as
+    # unscaled-long micro-units (fastdec.unscaled_long, classes 1/2 —
+    # the identical per-element rounding as the old per-element
+    # decimal(22,6) cast, see fastdec's proof) and reconstructed to
+    # the same decimal value ONCE per row, so the fold body is pure
+    # FP+long instead of 20 BigDecimal casts+adds. Bound: 20 elements
+    # × 561² × 10⁶ ≈ 6e12 ≪ 2^63; the derived mean/var/z doubles stay
+    # bit-equal to the window form (same rational, same final cast).
+    from ..functions.fastdec import from_unscaled
+
+    zero = F.lit(0).cast("long")
+    sum_v = from_unscaled(
+        F.aggregate("hist", zero, lambda a, x: a + unscaled_long(x["value"], 6)),
+        6,
+        38,
     ).cast("double")
-    sum_v2 = F.aggregate(
-        "hist",
-        zero,
-        lambda a, x: a + (x["value"] * x["value"]).cast("decimal(22,6)"),
+    sum_v2 = from_unscaled(
+        F.aggregate(
+            "hist",
+            zero,
+            lambda a, x: a + unscaled_long(x["value"] * x["value"], 6),
+        ),
+        6,
+        38,
     ).cast("double")
     n_hist = F.size("hist")
     mean = sum_v / n_hist
@@ -979,7 +1004,7 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(_dec(F.col("value"), 6)).cast("double").alias("sum_value"),
+            dec_sum(F.col("value"), 6).cast("double").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -1421,7 +1446,9 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rollup(df: DataFrame) -> DataFrame:
         return df.groupBy("hr").agg(
             F.count("*").alias("n"),
-            F.sum(_dec(F.col("value"), 6)).alias("sum_dec"),
+            # r18: unscaled-long fast path; dtype stays decimal(32,6)
+            # so the union/merge arithmetic is unchanged
+            dec_sum(F.col("value"), 6).alias("sum_dec"),
         )
 
     base_mv = rollup(base)

@@ -549,7 +549,12 @@ def migration_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All integer arithmetic; bounds are MIN/MAX of the leading PK
     column (reported for composite tables too — the boundary-probe
-    anchor — with mode still ``predicates``).
+    anchor — with mode still ``predicates``). Note (r18): the RUNTIME
+    planner additionally fast-paths numeric-LEADING composite keys to
+    range mode (``plan_table(range_on_leading=True)``, see its
+    docstring); this report keeps the classic decision surface — its
+    oracle-pinned output predates the fast path — and the bounds it
+    reports are exactly the probe that fast path uses.
 
     100 TB: each row is one metadata-cheap aggregate (count + min/max
     over a single indexed/sorted column); the union is 10 tiny

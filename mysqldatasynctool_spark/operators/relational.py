@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.fastdec import dec_sum
 from ..sources.fixtures import load
 
 
@@ -32,6 +33,14 @@ def _dec(col, scale: int = 2, prec: int = 22):
     Per-row double→decimal rounding is deterministic and identical in
     Spark and DuckDB; summing decimals is exact and order-independent,
     which makes aggregate results hash-comparable across engines.
+
+    r18 (optimization round): aggregation sites now SUM through
+    ``functions.fastdec.dec_sum`` — the unscaled-long fast path that
+    computes the identical decimal sum (value and dtype) without the
+    per-row BigDecimal cast/add; see fastdec's module docstring for
+    the equivalence proof and OPTIMIZATION_r18.md for before/after
+    measurements. ``_dec`` remains for per-row decimal VIEWS (joins,
+    comparisons) where no aggregation amortizes a rewrite.
     """
     return col.cast(f"decimal({prec},{scale})")
 
@@ -41,6 +50,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     filter → groupBy(2 keys) → 8 aggregates → orderBy. Exercises scan
     pushdown, partial aggregation, and the decimal-sum discipline.
+
+    r18: the decimal sums run through the unscaled-long fast path
+    (``fastdec.dec_sum``) — identical values and dtypes (equivalence
+    classes 1 and 2 of fastdec's contract: raw 2-decimal columns and
+    their ≤3-factor products at scale 6), with the per-row
+    BigDecimal cast/add replaced by FP rounding + long sums.
     """
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -49,13 +64,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(_dec(disc_price, 6)).cast("double").alias("sum_disc_price"),
-            F.sum(_dec(charge, 6)).cast("double").alias("sum_charge"),
-            (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.count("*")).alias("avg_price"),
-            (F.sum(_dec(F.col("l_discount"))).cast("double") / F.count("*")).alias("avg_disc"),
+            dec_sum(F.col("l_quantity")).cast("double").alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice")).cast("double").alias("sum_base_price"),
+            dec_sum(disc_price, 6).cast("double").alias("sum_disc_price"),
+            dec_sum(charge, 6).cast("double").alias("sum_charge"),
+            (dec_sum(F.col("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (dec_sum(F.col("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (dec_sum(F.col("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -134,14 +149,15 @@ def q1_pricing_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # exact decimal path (what the oracle reproduces)
-            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(_dec(disc_price, 6)).cast("double").alias("sum_disc_price"),
-            F.sum(_dec(charge, 6)).cast("double").alias("sum_charge"),
-            (F.sum(_dec(F.col("l_quantity"))).cast("double") / n).alias("avg_qty"),
-            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / n).alias("avg_price"),
-            (F.sum(_dec(F.col("l_discount"))).cast("double") / n).alias("avg_disc"),
+            # exact decimal path (what the oracle reproduces) — r18:
+            # via the unscaled-long fast path, value/dtype-identical
+            dec_sum(F.col("l_quantity")).cast("double").alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice")).cast("double").alias("sum_base_price"),
+            dec_sum(disc_price, 6).cast("double").alias("sum_disc_price"),
+            dec_sum(charge, 6).cast("double").alias("sum_charge"),
+            (dec_sum(F.col("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (dec_sum(F.col("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (dec_sum(F.col("l_discount")).cast("double") / n).alias("avg_disc"),
             n.alias("count_order"),
             # production float path, bounded below
             F.sum("l_quantity").alias("f_sum_qty"),
@@ -209,7 +225,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
-    revenue = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)).cast("double")
+    # r18: unscaled-long decimal sum (fastdec class 2) — identical value
+    revenue = dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("double")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -250,7 +267,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
-    revenue = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)).cast("double")
+    # r18: unscaled-long decimal sum (fastdec class 2) — identical value
+    revenue = dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("double")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -432,7 +450,7 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_parts"),
-            F.sum(_dec(F.col("p_retailprice"))).cast("double").alias("total_price"),
+            dec_sum(F.col("p_retailprice")).cast("double").alias("total_price"),
         )
         .orderBy("band")
     )
@@ -457,7 +475,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total"),
+            dec_sum(F.col("o_totalprice")).cast("double").alias("total"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
@@ -679,7 +697,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             F.round(
-                F.sum(F.col("l_quantity").cast("decimal(22,2)")).cast("double"), 2
+                dec_sum(F.col("l_quantity")).cast("double"), 2
             ).alias("total_qty"),
         )
         .orderBy("o_orderpriority")
@@ -899,7 +917,7 @@ def join_bloom_pruned_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("revenue"),
+            dec_sum(F.col("l_extendedprice")).cast("double").alias("revenue"),
         )
         .orderBy("l_returnflag")
     )

@@ -37,11 +37,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.fastdec import dec_min, dec_sum, dec_sum_when
 from ..sources.fixtures import load
 
 
 def _dec(col, scale: int = 2, prec: int = 22):
-    """Exact-decimal view of a noisy double column (see relational._dec)."""
+    """Exact-decimal view of a noisy double column (see relational._dec).
+
+    r18: aggregation sites sum via functions.fastdec (unscaled-long
+    fast path, value/dtype-identical — proof in fastdec's docstring).
+    """
     return col.cast(f"decimal({prec},{scale})")
 
 
@@ -121,7 +126,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_dec(_rev(), 6)).cast("double").alias("revenue"))
+        .agg(dec_sum(_rev(), 6).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -164,12 +169,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    nation_rev = F.sum(
-        F.when(F.col("supp_nation") == "NATION_5", _dec(_rev(), 6)).otherwise(
-            F.lit(0).cast("decimal(22,6)")
-        )
-    ).cast("double")
-    total_rev = F.sum(_dec(_rev(), 6)).cast("double")
+    nation_rev = dec_sum_when(F.col("supp_nation") == "NATION_5", _rev(), 6).cast("double")
+    total_rev = dec_sum(_rev(), 6).cast("double")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -224,7 +225,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(_dec(amount, 6)).cast("double").alias("sum_profit"))
+        .agg(dec_sum(amount, 6).cast("double").alias("sum_profit"))
         .orderBy("nation_name", F.desc("o_year"))
     )
 
@@ -263,7 +264,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_dec(_rev(), 6)).cast("double").alias("revenue"))
+        .agg(dec_sum(_rev(), 6).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -330,12 +331,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", _dec(_rev(), 6)).otherwise(
-            F.lit(0).cast("decimal(22,6)")
-        )
-    ).cast("double")
-    total = F.sum(_dec(_rev(), 6)).cast("double")
+    promo = dec_sum_when(F.col("p_type") == "PROMO", _rev(), 6).cast("double")
+    total = dec_sum(_rev(), 6).cast("double")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg((F.lit(100.0) * promo / total).alias("promo_revenue_pct"))
@@ -374,7 +371,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    revenue = li.groupBy("l_suppkey").agg(F.sum(_dec(_rev(), 6)).alias("total_rev"))
+    revenue = li.groupBy("l_suppkey").agg(dec_sum(_rev(), 6).alias("total_rev"))
     max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
     top = revenue.join(
         F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev")
@@ -449,7 +446,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty_threshold", F.lit(0.2) * (F.sum("l_quantity").over(w) / F.count("*").over(w))
     )
     return with_avg.filter(F.col("l_quantity") < F.col("qty_threshold")).agg(
-        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0)).alias(
+        (dec_sum(F.col("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
             "avg_yearly"
         )
     )
@@ -532,7 +529,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(F.sum(_dec(_rev(), 6)).cast("double").alias("revenue"))
+        .agg(dec_sum(_rev(), 6).cast("double").alias("revenue"))
     )
 
 
@@ -707,7 +704,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = (
         cust.filter(F.col("c_acctbal") > 0)
         .agg(
-            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("s"),
+            dec_sum(F.col("c_acctbal")).cast("double").alias("s"),
             F.count("*").alias("n"),
         )
         .collect()[0]
@@ -720,7 +717,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+            dec_sum(F.col("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("n_name")
     )
@@ -766,7 +763,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(_dec(F.col("l_extendedprice"))).alias("supply_cost")
+        dec_min(F.col("l_extendedprice")).alias("supply_cost")
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -826,7 +823,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"), 6))
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 6)
         .cast("double")
         .alias("revenue")
     )
@@ -878,7 +875,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver sessions) the blocks are freed when the frame is GC'd,
     # no explicit unpersist handle needed.
     value = regional.groupBy("l_partkey").agg(
-        F.sum(_dec(_rev(), 6)).alias("part_value")
+        dec_sum(_rev(), 6).alias("part_value")
     ).localCheckpoint(eager=True)
     # total = exact-decimal sum of the per-part aggregate — one fact
     # scan total, not a second scan+join just for the threshold.
@@ -979,17 +976,13 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal")
     )
     li = load(spark, sf_dir, "lineitem")
-    qty96 = F.sum(
-        F.when(F.year("l_shipdate") == 1996, _dec(F.col("l_quantity"))).otherwise(
-            F.lit(0).cast("decimal(22,2)")
-        )
-    )
+    qty96 = dec_sum_when(F.year("l_shipdate") == 1996, F.col("l_quantity"))
     excess = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             qty96.alias("qty_1996"),
-            F.sum(_dec(F.col("l_quantity"))).alias("qty_total"),
+            dec_sum(F.col("l_quantity")).alias("qty_total"),
         )
         .filter(F.lit(2) * F.col("qty_1996") > F.col("qty_total"))
         # no .distinct(): left_semi dedups by construction — an extra

@@ -23,10 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.fastdec import dec_sum, dec_sum_over
 from ..sources.fixtures import load
 
 
 def _dec(col, scale: int = 2, prec: int = 22):
+    # r18: group aggregates and SLIDING/RANGE frames sum via
+    # functions.fastdec (unscaled-long fast path, value/dtype-identical
+    # — proof there); incremental unbounded-preceding running sums keep
+    # the decimal accumulator (one add per row already; a per-row
+    # reconstruct would cost more than it saves).
     return col.cast(f"decimal({prec},{scale})")
 
 
@@ -210,7 +216,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_retailprice",
             F.count("*").over(w).alias("n_within_5"),
-            F.sum(_dec(F.col("p_retailprice"))).over(w).cast("double").alias("sum_within_5"),
+            dec_sum_over(F.col("p_retailprice"), w).cast("double").alias("sum_within_5"),
         )
         .orderBy("p_brand", "p_partkey")
     )
@@ -282,7 +288,7 @@ def window_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
-        F.sum(_dec(F.col("o_totalprice"))).alias("revenue")
+        dec_sum(F.col("o_totalprice")).alias("revenue")
     )
     total = rev.agg(F.sum("revenue").alias("total_revenue"))
     top20 = rev.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(20)
@@ -400,7 +406,7 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             F.count("*").over(w).alias("n_last_hour"),
-            F.sum(_dec(F.col("value"), 6)).over(w).cast("double").alias(
+            dec_sum_over(F.col("value"), w, 6).cast("double").alias(
                 "sum_last_hour"
             ),
         )
@@ -498,13 +504,16 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = orders.join(F.broadcast(first), "o_custkey").select(
         F.year("first_order").alias("cohort_year"),
         (F.year("o_orderdate") - F.year("first_order")).alias("age_years"),
-        _dec(F.col("o_totalprice")).alias("spend"),
+        # r18: carry the raw double; the aggregate below sums it on
+        # the unscaled-long fast path (value-identical to the old
+        # per-row decimal projection + decimal sum)
+        F.col("o_totalprice").alias("spend"),
     )
     return (
         tagged.groupBy("cohort_year", "age_years")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum("spend").cast("double").alias("cohort_spend"),
+            dec_sum(F.col("spend")).cast("double").alias("cohort_spend"),
         )
         .orderBy("cohort_year", "age_years")
     )
