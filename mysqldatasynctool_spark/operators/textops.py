@@ -699,6 +699,16 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    # r18 second pass: a per-(doc,token) TF-first rewrite (vocab and
+    # per-doc sums derived from one TF frame via tf-weighted exact
+    # decimals) was BUILT, ORACLE-VERIFIED AND MEASURED here — and
+    # REJECTED on the numbers: both of this query's aggregates are
+    # already partial/map-side, so the old shape shuffles only
+    # partial-agg rows (0.25 MB real shuffle at sf0.1 beside a 1.68 MB
+    # rebalance), while the TF frame's exchange shipped every distinct
+    # (doc,token) pair (audit: 1.93 → 2.92 MB written, 2.09 → 4.89 MB
+    # read) and the wall read +0.2 s. Tokenizing twice is pure in-task
+    # compute — cheaper than shuffling the pairs at every scale.
     vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     # Corpus token total as a 1-row broadcast, NOT a global window:
     # an unpartitioned WindowExec would pull the entire VOCAB frame
@@ -952,24 +962,44 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dl·N / Σdl`` is integer×integer cast to double then divided —
     bit-identical cross-engine.
 
-    100 TB shape: ONE tokenize scan feeds three partial-aggregated
-    shuffles (tf keyed (doc, token), df keyed token, dl keyed doc);
-    the query-term table is ≤10 rows broadcast, so candidate scoring
-    touches only the matching posting lists (the inverted-index
-    retrieval pattern as joins); the per-query top-k is a bounded
-    window. N and Σdl are two metadata-cheap scalar aggregates.
+    100 TB shape (r18): ONE tokenize scan feeds ONE partial-aggregated
+    shuffle (tf keyed (doc, token), reused by every consumer); df, dl
+    and Σdl all derive from the TF frame, so they shuffle tf rows
+    instead of token occurrences and the old full-corpus DISTINCT
+    exchange is gone. Σdl rides a 1-row broadcast column instead of a
+    driver collect. The query-term table is ≤10 rows broadcast, so
+    candidate scoring touches only the matching posting lists (the
+    inverted-index retrieval pattern as joins); the per-query top-k is
+    a bounded window. N is a metadata-cheap scalar aggregate.
     """
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()
     tok = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    sum_dl = dl.agg(F.sum("dl")).collect()[0][0]
-    df_ = tok.select("doc_id", "token").distinct().groupBy("token").agg(
-        F.count("*").alias("df")
+    # r18 second pass (guide §2.3/§2.4): ONE tokenize scan → the
+    # (doc,token) TF frame; every consumer aggregates over the
+    # IDENTICAL tf subtree, so the token-row exchange is planned once
+    # and AQE serves the other consumers from ReusedExchange. The old
+    # shape tokenized the corpus FOUR times (tf, dl, a Σdl collect()
+    # action, df) and — worst — ran a full DISTINCT exchange of every
+    # token occurrence just to count document frequencies. tf IS the
+    # distinct (doc,token) set with multiplicities, so every other
+    # statistic is an integer-identical derivation over it:
+    #   dl  per doc   = Σ_token tf   (== the old per-doc occurrence count)
+    #   Σdl           = Σ tf  (a 1-row broadcast column now, not a
+    #                          collect — no separate driver action)
+    #   df  per token = COUNT(tf rows) (== the old distinct-pair count)
+    # At scale the dl/df shuffles ship TF rows, not token rows, and
+    # the distinct exchange is gone outright.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    sum_dl_df = tf.agg(F.sum("tf").cast("double").alias("sum_dl"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     # query terms: df ranks BM25_SKIP_TOP+1 .. +N_QUERY_TERMS, paired
     # in rank order into two-term queries (TakeOrdered head, tiny)
     head = (
@@ -993,12 +1023,17 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("idf"),
     )
-    norm_len = (F.col("dl") * F.lit(n_docs)).cast("double") / F.lit(
-        float(sum_dl)
+    # dl·N exact in int64, cast once, divided by the Σdl broadcast
+    # scalar — float(Σdl) as a literal and CAST(Σdl AS DOUBLE) as a
+    # column are the same double (counts ≪ 2^53), so norm_len is
+    # bit-identical to the old collect()-literal form.
+    norm_len = (F.col("dl") * F.lit(n_docs)).cast("double") / F.col(
+        "sum_dl"
     )
     per_term = (
         tf.join(F.broadcast(qterms), "token")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(sum_dl_df))
         .select(
             "qid",
             "doc_id",

@@ -396,3 +396,26 @@ def test_pareto_topk_via_take_ordered(spark):
 
     plan = _plan(spark, wops.window_pareto_cumshare(spark, SF), "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_tf_first_no_distinct_exchange_no_rescan(spark):
+    """r18: bm25's dl/df/Σdl derive from the checkpointed (doc,token)
+    TF frame — the final plan must read the materialized RDD (no
+    parquet re-scan, no re-tokenize) and the old full-corpus DISTINCT
+    exchange of token occurrences must be gone (df is a COUNT over tf
+    rows, which are distinct pairs by construction)."""
+    import re
+
+    plan = _plan(spark, textops.QUERIES["text_bm25_topk"](spark, SF), "formatted")
+    assert "Scan ExistingRDD" in plan          # checkpointed tf
+    assert "Scan parquet" not in plan          # no second tokenize scan
+    # the (doc_id, token) grouping exists only in the checkpoint job
+    # (the tf build); the final plan must not re-run it — the old
+    # plan's df-side DISTINCT was exactly that grouping over every
+    # token occurrence
+    pair_groupings = [
+        keys
+        for keys in re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
+        if "doc_id" in keys and "token" in keys
+    ]
+    assert not pair_groupings, pair_groupings

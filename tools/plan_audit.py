@@ -101,6 +101,9 @@ ALLOWED_CARTESIAN = {
     "similarity_cluster_topics": "1-row corpus-grand-total broadcast (scalar subquery)",
     # r15: the two de-globalized windows' scalar replacements
     "text_unigram_perplexity": "1-row corpus-token-total broadcast (scalar subquery)",
+    # r18: bm25's Σdl moved from a driver collect() literal to the
+    # same 1-row-aggregate broadcast class as the entries above
+    "text_bm25_topk": "1-row corpus-length-total broadcast (scalar subquery)",
     "agg_rfm_segmentation": "1-row customer-count broadcast (scalar subquery)",
     "similarity_pca_power_iteration": (
         "5-row iteration report x 1-row (total-variance, n) constants — "
