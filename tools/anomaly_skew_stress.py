@@ -95,21 +95,59 @@ def build_skewed_events(n_rows: int, hot_share: float, seed: int = 8) -> str:
     return out_dir
 
 
+def _io_probe() -> float:
+    """bench.py's disk probe (same file-size/fsync recipe) so the
+    skew walls carry the same quiet-box evidence as bench records."""
+    import bench  # repo root is on sys.path (header insert)
+
+    return bench._io_probe()
+
+
 def run_variant(spark, out_dir: str, name: str, runs: int = 1) -> dict:
-    """Time ONE variant over an existing corpus: ``runs`` samples,
-    median + raw samples + flagged-row count. The unit the ``--isolate``
-    mode runs in its own subprocess."""
+    """Time ONE variant over an existing corpus. r18 (VERDICT item 3):
+    every timed run is BRACKETED by the bench io probe and the first
+    run is a WARMUP (fresh-JVM JIT + first parquet read measured 6-30x
+    the steady wall in the isolated subprocesses — r17's contaminated
+    medians were exactly this). The reported wall is the median of the
+    post-warmup runs whose probe bracket stays <=2x the subprocess's
+    pre-Spark idle probe; if fewer than 2 runs survive, the median of
+    all post-warmup runs is reported and flagged. The unit the
+    ``--isolate`` mode runs in its own subprocess."""
     fn = _variant_fns()[name]
-    samples = []
+    idle = _io_probe()
+    samples: list = []
+    brackets: list = []
     count = None
-    for _ in range(max(1, runs)):
+    for _ in range(max(1, runs) + 1):  # +1 = the warmup run
+        p0 = _io_probe()
         t0 = time.monotonic()
         count = fn(spark, out_dir).count()
-        samples.append(round(time.monotonic() - t0, 3))
-    s = sorted(samples)
+        wall = round(time.monotonic() - t0, 3)
+        p1 = _io_probe()
+        samples.append(wall)
+        brackets.append([round(p0, 4), round(p1, 4)])
+    timed = samples[1:]
+    timed_brackets = brackets[1:]
+    clean = [
+        w
+        for w, (a, b) in zip(timed, timed_brackets)
+        if max(a, b) <= 2.0 * idle
+    ]
+    use = clean if len(clean) >= 2 else timed
+    s = sorted(use)
     m = len(s) // 2
     wall = s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
-    return {"variant": name, "wall": wall, "runs": samples, "rows": count}
+    return {
+        "variant": name,
+        "wall": wall,
+        "runs": timed,
+        "warmup_run": samples[0],
+        "io_idle": round(idle, 4),
+        "io_brackets": timed_brackets,
+        "burst_rejected": len(timed) - len(clean) if len(clean) >= 2 else 0,
+        "stat": "median_clean" if len(clean) >= 2 else "median_all_degraded",
+        "rows": count,
+    }
 
 
 def _run_variant_subprocess(out_dir: str, name: str, runs: int) -> dict:
@@ -167,6 +205,7 @@ def run_stress(
         walls: dict = {}
         counts: dict = {}
         all_runs: dict = {}
+        detail: dict = {}
         for name in _VARIANTS:
             row = (
                 _run_variant_subprocess(out_dir, name, runs)
@@ -176,7 +215,19 @@ def run_stress(
             walls[name] = row["wall"]
             counts[name] = row["rows"]
             all_runs[name] = row["runs"]
+            detail[name] = {
+                k: row[k]
+                for k in (
+                    "warmup_run",
+                    "io_idle",
+                    "io_brackets",
+                    "burst_rejected",
+                    "stat",
+                )
+                if k in row
+            }
         report["runs"] = all_runs
+        report["probe_detail"] = detail
         # identity on the skewed corpus, not just the fixture: compare
         # result hashes via a full subtract both ways (cheap relative
         # to the windows themselves)
