@@ -8,6 +8,13 @@ cpu/io probes (so a reader can verify the box was quiet) and persists
 Usage: python tools/stress_record.py [factor] [seed]   (default 300 8)
 Optionally merges extra blocks from files named on argv as
 ``key=path.json`` (e.g. ``anomaly_skew_isolated=/tmp/skew.json``).
+
+``--no-ann`` (r18): skip the ANN rerun and carry forward the newest
+committed ``ann_recall_*`` block by reference — for rounds whose stress
+work is skew-only (VERDICT r17 item 3) and whose similarity code is
+unchanged, re-burning ~10 min of ANN compute would measure nothing new.
+The record then stores ``ann_carried_from`` naming the source record so
+a reader knows those numbers were not re-measured this round.
 """
 
 from __future__ import annotations
@@ -27,8 +34,10 @@ def main() -> int:
 
     from mysqldatasynctool_spark.session import get_spark
 
-    pos = [a for a in sys.argv[1:] if "=" not in a]
-    extras = [a for a in sys.argv[1:] if "=" in a]
+    no_ann = "--no-ann" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if a != "--no-ann"]
+    pos = [a for a in argv if "=" not in a]
+    extras = [a for a in argv if "=" in a]
     factor = int(pos[0]) if len(pos) > 0 else 300
     seed = int(pos[1]) if len(pos) > 1 else 8
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,21 +51,36 @@ def main() -> int:
             extra_blocks[key] = json.load(f)
 
     rec: dict = {
-        "record": "ann_stress",
+        "record": "stress" if no_ann else "ann_stress",
         "factor": factor,
         "seed": seed,
         "sf_dir": sf_dir,
         "cpu_probe": {"start": bench._cpu_probe()},
         "io_probe": {"start": bench._io_probe()},
     }
-    spark = get_spark(app_name=f"stress_record_x{factor}")
-    spark.sparkContext.setLogLevel("ERROR")
-    try:
-        rec[f"ann_recall_{factor}x"] = run_stress_ann(
-            spark, sf_dir, factor=factor, seed=seed
-        )
-    finally:
-        spark.stop()
+    if no_ann:
+        # carry the newest committed ANN block forward by reference
+        import glob as _glob
+
+        prior = sorted(_glob.glob(os.path.join(REPO, "STRESS_r*.json")))
+        for path in reversed(prior):
+            with open(path) as f:
+                old = json.load(f)
+            ann_keys = [k for k in old if k.startswith("ann_recall_")]
+            if ann_keys:
+                rec["ann_carried_from"] = os.path.basename(path)
+                for k in ann_keys:
+                    rec[k] = old[k]
+                break
+    else:
+        spark = get_spark(app_name=f"stress_record_x{factor}")
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            rec[f"ann_recall_{factor}x"] = run_stress_ann(
+                spark, sf_dir, factor=factor, seed=seed
+            )
+        finally:
+            spark.stop()
     rec["cpu_probe"]["end"] = bench._cpu_probe()
     rec["io_probe"]["end"] = bench._io_probe()
     rec.update(extra_blocks)
