@@ -1008,6 +1008,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # core count the walls were measured at (r18): the driver
+        # re-runs the bench at a lower $SPARK_GRAFT_CPUS to measure
+        # per-query scaling, and without this stamp two records from
+        # different core counts are indistinguishable after the fact
+        # (the 8-core scaling run of r18 had to be annotated by hand).
+        # File-record metadata only — the stdout contract line is
+        # unchanged.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         # each query number is the MEDIAN of its burst-KEPT runs (r17
         # discipline change: runs whose io-probe bracket exceeded 2x
         # the run's typical probe level are excluded, and the adaptive
