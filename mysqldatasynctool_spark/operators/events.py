@@ -727,9 +727,15 @@ def events_anomaly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an HOUR bucket and reconstructs the cross-boundary history
     with a bounded carry:
 
-    - local pass (keyed user_id × bucket): each row collects its
-      within-bucket trailing <=20 rows (``local_hist``) — the hot
-      user's timeline now spreads across all its buckets;
+    - local pass (keyed user_id × bucket): each row's within-bucket
+      trailing sums (value, value², count over the <=20-row frame) as
+      bounded unscaled-long window sums — the hot user's timeline now
+      spreads across all its buckets. (r18: this pass used to
+      ``collect_list`` the <=20 trailing STRUCTS per row and re-fold
+      them after the join; since the folds are plain long adds, the
+      local contribution is the window long sum directly — no per-row
+      array is ever built and the join rows carry 3 longs instead of a
+      <=20-struct array. −38% wall, receipt in OPTIMIZATION_r18.md);
     - per-bucket TAIL: the last <=20 rows of every (user, bucket) —
       one small array row per non-empty bucket;
     - carry: over the tails frame (ONE ROW PER NON-EMPTY BUCKET, not
@@ -738,11 +744,14 @@ def events_anomaly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
       suffice: each contributes >=1 event, and no single bucket ever
       needs to contribute more than its own last 20;
     - stitch: a row with k local predecessors takes the last (20-k)
-      carry events — ``last20(carry ++ local_hist)`` — and the sums
-      are rebuilt per-row with DECIMAL-exact ``F.aggregate`` folds
-      over <=20 elements, bit-equal to the window SUMs of the
-      unsalted twin (same decimal(22,6) per-element cast, exact
-      decimal accumulation, cast to double once).
+      carry events — a DECIMAL-exact ``F.aggregate`` fold over that
+      <=(20-k)-element slice, added (in unscaled longs, where sums are
+      associative) to the local window sums. Bit-equal to the window
+      SUMs of the unsalted twin: same per-element HALF_UP rounding as
+      the decimal(22,6) cast (fastdec classes 1/2), same exact integer
+      accumulation over the same 20-element multiset
+      ``last20(carry ++ local)``, one decimal reconstruction and one
+      cast to double per row.
 
     100 TB: every per-event window is keyed (user_id, bucket); the
     only per-user structure is the tails frame, whose size per user
@@ -769,13 +778,21 @@ def events_anomaly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-20, -1)
     )
+    # within-bucket trailing sums as bounded unscaled-long window sums
+    # (one long add per frame row, no array ever built): `k` local
+    # predecessors, Σvalue and Σvalue² in micro-units. F.sum over an
+    # empty frame is NULL (k = 0) — coalesced to 0 at the stitch.
     local = ev.select(
         "event_id",
         "user_id",
         "ts",
         "value",
         "bucket",
-        F.collect_list(item).over(wb).alias("local_hist"),
+        F.count("*").over(wb).alias("k"),
+        F.sum(unscaled_long(F.col("value"), 6)).over(wb).alias("lsum_v"),
+        F.sum(unscaled_long(F.col("value") * F.col("value"), 6))
+        .over(wb)
+        .alias("lsum_v2"),
     )
     # last <=20 rows of each (user, bucket): reverse row_number, then
     # sort_array restores ascending (ts, event_id) order — the arrays
@@ -800,41 +817,49 @@ def events_anomaly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.flatten(F.collect_list("tail").over(wu)))
         ).alias("carry"),
     )
-    stitched = local.join(carries, ["user_id", "bucket"], "left").withColumn(
-        "hist",
-        last20(
-            F.concat(
-                F.coalesce(F.col("carry"), F.expr(f"CAST(array() AS {hist_t})")),
-                F.col("local_hist"),
-            )
-        ),
-    )
-    # DECIMAL-exact folds over <=20 elements — r18: accumulated as
-    # unscaled-long micro-units (fastdec.unscaled_long, classes 1/2 —
-    # the identical per-element rounding as the old per-element
-    # decimal(22,6) cast, see fastdec's proof) and reconstructed to
-    # the same decimal value ONCE per row, so the fold body is pure
-    # FP+long instead of 20 BigDecimal casts+adds. Bound: 20 elements
-    # × 561² × 10⁶ ≈ 6e12 ≪ 2^63; the derived mean/var/z doubles stay
-    # bit-equal to the window form (same rational, same final cast).
+    # Stitch: a row with k local predecessors still needs the last
+    # (20-k) carry events. Only THAT slice is folded — the local part
+    # already arrived as window long sums. The total equals the old
+    # fold over last20(carry ++ local_hist) exactly: unscaled-long
+    # addition is associative, the slice is the same element multiset
+    # the old last20 kept (local_hist held the FINAL k elements of the
+    # concat), and each element contributes the same HALF_UP-rounded
+    # micro-units (fastdec classes 1/2 — identical to the decimal(22,6)
+    # per-element cast, see fastdec's proof). Bound: 20 elements ×
+    # 561² × 10⁶ ≈ 6e12 ≪ 2^63; the derived mean/var/z doubles stay
+    # bit-equal to the unsalted window form (same rational, same final
+    # cast).
     from ..functions.fastdec import from_unscaled
 
+    stitched = local.join(carries, ["user_id", "bucket"], "left")
+    empty = F.expr(f"CAST(array() AS {hist_t})")
+    need = F.lit(20) - F.col("k")
+    carry = F.coalesce(F.col("carry"), empty)
+    carry_take = F.when(need <= 0, empty).otherwise(
+        F.when(F.size(carry) <= need, carry).otherwise(
+            F.slice(carry, -need, need)
+        )
+    )
     zero = F.lit(0).cast("long")
     sum_v = from_unscaled(
-        F.aggregate("hist", zero, lambda a, x: a + unscaled_long(x["value"], 6)),
+        F.coalesce(F.col("lsum_v"), zero)
+        + F.aggregate(
+            carry_take, zero, lambda a, x: a + unscaled_long(x["value"], 6)
+        ),
         6,
         38,
     ).cast("double")
     sum_v2 = from_unscaled(
-        F.aggregate(
-            "hist",
+        F.coalesce(F.col("lsum_v2"), zero)
+        + F.aggregate(
+            carry_take,
             zero,
             lambda a, x: a + unscaled_long(x["value"] * x["value"], 6),
         ),
         6,
         38,
     ).cast("double")
-    n_hist = F.size("hist")
+    n_hist = F.col("k") + F.size(carry_take)
     mean = sum_v / n_hist
     var = (sum_v2 - sum_v * sum_v / n_hist) / n_hist
     std = F.sqrt(F.greatest(var, F.lit(0.0)))

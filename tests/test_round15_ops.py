@@ -50,6 +50,26 @@ def test_anomaly_salted_windows_keyed_by_bucket(spark):
             assert "user_id" in part, (part, order)
 
 
+def test_anomaly_salted_per_event_windows_are_array_free(spark):
+    """Plan pin for the r18 stitch rewrite: the per-EVENT windows (the
+    (user_id, bucket)-partitioned ones) must compute only long
+    sums/counts — never ``collect_list`` — so no per-row struct array
+    is ever built or carried into the join on the event-row path. The
+    only array-building windows allowed are on the TAILS side (the
+    user-only carry pass over one row per non-empty bucket)."""
+    from mysqldatasynctool_spark.operators import events
+
+    plan = _plan(spark, events.events_anomaly_salted(spark, SF_DIR))
+    windows = re.findall(r"Window \[(.*?)\], \[(.*?)\], \[(.*?)\]", plan)
+    assert windows, "expected Window nodes in the plan"
+    saw_per_event = False
+    for funcs, part, _order in windows:
+        if "bucket" in part and "user_id" in part:
+            saw_per_event = True
+            assert "collect_list" not in funcs, (funcs, part)
+    assert saw_per_event, "expected a (user_id, bucket)-keyed window"
+
+
 def test_size_state_partitions_model():
     """The sizing function must reproduce the measured fixture
     operating points (4 inner / 8 outer at ~100 k rows), clamp at both
