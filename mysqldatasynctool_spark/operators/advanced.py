@@ -542,13 +542,22 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bkt")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # r18 (guide §5 caching): `c` has TWO consumers (the crossing
+    # search and the exact-prefix join) and the formatted plan showed
+    # the whole phase-1 subtree — lineitem scan, rebalance, bucket
+    # aggregate, sort, both windows — duplicated under each (3 lineitem
+    # scans total, AQE reusing only the inner exchange). The frame is
+    # KB-scale (≈1.6k buckets × 3 groups), so localCheckpoint(eager)
+    # materializes phase 1 once and both consumers read the RDD:
+    # lineitem is scanned exactly twice (once per phase), as the
+    # docstring's cost model always claimed.
     c = b.select(
         "l_returnflag",
         "bkt",
         "bw",
         F.sum("bw").over(w_b).alias("cbw"),
         F.sum("bw").over(W.partitionBy("l_returnflag")).alias("tw"),
-    )
+    ).localCheckpoint(eager=True)
     # quantile dim: q = q_num/q_den, crossing test cum*q_den >= tw*q_num
     qs = spark.createDataFrame(
         [(1, 2), (9, 10)], "q_num int, q_den int"

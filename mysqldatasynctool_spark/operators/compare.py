@@ -607,25 +607,44 @@ def migration_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     # ops are mutually exclusive per key (delete wins over update) —
     # the per-key-unique contract a log-compacted CDC batch gives you,
-    # and what keeps the latest-wins window deterministic
-    changes = (
-        base.filter(
-            (F.col("o_orderkey") % CDC_UPDATE_MOD == 0)
-            & (F.col("o_orderkey") % CDC_DELETE_MOD != 0)
+    # and what keeps the latest-wins window deterministic.
+    # r18 (guide §2.4 / §6): the three filter branches each re-scanned
+    # orders (4 scans + 4 fixture rebalances in the plan, base
+    # included). The branches are per-row predicates on one key, so
+    # ONE scan derives all change rows map-side: each row emits its
+    # applicable U/D/I struct(s) through array_compact + explode —
+    # row-multiset identical to the old 3-way union (a key hitting
+    # both D and I still emits both rows, exactly as the union did).
+    # In production the change feed is external and base is read once;
+    # these scans are pure fixture-derivation overhead, now 1 pass.
+    key = F.col("o_orderkey")
+    is_u = (key % CDC_UPDATE_MOD == 0) & (key % CDC_DELETE_MOD != 0)
+    is_d = key % CDC_DELETE_MOD == 0
+    is_i = key % CDC_INSERT_MOD == 0
+
+    def _chg(op: str, orderkey, totalprice):
+        return F.struct(
+            orderkey.alias("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            totalprice.alias("o_totalprice"),
+            F.col("o_orderdate"),
+            F.col("o_orderpriority"),
+            F.lit(op).alias("op"),
         )
-        .withColumn("o_totalprice", repriced)
-        .withColumn("op", F.lit("U"))
-        .unionByName(
-            base.filter(F.col("o_orderkey") % CDC_DELETE_MOD == 0).withColumn(
-                "op", F.lit("D")
+
+    price = F.col("o_totalprice")
+    changes = base.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(is_u, _chg("U", key, repriced)),
+                    F.when(is_d, _chg("D", key, price)),
+                    F.when(is_i, _chg("I", key + F.lit(CDC_INSERT_OFFSET), price)),
+                )
             )
-        )
-        .unionByName(
-            base.filter(F.col("o_orderkey") % CDC_INSERT_MOD == 0)
-            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(CDC_INSERT_OFFSET))
-            .withColumn("op", F.lit("I"))
-        )
-    )
+        ).alias("c")
+    ).select("c.*")
     merged = apply_cdc(base, changes, pk="o_orderkey")
     digest = row_digest_long(merged.select(*[c for c, _ in cols]))
     return (

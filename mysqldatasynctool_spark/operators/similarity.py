@@ -3472,8 +3472,26 @@ def similarity_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _vecs(spark, sf_dir)
     with_cells, _ = _assign_cells(spark, emb, probes=1, cache_key=sf_dir)
-    assign = with_cells.select(
-        "vec_id", F.element_at("cells", 1).alias("cell")
+    # r18 (guide §5 caching / §2.3 aggregate-before-shuffle): the plan
+    # used to inline the assignment subtree into every consumer — the
+    # formatted dump showed FIVE MapInPandas nodes (the matmul scan
+    # re-run per aggregate), 10 parquet scans, and — because the
+    # opaque mapInPandas side has no stats — Catalyst built the
+    # docs⋈assign join with the CORPUS TEXT as the broadcast side,
+    # FOUR separate [doc_id, text] broadcast copies (37.8 MB of
+    # broadcast at sf0.01; a corpus-sized broadcast is exactly what
+    # cannot happen at 100 TB). localCheckpoint(eager) the two reused
+    # intermediates instead (the bm25/heavy-hitters pattern): (a) the
+    # narrow (vec_id, cell) assignment — the matmul runs once and
+    # downstream joins plan on REAL RDD stats; (b) the vocab-sized
+    # (cell, token, cnt) aggregate, whose subtree fed four consumers
+    # (scored base, corpus df, cell totals, grand total). After: one
+    # MapInPandas, one tokenize, text crosses a broadcast ZERO times
+    # (executed sf0.01 A/B: nodes 152→100, file scans 5→1, final-plan
+    # shuffle bytes halved; plans/r18/similarity_cluster_topics_*.txt).
+    assign = (
+        with_cells.select("vec_id", F.element_at("cells", 1).alias("cell"))
+        .localCheckpoint(eager=True)
     )
     docs = load(spark, sf_dir, "documents")
     joined = docs.join(
@@ -3486,6 +3504,7 @@ def similarity_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cell", "token")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     cell_tot = cell_tok.groupBy("cell").agg(
         F.sum("cnt").alias("cell_total")

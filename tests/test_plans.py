@@ -419,3 +419,68 @@ def test_bm25_tf_first_no_distinct_exchange_no_rescan(spark):
         if "doc_id" in keys and "token" in keys
     ]
     assert not pair_groupings, pair_groupings
+
+
+def test_cluster_topics_single_assignment_no_text_broadcast(spark):
+    """r18: cluster_topics materializes (a) the narrow assignment and
+    (b) the vocab-sized (cell, token, cnt) frame once each — the final
+    plan must read the checkpointed RDDs, never re-run the mapInPandas
+    matmul, scan parquet at most once (the n_docs branch), and the
+    corpus text must NEVER be a broadcast build side (the old plan
+    shipped four [doc_id, text] broadcast copies — the corpus-sized
+    broadcast that cannot exist at 100 TB)."""
+    import re
+
+    from mysqldatasynctool_spark.operators import similarity
+
+    plan = _plan(
+        spark, similarity.QUERIES["similarity_cluster_topics"](spark, SF), "formatted"
+    )
+    assert "Scan ExistingRDD" in plan          # the two checkpoints
+    assert "MapInPandas" not in plan           # matmul ran once, upstream
+    # formatted mode prints each node twice (tree line + details
+    # header) — count the numbered details headers, one per scan node
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 1, n_scans
+    texty = [
+        b
+        for b in re.findall(r"\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+        if "text#" in b
+    ]
+    assert not texty, texty
+
+
+def test_cdc_apply_two_scans_only(spark):
+    """r18: the fixture change-set derives from ONE orders scan
+    (struct-array explode, row-multiset identical to the old 3-way
+    filter union) — the plan must hold exactly two orders scans: base
+    + the change derivation. Production shape is base + an external
+    feed, so extra scans were pure fixture-derivation overhead."""
+    import re
+
+    from mysqldatasynctool_spark.operators import compare as comp
+
+    plan = _plan(
+        spark, comp.QUERIES["migration_cdc_apply"](spark, SF), "formatted"
+    )
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 2, n_scans
+
+
+def test_weighted_median_phase1_runs_once(spark):
+    """r18: the phase-1 bucket frame `c` is checkpointed — its two
+    consumers (crossing search, exact-prefix join) must read the
+    materialized RDD, leaving exactly ONE lineitem scan in the final
+    plan (phase 2). The old plan duplicated the whole scan + rebalance
+    + bucket-aggregate + double-window subtree under each consumer
+    (3 lineitem scans, 9 executed shuffles vs 6 after)."""
+    import re
+
+    from mysqldatasynctool_spark.operators import advanced
+
+    plan = _plan(
+        spark, advanced.QUERIES["agg_weighted_median"](spark, SF), "formatted"
+    )
+    assert "Scan ExistingRDD" in plan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, n_scans
