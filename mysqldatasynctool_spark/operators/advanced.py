@@ -1238,10 +1238,24 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("m")).collect()[0]["m"]
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.datediff(F.lit(ref), F.max("o_orderdate")).alias("recency_days"),
-        F.count("*").alias("frequency"),
-        dec_sum(F.col("o_totalprice")).alias("monetary"),
+    # r18 (guide §5 caching): every scale_safe_row_number call consumes
+    # its input TWICE (within-bucket rank + bucket histogram), so the
+    # three chained calls re-planned this aggregation subtree up to
+    # 2³ = 8 times — NINE orders scans in the formatted plan (AQE
+    # exchange reuse recovered it to 4 executed scans at runtime).
+    # localCheckpoint(eager) the narrow customer-sized aggregate:
+    # orders is scanned once (in the checkpoint job, plus the declared
+    # driver-side ref-date probe) and every rank/histogram pass reads
+    # the materialized RDD. Executed sf0.01 A/B: final-plan scans 4→0,
+    # shuffles 18→14, written bytes −37%, records −40%.
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.lit(ref), F.max("o_orderdate")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            dec_sum(F.col("o_totalprice")).alias("monetary"),
+        )
+        .localCheckpoint(eager=True)
     )
     n_df = per_cust.agg(F.count("*").alias("n_cust"))
     # low recency = better → rank ascending gives 1 to the MOST

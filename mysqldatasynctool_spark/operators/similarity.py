@@ -1704,8 +1704,15 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     only insofar as the truth side is the quadratic bruteforce; at
     production scale the same report runs on a sampled query panel.
     """
-    truth = similarity_topk_bruteforce(spark, sf_dir).select(
-        "qid", "neighbor_id"
+    # r18 (guide §5 caching): the truth frame is consumed once per
+    # method, so the QUADRATIC bruteforce subtree re-ran four times
+    # (16 embeddings scans in the formatted plan). Checkpoint the tiny
+    # (qid, neighbor_id) pair set: the truth pipeline runs exactly
+    # once and each method join reads the materialized rows.
+    truth = (
+        similarity_topk_bruteforce(spark, sf_dir)
+        .select("qid", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     methods = {
         "ivf_pandas": similarity_ivf_pandas(spark, sf_dir),

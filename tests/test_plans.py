@@ -387,6 +387,13 @@ def test_rfm_ntile_decomposed_no_customer_frame_window(spark):
     plan = _plan(spark, advanced.agg_rfm_segmentation(spark, SF), "simple")
     assert "ntile" not in plan.lower()
     assert plan.count("Exchange hashpartitioning(_ssrn_bkt") >= 3
+    # r18: the per-customer aggregate is checkpointed — each
+    # scale_safe_row_number pass consumes its input twice (rank +
+    # histogram), and the chained calls re-planned the orders
+    # aggregation up to 8x (9 scans). The final plan must read the
+    # materialized RDD and never re-scan orders.
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_pareto_topk_via_take_ordered(spark):
