@@ -110,6 +110,12 @@ HEADLINE = [
     # index-maintenance throughput: two assignment scans (train-on-base
     # + assign-only) and the drift join
     "similarity_incremental_index",
+    # r19 addition (additive only — the optimization-round contract
+    # allows new entries, never removals/renames): the hybrid
+    # retrieval capstone composes the TF-first lexical side with the
+    # multiprobe ANN side and an RRF fusion join — the round-19
+    # rewrite target whose regression this row would catch
+    "similarity_hybrid_rrf",
 ]
 
 
@@ -379,6 +385,64 @@ def _cpu_probe() -> float:
     instead of the plan."""
     walls = [_cpu_probe_once() for _ in range(3)]
     return sorted(walls)[1]
+
+
+#: Quiet-band ceilings for the two probes on this box, from the
+#: committed records: cpu_probe read 0.102-0.155 across every quiet
+#: BENCH_LOCAL_r12..r18 run (the r18d contended run read 0.263, 2.5x
+#: the idle band); _io_probe_once read ~0.018-0.035 quiet (the r18e
+#: degraded-disk run started at 0.143, ~5x). Each threshold sits
+#: ~1.3-1.7x above the top of the observed quiet band so a busy but
+#: healthy box still classifies quiet while the documented
+#: contamination shapes (r18's 13 phantom regressions) do not.
+CPU_PROBE_QUIET_MAX = 0.18
+IO_PROBE_QUIET_MAX = 0.06
+
+
+def _env_class(
+    cpu_probe: dict, io_probe: dict, probe_by_query: dict, io_probe_by_query: dict
+) -> dict:
+    """Environment verdict for the BENCH_JSON tail (VERDICT r18 item
+    6): the one-line record previously carried the probe brackets but
+    no CLASSIFICATION, so PERF comparisons ingested contaminated walls
+    silently. Derived purely from probe samples the record already
+    carries (recomputable from any historical record); additive only —
+    the timed loop and existing keys are untouched.
+
+    ``env_class``: quiet | cpu_contended | disk_degraded |
+    cpu_contended+disk_degraded | partially_contended (medians quiet
+    but >25% of per-query probes ran hot — the r18 shape, where q1's
+    io bracket read 5-10x baseline while the run-level bracket stayed
+    clean). ``env_hot_queries`` names the hot rows so a flagged wall
+    is attributable without the full committed record."""
+    import statistics
+
+    cpu_samples = [cpu_probe["start"], cpu_probe["end"], *probe_by_query.values()]
+    io_samples = [io_probe["start"], io_probe["end"], *io_probe_by_query.values()]
+    cpu_med = statistics.median(cpu_samples)
+    io_med = statistics.median(io_samples)
+    hot = sorted(
+        set(q for q, v in probe_by_query.items() if v > CPU_PROBE_QUIET_MAX)
+        | set(q for q, v in io_probe_by_query.items() if v > IO_PROBE_QUIET_MAX)
+    )
+    cpu_hot = cpu_med > CPU_PROBE_QUIET_MAX
+    io_hot = io_med > IO_PROBE_QUIET_MAX
+    if cpu_hot and io_hot:
+        cls = "cpu_contended+disk_degraded"
+    elif cpu_hot:
+        cls = "cpu_contended"
+    elif io_hot:
+        cls = "disk_degraded"
+    elif len(hot) > max(2, len(probe_by_query) // 4):
+        cls = "partially_contended"
+    else:
+        cls = "quiet"
+    return {
+        "env_class": cls,
+        "env_cpu_probe_median": round(cpu_med, 4),
+        "env_io_probe_median": round(io_med, 4),
+        "env_hot_queries": hot,
+    }
 
 
 def main() -> None:
@@ -993,6 +1057,11 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — evidence row is additive
         failed["_scale_sweep"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    cpu_probe_bracket = {"start": probe_start, "end": _cpu_probe()}
+    io_probe_bracket = {"start": io_probe_start, "end": _io_probe()}
+    env_verdict = _env_class(
+        cpu_probe_bracket, io_probe_bracket, probe_by_query, io_probe_by_query
+    )
     out = {
         "metric": "headline_queries_total_wall",
         # a round with ANY failed headline metric must not publish a
@@ -1038,10 +1107,10 @@ def main() -> None:
         # stat_by_query + runs in the committed BENCH_LOCAL records)
         # box-speed calibration bracketing the run (see _cpu_probe):
         # compare this across rounds BEFORE reading per-query deltas
-        "cpu_probe": {"start": probe_start, "end": _cpu_probe()},
+        "cpu_probe": cpu_probe_bracket,
         # disk-speed calibration, same bracket discipline (see
         # _io_probe — closes the r15 attribution gap)
-        "io_probe": {"start": io_probe_start, "end": _io_probe()},
+        "io_probe": io_probe_bracket,
         # one sample per query, taken just before its runs — the
         # burst-attribution evidence bench_compare reads when flagging
         "probe_by_query": probe_by_query,
@@ -1056,6 +1125,9 @@ def main() -> None:
         # plan-volume signal bench_compare uses to separate plan
         # regressions from environment drift
         "plan_metrics_by_query": plan_metrics_by_query,
+        # environment verdict + probe medians (VERDICT r18 item 6) —
+        # additive; see _env_class
+        **env_verdict,
     }
     if streaming_state_by_query:
         out["streaming_state_by_query"] = streaming_state_by_query
@@ -1134,6 +1206,15 @@ def compact_bench_line(out: dict, timings: dict, failed: dict) -> str:
     for probe in ("cpu_probe", "io_probe"):
         if out.get(probe):
             compact[probe] = out[probe]
+    # environment verdict (VERDICT r18 item 6): the one word PERF
+    # readers need before trusting any wall in this line; hot-query
+    # names stay in the committed record (env_hot_queries) to protect
+    # the line's size budget — only their count travels here
+    if out.get("env_class"):
+        compact["env_class"] = out["env_class"]
+        compact["env_cpu_probe_median"] = out.get("env_cpu_probe_median")
+        compact["env_io_probe_median"] = out.get("env_io_probe_median")
+        compact["env_hot_n"] = len(out.get("env_hot_queries", []))
     # burst-suppression count travels with the tail (full rejection
     # metadata lives in the committed BENCH_LOCAL record)
     if out.get("burst_rejections"):

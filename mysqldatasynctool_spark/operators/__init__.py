@@ -31,22 +31,69 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-18 ROTATION (r17 verdict item 2, tools/correctness_union.py
+#: ROUND-19 ROTATION (r18 verdict item 2, tools/correctness_union.py
 #: verbatim): positions 1-50 are the union tool's suggested slate —
-#: the never-driver-checked ``events_sliding_distinct_sketch_merge``
-#: leads (registered r17 but absent from the r17 slate, so no driver
-#: record exists), then the four STALE-GREEN entries whose code
-#: changed after their last green record (agg_approx_distinct r14,
-#: the two streaming funnel joins r15, dedup_substring_spans r16 —
-#: all already judge-sim green after their r17 rewrites, now getting
-#: the driver grade), then the r13-era block oldest-green-first
-#: (interval-overlap, linear-fit, funnel-conversion, triangle-count,
-#: q11/q22, the scalar/sort/date/cross/pivot/unpivot/grouping-sets
-#: primitives, the agg/window/setop/events blocks, and the
-#: bruteforce baseline tail). After this slate no driver record is
-#: older than r14. Everything else keeps its previous relative order
-#: (stable), oldest-green-record-first.
+#: all 44 STALE-GREEN entries whose code changed after their last
+#: green driver record (the r18 fastdec/digest/checkpoint rewrites:
+#: q1/q1_fast/q3/q5/q7 and the converted TPC-H block, cdc_apply,
+#: page_checksums, rfm_segmentation, text_heavy_hitters, bm25,
+#: cluster_topics, weighted_median, the anomaly/sessionization
+#: events block, …), oldest-green-first, plus six oldest-green
+#: fillers. Entries rewritten IN round 19 (hybrid_rrf, the
+#: duplicated-scan family) are re-rotated into this slate by the
+#: end-of-round refresh. Everything else keeps its previous relative
+#: order (stable), oldest-green-record-first.
 VERIFY_PRIORITY: tuple[str, ...] = (
+    "events_sessionization",
+    "join_skew_salted",
+    "events_anomaly_salted",
+    "q15_top_supplier",
+    "events_anomaly_zscore",
+    "text_unigram_perplexity",
+    "agg_rfm_segmentation",
+    "window_pareto_cumshare",
+    "similarity_ann_recall_report",
+    "migration_incremental",
+    "text_bm25_topk",
+    "similarity_cluster_topics",
+    "events_hypertable_rollup",
+    "migration_cdc_apply",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q21_waiting_supplier_agg",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q20_potential_promotion",
+    "events_session_window_builtin",
+    "join_bloom_pruned_semi",
+    "pipeline_incremental_dedup",
+    "text_heavy_hitters",
+    "window_time_range_frame",
+    "migration_column_profile",
+    "join_point_in_time",
+    "migration_page_checksums",
+    "events_incremental_rollup",
+    "agg_weighted_median",
+    "agg_cohort_ltv",
+    "agg_gini_concentration",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_range_nonequi",
+    "agg_rollup",
+    "migration_partition_advisor",
+    "q1_pricing_summary_fast",
+    "similarity_lsh_bucketed",
+    "similarity_label_centroids",
+    "similarity_quantize_int8",
+    "agg_percentiles",
+    "agg_histogram_fixed_bins",
+    "migration_pk_catalog",
     "events_sliding_distinct_sketch_merge",
     "agg_approx_distinct",
     "streaming_run_funnel_join_left",
@@ -100,50 +147,37 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_scd2_history",
     "pipeline_sample_per_group",
     "events_sliding_distinct_approx",
-    "join_point_in_time",
     "events_ohlc_bars",
     "sql_recursive_supplier_tree",
     "migration_fk_discovery",
     "migration_dq_expectations",
     "similarity_dim_truncation_audit",
-    "migration_page_checksums",
     "agg_market_basket",
     "setop_symmetric_diff",
     "streaming_run_ohlc",
     "streaming_run_session_window",
     "streaming_run_ewma",
-    "events_incremental_rollup",
     "events_cusum_changepoint",
     "join_asof_nearest",
-    "agg_weighted_median",
     "multimodal_phash_dedup",
     "window_running_drawdown",
-    "agg_cohort_ltv",
     "events_markov_transitions",
-    "agg_gini_concentration",
     "events_burst_detection",
     "agg_robust_outliers",
     "udf_udtf_windows",
     "dedup_simhash",
     "migration_row_diff",
     "q21_waiting_supplier",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "project_filter",
     "join_left",
     "join_semi",
     "join_anti",
     "join_full_outer",
-    "join_range_nonequi",
-    "agg_rollup",
     "agg_cube",
     "agg_distinct",
     "dedup_minhash_containment",
     "streaming_run_dedup",
-    "migration_partition_advisor",
     "dedup_shrink_report",
-    "q1_pricing_summary_fast",
     "dedup_clusters",
     "dedup_lsh_recall_report",
     "pipeline_leakage_safe_split",
@@ -152,62 +186,35 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_end_to_end",
     "events_asof_join",
     "events_asof_join_salted",
-    "events_hypertable_rollup",
-    "migration_cdc_apply",
     "text_pii_scrub",
     "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
     "q12_priority_class",
-    "q14_promo_revenue",
     "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q21_waiting_supplier_agg",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
     "q13_customer_distribution",
-    "q20_potential_promotion",
     "similarity_range_search",
     "similarity_knn_label_vote",
     "pipeline_dataset_card",
     "agg_key_skew_report",
     "events_json_variant",
-    "events_session_window_builtin",
     "events_sliding_distinct_users",
     "events_zorder_key",
     "graph_degree_stats",
     "graph_pagerank_purchases",
-    "join_bloom_pruned_semi",
     "join_fuzzy_ed1",
     "migration_schema_audit",
     "multimodal_resize",
-    "pipeline_incremental_dedup",
     "text_char_entropy",
     "text_gopher_rules",
-    "text_heavy_hitters",
     "text_source_stats",
     "window_ewma_dyadic",
-    "window_time_range_frame",
-    "migration_column_profile",
     "setop_except_distinct",
     "setop_intersect_all",
     "text_bpe_merge_step",
-    "events_anomaly_salted",
-    "q15_top_supplier",
-    "events_anomaly_zscore",
-    "text_unigram_perplexity",
-    "agg_rfm_segmentation",
     "similarity_ivfpq_topk",
-    "window_pareto_cumshare",
-    "similarity_ann_recall_report",
     "similarity_mmr_rerank",
     "similarity_mmr_ann",
     "similarity_incremental_index",
-    "migration_incremental",
     "dedup_exact_subset",
     "dedup_exact_text",
     "dedup_ngram_jaccard",
@@ -231,9 +238,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_ivf_pandas",
     "similarity_kmeans_step",
     "dedup_semantic_cells",
-    "text_bm25_topk",
     "similarity_hybrid_rrf",
-    "similarity_cluster_topics",
     "pipeline_cluster_balanced_sample",
     "similarity_pca_power_iteration",
     "pipeline_quality_weighted_sample",
@@ -244,14 +249,6 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_sample_stratified",
     "pipeline_repetition_score",
     "pipeline_mix_weights",
-    "similarity_lsh_bucketed",
-    "similarity_label_centroids",
-    "similarity_quantize_int8",
-    "events_sessionization",
-    "join_skew_salted",
-    "agg_percentiles",
-    "agg_histogram_fixed_bins",
-    "migration_pk_catalog",
     "migration_full_scan_fallback",
     "migration_page_count",
     "migration_pagination_page",

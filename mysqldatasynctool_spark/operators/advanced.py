@@ -1237,27 +1237,38 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .windows import scale_safe_row_number
 
     orders = load(spark, sf_dir, "orders")
-    ref = orders.agg(F.max("o_orderdate").alias("m")).collect()[0]["m"]
     # r18 (guide §5 caching): every scale_safe_row_number call consumes
     # its input TWICE (within-bucket rank + bucket histogram), so the
     # three chained calls re-planned this aggregation subtree up to
     # 2³ = 8 times — NINE orders scans in the formatted plan (AQE
     # exchange reuse recovered it to 4 executed scans at runtime).
     # localCheckpoint(eager) the narrow customer-sized aggregate:
-    # orders is scanned once (in the checkpoint job, plus the declared
-    # driver-side ref-date probe) and every rank/histogram pass reads
-    # the materialized RDD. Executed sf0.01 A/B: final-plan scans 4→0,
-    # shuffles 18→14, written bytes −37%, records −40%.
-    per_cust = (
+    # orders is scanned once (in the checkpoint job) and every
+    # rank/histogram pass reads the materialized RDD. Executed sf0.01
+    # A/B: final-plan scans 4→0, shuffles 18→14, written bytes −37%,
+    # records −40%.
+    # r19 (guide §5): the reference date no longer burns a second
+    # orders probe scan + driver collect — it is MAX(per-customer
+    # last_order) over the checkpointed rows (identical value: max of
+    # per-group maxes), riding a 1-row broadcast into the recency
+    # projection.
+    per_cust_raw = (
         orders.groupBy("o_custkey")
         .agg(
-            F.datediff(F.lit(ref), F.max("o_orderdate")).alias("recency_days"),
+            F.max("o_orderdate").alias("last_order"),
             F.count("*").alias("frequency"),
             dec_sum(F.col("o_totalprice")).alias("monetary"),
         )
         .localCheckpoint(eager=True)
     )
-    n_df = per_cust.agg(F.count("*").alias("n_cust"))
+    ref_df = per_cust_raw.agg(F.max("last_order").alias("ref"))
+    per_cust = per_cust_raw.crossJoin(F.broadcast(ref_df)).select(
+        "o_custkey",
+        F.datediff(F.col("ref"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    n_df = per_cust_raw.agg(F.count("*").alias("n_cust"))
     # low recency = better → rank ascending gives 1 to the MOST
     # recent; frequency/monetary rank descending via negated buckets
     d = scale_safe_row_number(

@@ -299,6 +299,57 @@ def _drifted_orders(src: DataFrame) -> DataFrame:
 CHECK_PAGE_SIZE = 1_000
 
 
+def _drift_digest_rows(src: DataFrame) -> DataFrame:
+    """ONE-scan derivation of BOTH drift-compare sides as slim
+    ``(side, pk, d)`` digest rows — r19 (VERDICT r18 item 4), the
+    ``migration_cdc_apply`` struct-array-explode pattern: each source
+    row emits its own 's' digest plus the ≤2 'd' variants the
+    deterministic drift assigns it (price-bumped survivor, re-keyed
+    insert), so the orders scan and the per-row digest pass run ONCE
+    where the old filter-union shape scanned three times.
+
+    Row-multiset identity with the old (``src`` digests ∪
+    ``_drifted_orders(src)`` digests): the 's' arm fires for every
+    row (≡ src), the bump arm fires exactly for pk%DELETE≠0 rows with
+    o_totalprice swapped to the bumped expression (≡ the drifted
+    UPDATE/DELETE branch), the insert arm for pk%INSERT==3 rows with
+    o_orderkey re-keyed (≡ the drifted INSERT branch). Digest columns,
+    order and dtypes are the original ``_DIFF_COLS`` (the struct
+    carries them through explode unchanged; the variant expressions
+    preserve each column's type), so ``row_digest_long`` normalizes
+    identically."""
+    cols = list(src.columns)
+    pk = F.col("o_orderkey")
+    bumped = F.when(
+        pk % DRIFT_UPDATE_MOD == 0, F.col("o_totalprice") + 1.0
+    ).otherwise(F.col("o_totalprice"))
+    rekeyed = pk + F.lit(DRIFT_INSERT_OFFSET)
+
+    def entry(side: str, pk_expr, overrides: dict) -> F.Column:
+        return F.struct(
+            F.lit(side).alias("side"),
+            pk_expr.alias("pk"),
+            *[overrides.get(c, F.col(c)).alias(c) for c in cols],
+        )
+
+    entries = F.array(
+        entry("s", pk, {}),
+        F.when(
+            pk % DRIFT_DELETE_MOD != 0,
+            entry("d", pk, {"o_totalprice": bumped}),
+        ),
+        F.when(
+            pk % DRIFT_INSERT_MOD == 3,
+            entry("d", rekeyed, {"o_orderkey": rekeyed}),
+        ),
+    )
+    exploded = src.select(
+        F.explode(F.filter(entries, lambda x: x.isNotNull())).alias("e")
+    ).select("e.*")
+    digest = row_digest_long(exploded.select(*cols))
+    return exploded.select("side", "pk", digest.alias("d"))
+
+
 def migration_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level drift detection — the incremental-sync upgrade of the
     reference's table-level compare (compare.go:102-132): instead of a
@@ -318,6 +369,15 @@ def migration_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare, but with an actionable row-level answer.
     """
     src = load(spark, sf_dir, "orders").select(*_DIFF_COLS)
+    # r19 MEASURED REJECTION (guide §1.6 — keep the re-measure
+    # honest): deriving both sides from a checkpointed
+    # _drift_digest_rows frame (scans 3→0 in the final plan) benched
+    # 1.72 → 2.35 s steady at sf0.1 — the eager materialization
+    # barrier costs more than the three cheap column-pruned scans it
+    # saves, and the md5-per-row count is identical either way (the
+    # fusion's win in page_checksums comes from ALSO deleting the
+    # full-outer join, which this row-level report genuinely needs).
+    # Kept: the classic two-frame derivation.
     dest = _drifted_orders(src)
     s = src.select(F.col("o_orderkey").alias("pk"), row_digest(src).alias("sd"))
     d = dest.select(F.col("o_orderkey").alias("pk"), row_digest(dest).alias("dd"))
@@ -381,41 +441,39 @@ def migration_page_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64).
     """
     src = load(spark, sf_dir, "orders").select(*_DIFF_COLS)
-    dest = _drifted_orders(src)
-    page = F.expr(f"o_orderkey DIV {CHECK_PAGE_SIZE}")
-
-    def summarize(df: DataFrame, cnt: str, chk: str) -> DataFrame:
-        return (
-            df.select(page.alias("page"), row_digest_long(df).alias("d"))
-            .groupBy("page")
-            .agg(
-                F.count("*").alias(cnt),
-                F.coalesce(
-                    digest_sum(F.col("d")), F.lit(0).cast("decimal(38,0)")
-                ).alias(chk),
-            )
-        )
-
-    s = summarize(src, "src_cnt", "src_checksum")
-    d = summarize(dest, "dest_cnt", "dest_checksum")
-    return (
-        s.join(d, "page", "full_outer")
-        .select(
-            "page",
-            F.coalesce("src_cnt", F.lit(0)).alias("src_cnt"),
-            F.coalesce("dest_cnt", F.lit(0)).alias("dest_cnt"),
-            F.col("src_checksum").cast("string").alias("src_checksum"),
-            F.col("dest_checksum").cast("string").alias("dest_checksum"),
-            F.when(
-                F.col("src_checksum").eqNullSafe(F.col("dest_checksum"))
-                & (F.coalesce("src_cnt", F.lit(0)) == F.coalesce("dest_cnt", F.lit(0))),
-                "YES",
-            )
-            .otherwise("NO")
-            .alias("is_ok"),
-        )
-        .orderBy("page")
+    # r19: ONE scan, ONE shuffle — the per-side aggregate + full-outer
+    # join collapses into a single conditional aggregation over the
+    # side-tagged digest rows (see _drift_digest_rows). Equivalence
+    # needs no pk-uniqueness assumption: the old join was 1:1 on page
+    # because each side was already grouped by page, and a page's
+    # per-side (count, checksum) here aggregates exactly that side's
+    # rows — a side with no rows on a page yields count 0 (the old
+    # post-join COALESCE) and a NULL conditional digest sum (the old
+    # join's missing-side NULL).
+    rows = _drift_digest_rows(src)
+    is_s = F.col("side") == "s"
+    agg = rows.groupBy(
+        F.expr(f"pk DIV {CHECK_PAGE_SIZE}").alias("page")
+    ).agg(
+        F.sum(F.when(is_s, 1).otherwise(0)).alias("src_cnt"),
+        F.sum(F.when(~is_s, 1).otherwise(0)).alias("dest_cnt"),
+        digest_sum(F.when(is_s, F.col("d"))).alias("src_checksum"),
+        digest_sum(F.when(~is_s, F.col("d"))).alias("dest_checksum"),
     )
+    return agg.select(
+        "page",
+        "src_cnt",
+        "dest_cnt",
+        F.col("src_checksum").cast("string").alias("src_checksum"),
+        F.col("dest_checksum").cast("string").alias("dest_checksum"),
+        F.when(
+            F.col("src_checksum").eqNullSafe(F.col("dest_checksum"))
+            & (F.col("src_cnt") == F.col("dest_cnt")),
+            "YES",
+        )
+        .otherwise("NO")
+        .alias("is_ok"),
+    ).orderBy("page")
 
 
 def _page_checksums_oracle() -> str:
@@ -744,8 +802,15 @@ def scd2_history(
     given three effective dates — shared by ``migration_scd2_history``
     (its default epoch) and ``join_point_in_time`` (dates straddling
     the order-date range so the temporal join is non-degenerate)."""
-    cust = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal", "c_mktsegment"
+    # r19 (VERDICT r18 item 4): the three version branches all project
+    # the same narrow 3-column scan — localCheckpoint(eager) it so the
+    # customer parquet is read once (in the checkpoint job) instead of
+    # once per branch (3 scans in the r18 plan). Serves both
+    # migration_scd2_history and join_point_in_time.
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .localCheckpoint(eager=True)
     )
     d0, d1, d2 = dates
     seg2 = F.concat(F.col("c_mktsegment"), F.lit("_V2"))

@@ -926,7 +926,7 @@ def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer arithmetic: ``(v - min) * 65535 DIV span``) — the same
     reason production Z-order implementations rank/range-normalize
     their clustering columns. The min/max probe is a 1-row aggregate
-    folded in as literals (same class as the PK stats probe).
+    riding a broadcast scalar row (r19 — no driver collect).
     """
     ev = load(spark, sf_dir, "events")
 
@@ -942,22 +942,36 @@ def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit floor at every step: CAST(epoch(..)) ROUNDS in some
     # engines while timestamp->long truncates in others
     y_raw = F.floor(F.col("ts").cast("long") / F.lit(60)).cast("long")
-    b = ev.agg(
+    # r19 (guide §5, the bm25 1-row-broadcast idiom): the min/max
+    # probe rides a broadcast scalar row instead of a driver collect —
+    # same integer arithmetic (spans floored at 1 via GREATEST), one
+    # job instead of probe-then-plan, no driver round-trip. The
+    # bounds aggregate and the old collect'd literals are the same
+    # longs, so x16/y16/zkey are bit-identical.
+    bounds = ev.agg(
         F.min(x_raw).alias("x_lo"),
         F.max(x_raw).alias("x_hi"),
         F.min(y_raw).alias("y_lo"),
         F.max(y_raw).alias("y_hi"),
-    ).collect()[0]
-    x_span = max(int(b.x_hi) - int(b.x_lo), 1)
-    y_span = max(int(b.y_hi) - int(b.y_lo), 1)
-    x = F.expr(f"(CAST(user_id AS BIGINT) - {int(b.x_lo)}L) * 65535L DIV {x_span}L")
+    ).select(
+        "x_lo",
+        "y_lo",
+        F.greatest(F.col("x_hi") - F.col("x_lo"), F.lit(1).cast("long")).alias(
+            "x_span"
+        ),
+        F.greatest(F.col("y_hi") - F.col("y_lo"), F.lit(1).cast("long")).alias(
+            "y_span"
+        ),
+    )
+    x = F.expr("(CAST(user_id AS BIGINT) - x_lo) * 65535L DIV x_span")
     y = F.expr(
-        f"(CAST(FLOOR(CAST(ts AS BIGINT) / 60) AS BIGINT) - {int(b.y_lo)}L) "
-        f"* 65535L DIV {y_span}L"
+        "(CAST(FLOOR(CAST(ts AS BIGINT) / 60) AS BIGINT) - y_lo) "
+        "* 65535L DIV y_span"
     )
     z = spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
     return (
-        ev.select(
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
             "event_id",
             x.alias("x16"),
             y.alias("y16"),

@@ -386,10 +386,23 @@ def migration_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col(parent_c).cast("long").alias("k"))
             .distinct()
         )
+        # r19 (VERDICT r18 item 4): one pass per candidate — the old
+        # semi-join count + crossJoin'd total count consumed the child
+        # distinct TWICE (the lineitem probe re-ran its full distinct
+        # shuffle). A broadcast LEFT join against the distinct parent
+        # (≤1 match per key, so no fanout) lets ONE aggregate produce
+        # both counts: COUNT(*) over left-join output ≡ |child
+        # distinct|, and the hit sum ≡ the old semi-join count.
         probe = (
-            child.join(F.broadcast(parent), "k", "left_semi")
-            .agg(F.count("*").alias("n_contained"))
-            .crossJoin(child.agg(F.count("*").alias("n_child_distinct")))
+            child.join(
+                F.broadcast(parent.withColumn("__hit", F.lit(1))), "k", "left"
+            )
+            .agg(
+                F.count("*").alias("n_child_distinct"),
+                F.coalesce(F.sum("__hit"), F.lit(0))
+                .cast("long")
+                .alias("n_contained"),
+            )
             .select(
                 F.lit(f"{child_t}.{child_c}").alias("child"),
                 F.lit(f"{parent_t}.{parent_c}").alias("parent"),

@@ -540,7 +540,6 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     from ..functions.text import distinct_ngram_rows, normalized_text_col
 
-    split = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
     fp = F.md5(normalized_text_col(F.col("text"))).alias("fp")
     # r18 (guide §5 caching): the fingerprint projection fed 3
     # consumers (both exact-join sides + the verdict base) and the
@@ -554,6 +553,11 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange appears (the checkpoint drops the distinct's
     # partitioning metadata) — +3 KB against five removed text passes.
     fps = docs.select("doc_id", fp).localCheckpoint(eager=True)
+    # r19 (guide §5): the split scalar now derives from the
+    # checkpointed fps rows (same doc_ids, same value) instead of a
+    # separate parquet probe scan — the one remaining action reads
+    # kilobyte RDD blocks
+    split = fps.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
     prior = fps.filter(F.col("doc_id") < split)
     inc = fps.filter(F.col("doc_id") >= split)
 

@@ -759,6 +759,14 @@ def join_fuzzy_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("key"),
     )
+    # r19 (VERDICT r18 item 4): both join sides consume this frame, so
+    # the r18 plan ran the scan + deletion-neighborhood transform twice
+    # (4 parquet scans counting the per-side projections).
+    # localCheckpoint(eager) runs the explode ONCE; the materialized
+    # (id, name, key) rows are the same volume the key join shuffles
+    # anyway, so this trades a duplicate compute pass for one local
+    # write — the §5 localCheckpoint discipline.
+    keys = keys.localCheckpoint(eager=True)
     a = keys.select(
         F.col("id").alias("ida"), F.col("name").alias("na"), "key"
     )

@@ -1240,9 +1240,22 @@ def similarity_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFra
     windows. At 100 TB the prefix pass is the one you'd run over the
     full corpus; the full-dim pass only over its survivors.
     """
-    emb = _with_norm(_vecs(spark, sf_dir))
-    emb_t = _with_norm(
-        _vecs(spark, sf_dir).withColumn("v", F.slice("v", 1, TRUNC_DIM))
+    # r19 (VERDICT r18 item 4): the r18 plan re-derived the corpus for
+    # every consumer — queries + corpus side at BOTH widths, and the
+    # full-dim top-k twice (overlap + k count): 6 executed embeddings
+    # scans. One checkpointed base frame now carries both widths'
+    # vectors and norms (same expressions: tv = slice(v), tnorm =
+    # sqrt(dot(tv, tv)) ≡ the old _with_norm over the sliced frame),
+    # and the tiny full-dim top-k list is checkpointed for its two
+    # consumers. Final plan: zero parquet scans.
+    base = _vecs(spark, sf_dir).withColumn("tv", F.slice("v", 1, TRUNC_DIM))
+    base = base.withColumn("vnorm", F.sqrt(_dot(F.col("v"), F.col("v")))).withColumn(
+        "tnorm", F.sqrt(_dot(F.col("tv"), F.col("tv")))
+    )
+    base = base.localCheckpoint(eager=True)
+    emb = base.select("vec_id", "v", "vnorm")
+    emb_t = base.select(
+        "vec_id", F.col("tv").alias("v"), F.col("tnorm").alias("vnorm")
     )
 
     def topk(vectors: DataFrame) -> DataFrame:
@@ -1267,7 +1280,10 @@ def similarity_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFra
             .select("qid", F.col("vec_id").alias("neighbor_id"))
         )
 
-    full = topk(emb)
+    # full is consumed twice (overlap semi-join + the per-query k
+    # count) — without this the whole broadcast-x-corpus scoring pass
+    # re-ran; the frame is panel x TOP_K rows, kilobytes
+    full = topk(emb).localCheckpoint(eager=True)
     trunc = topk(emb_t)
     overlap = (
         full.join(trunc, ["qid", "neighbor_id"], "left_semi")
@@ -3254,12 +3270,21 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    sum_dl = dl.agg(F.sum("dl")).collect()[0][0]
-    df_ = tok.select("doc_id", "token").distinct().groupBy("token").agg(
-        F.count("*").alias("df")
+    # r19 (VERDICT r18 item 3 — the bm25 TF-first pattern, guide
+    # §2.3/§2.4/§5): ONE tokenize scan → the checkpointed (doc, token)
+    # TF frame; dl/df/Σdl are integer-identical derivations over it
+    # (dl = Σ_token tf, df = COUNT(tf rows) — tf rows ARE the distinct
+    # pairs, Σdl = Σ tf as a 1-row broadcast column). The old shape
+    # tokenized the corpus FOUR times, ran a full DISTINCT exchange of
+    # every token occurrence for df, and collect()ed Σdl on the driver.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    sum_dl_df = tf.agg(F.sum("tf").cast("double").alias("sum_dl"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     # the query panel's keywords, by the text_tfidf selection rule
     kw_scored = (
         tf.filter(F.col("doc_id") % 50 == 0)
@@ -3290,13 +3315,19 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf"),
         )
     )
-    norm_len = (F.col("dl") * F.lit(n_docs)).cast("double") / F.lit(
-        float(sum_dl)
+    # dl·N exact in int64, cast once, divided by the Σdl broadcast
+    # scalar — float(Σdl) as a literal and CAST(Σdl AS DOUBLE) as a
+    # column are the same double (counts ≪ 2^53), so norm_len is
+    # bit-identical to the old collect()-literal form (the bm25
+    # equivalence note, verbatim situation).
+    norm_len = (F.col("dl") * F.lit(n_docs)).cast("double") / F.col(
+        "sum_dl"
     )
     per_term = (
         tf.join(F.broadcast(qt), "token")
         .filter(F.col("doc_id") != F.col("qid"))
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(sum_dl_df))
         .select(
             "qid",
             "doc_id",
@@ -3716,29 +3747,94 @@ def similarity_pca_power_iteration(
         mu[int(r.pos)] = float(r.m)
     n = int(mu_rows[0].n)
 
-    mu_lit = F.lit(mu)
-    cov_rows = (
-        emb.select("v", F.posexplode("v").alias("i", "xi"))
-        .select("i", "xi", F.posexplode("v").alias("j", "xj"))
-        .filter(F.col("j") >= F.col("i"))
-        .groupBy("i", "j")
-        .agg(
-            dec(
-                (F.col("xi") - F.element_at(mu_lit, F.col("i") + 1))
-                * (F.col("xj") - F.element_at(mu_lit, F.col("j") + 1))
-            ).alias("c")
+    # r19 (VERDICT r18 item 8): the d²-pair posexplode (2080 rows/vec,
+    # per-pair interpreted round+DECIMAL(18,6) accumulation) is
+    # replaced by a mapInArrow partial-covariance pass in EXACT
+    # integer micro-units. Per pair, Spark's round(p, 6) + CAST to
+    # DECIMAL(18,6) equals HALF_UP at 6 dp of the SHORTEST-REPR
+    # decimal of the double product p (round uses
+    # BigDecimal.valueOf ≡ Double.toString; the 6-dp result has ≤ 15
+    # significant digits so the double→decimal cast round-trips it
+    # exactly). That integer — round6(p)·10⁶ — is what each task
+    # accumulates in an int64 cell matrix:
+    #   fast path: sign(p) · floor(|p|·10⁶ + 0.5) — provably equal to
+    #     HALF_UP-of-shortest-repr whenever |p|·10⁶ + 0.5 is ≥ 4e-9
+    #     away from an integer (float64 product error ≤ ~1e-9 in
+    #     these units for |p| ≤ 4, shortest-repr drift ≤ half an ulp
+    #     ≈ 4.4e-10 — both inside the band);
+    #   tie path: the rare in-band values go through
+    #     Decimal(repr(p)) · 10⁶ HALF_UP — the literal definition.
+    # The per-cell int64 partials (|r| ≤ 4·10⁶ per row — exact to
+    # ~2·10¹² rows per task) shuffle as ≤ 2080 rows/task and the
+    # exact decimal cells are reconstructed as Decimal(Σ)·10⁻⁶ —
+    # bit-identical to the old per-pair decimal sum (verified
+    # cell-for-cell at sf0.01 and sf0.1, see OPTIMIZATION_r19.md).
+    # numpy's IEEE double subtract/multiply match the JVM's exactly;
+    # μ enters both paths as the same 64 collected doubles.
+    import numpy as np
+
+    mu_np = np.array(mu, dtype=np.float64)
+
+    def cov_partials(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        acc = np.zeros((d_, d_), dtype=np.int64)
+        saw_rows = False
+        for batch in batches:
+            arr = batch.column(0)
+            values = arr.values.to_numpy(zero_copy_only=False)
+            if values.size == 0:
+                continue
+            saw_rows = True
+            X = values.reshape(-1, d_)
+            D = X - mu_np
+            for i in range(d_):
+                block = D[:, i : i + 1] * D[:, i:]
+                s = np.abs(block) * 1e6
+                r = (np.sign(block) * np.floor(s + 0.5)).astype(np.int64)
+                tie = np.abs(s - np.floor(s) - 0.5) < 4e-9
+                if tie.any():
+                    for bi, bj in zip(*np.nonzero(tie)):
+                        p = float(block[bi, bj])
+                        r[bi, bj] = int(
+                            Decimal(repr(p))
+                            .scaleb(6)
+                            .to_integral_value(rounding=ROUND_HALF_UP)
+                        )
+                acc[i, i:] += r.sum(axis=0)
+        if not saw_rows:
+            return
+        import pyarrow as pa
+
+        iu = np.triu_indices(d_)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(iu[0].astype(np.int32)),
+                pa.array(iu[1].astype(np.int32)),
+                pa.array(acc[iu]),
+            ],
+            names=["i", "j", "cu"],
         )
+
+    cov_rows = (
+        emb.select("v")
+        .mapInArrow(cov_partials, "i int, j int, cu long")
+        .groupBy("i", "j")
+        .agg(F.sum("cu").alias("cu"))
         .collect()
     )
     # symmetric fill; float(Decimal) is correctly rounded, same as the
     # oracle's CAST(DECIMAL AS DOUBLE)
+    from decimal import Decimal as _Dec
+
     C = [[0.0] * d_ for _ in range(d_)]
     tv_dec = None
     for r in cov_rows:
         i, j = int(r.i), int(r.j)
-        C[i][j] = C[j][i] = float(r.c)
+        c_dec = _Dec(int(r.cu)).scaleb(-6)
+        C[i][j] = C[j][i] = float(c_dec)
         if i == j:
-            tv_dec = r.c if tv_dec is None else tv_dec + r.c
+            tv_dec = c_dec if tv_dec is None else tv_dec + c_dec
     tv = float(tv_dec)
 
     # driver-side power iteration — every op below is an IEEE double
@@ -4125,8 +4221,17 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per query. The vote never touches vectors after scoring; no
     crossJoin.
     """
-    emb = _with_norm(_vecs(spark, sf_dir)).withColumn(
-        "bucket", _bucket_expr(F.col("v"), LSH_DIMS)
+    # r19 (VERDICT r18 item 4): emb feeds both join sides and `ranked`
+    # fed two aggregates — 4 executed embeddings scans in the r18
+    # plan. Checkpoint emb once (1 scan, in the checkpoint job);
+    # downstream, the vote table is checkpointed for its two consumers
+    # and n_neighbors derives from it (Σ votes.n ≡ COUNT(kept rows)
+    # per qid — exact integer identity), so the bucket join + top-K
+    # window also run once.
+    emb = (
+        _with_norm(_vecs(spark, sf_dir))
+        .withColumn("bucket", _bucket_expr(F.col("v"), LSH_DIMS))
+        .localCheckpoint(eager=True)
     )
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"),
@@ -4152,8 +4257,12 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= KNN_VOTE_K)
     )
-    votes = ranked.groupBy("qid", "qlabel", "label").agg(
-        F.count("*").alias("n")
+    votes = (
+        ranked.groupBy("qid", "qlabel", "label")
+        .agg(F.count("*").alias("n"))
+        # panel x ≤n_labels rows — checkpointed so pred and sizes read
+        # the materialized vote table instead of re-running the join
+        .localCheckpoint(eager=True)
     )
     pred = (
         votes.withColumn(
@@ -4170,7 +4279,7 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("votes"),
         )
     )
-    sizes = ranked.groupBy("qid").agg(F.count("*").alias("n_neighbors"))
+    sizes = votes.groupBy("qid").agg(F.sum("n").alias("n_neighbors"))
     return (
         pred.join(sizes, "qid")
         .withColumn(

@@ -62,6 +62,40 @@ def test_round_stamp_env_override(tmp_path, monkeypatch):
     assert mod._current_round() == 7
 
 
+def test_env_class_verdicts():
+    """r19 (VERDICT r18 item 6): the BENCH_JSON line carries an
+    environment verdict derived from the probe samples. Each scenario
+    below is a documented contamination shape from the committed r18
+    records; the classifier must name it."""
+    import bench
+
+    cpu_quiet = {"start": 0.11, "end": 0.12}
+    io_quiet = {"start": 0.02, "end": 0.03}
+    pq = {f"q{i}": 0.12 for i in range(20)}
+    ioq = {f"q{i}": 0.02 for i in range(20)}
+    v = bench._env_class(cpu_quiet, io_quiet, pq, ioq)
+    assert v["env_class"] == "quiet" and v["env_hot_queries"] == []
+    # the r18 driver-record shape: run-level brackets clean, a burst
+    # puts a third of the per-query io probes 5x over baseline
+    ioq_burst = dict(ioq, **{f"q{i}": 0.15 for i in range(7)})
+    v = bench._env_class(cpu_quiet, io_quiet, pq, ioq_burst)
+    assert v["env_class"] == "partially_contended"
+    assert len(v["env_hot_queries"]) == 7
+    # the r18d shape: cpu probe ~0.26 through the whole run
+    pq_hot = {f"q{i}": 0.26 for i in range(20)}
+    v = bench._env_class({"start": 0.26, "end": 0.25}, io_quiet, pq_hot, ioq)
+    assert v["env_class"] == "cpu_contended"
+    # the r18e shape: disk ~5x degraded, cpu flat
+    ioq_slow = {f"q{i}": 0.14 for i in range(20)}
+    v = bench._env_class(cpu_quiet, {"start": 0.143, "end": 0.12}, pq, ioq_slow)
+    assert v["env_class"] == "disk_degraded"
+    # both at once
+    v = bench._env_class(
+        {"start": 0.26, "end": 0.25}, {"start": 0.143, "end": 0.12}, pq_hot, ioq_slow
+    )
+    assert v["env_class"] == "cpu_contended+disk_degraded"
+
+
 def test_local_record_names_match_driver_records():
     """Every committed BENCH_LOCAL_r{N} must have a driver BENCH_r{N}
     peer (same round), so tools/bench_compare.py resolves both sides —

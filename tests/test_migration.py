@@ -443,3 +443,40 @@ def test_point_in_time_join_conserves_orders(spark):
     segs = {r["c_mktsegment"] for r in rows}
     assert any(s.endswith("_V2") for s in segs)
     assert any(not s.endswith("_V2") for s in segs)
+
+
+def test_drift_digest_rows_multiset_identity(spark):
+    """r19: the one-scan struct-array-explode derivation
+    (_drift_digest_rows) must produce EXACTLY the multiset of
+    (side, pk, digest) rows the old two-frame shape produced —
+    src digests on the 's' side, _drifted_orders(src) digests on the
+    'd' side. _drifted_orders stays in the module as the executable
+    spec this test compares against."""
+    from pyspark.sql import functions as F
+
+    from mysqldatasynctool_spark.operators.compare import (
+        _DIFF_COLS,
+        _drift_digest_rows,
+        _drifted_orders,
+        row_digest_long,
+    )
+    from mysqldatasynctool_spark.sources.fixtures import load
+
+    src = load(spark, "/root/testdata/sf0.001", "orders").select(*_DIFF_COLS)
+    new_rows = sorted(
+        tuple(r) for r in _drift_digest_rows(src).collect()
+    )
+    dest = _drifted_orders(src)
+    old_s = src.select(
+        F.lit("s").alias("side"),
+        F.col("o_orderkey").alias("pk"),
+        row_digest_long(src).alias("d"),
+    )
+    old_d = dest.select(
+        F.lit("d").alias("side"),
+        F.col("o_orderkey").alias("pk"),
+        row_digest_long(dest).alias("d"),
+    )
+    old_rows = sorted(tuple(r) for r in old_s.unionByName(old_d).collect())
+    assert len(new_rows) == len(old_rows) > 0
+    assert new_rows == old_rows

@@ -491,3 +491,181 @@ def test_weighted_median_phase1_runs_once(spark):
     assert "Scan ExistingRDD" in plan
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, n_scans
+
+
+# ---------------------------------------------------------------- r19
+
+
+def test_hybrid_rrf_tf_first_no_distinct_no_rescan(spark):
+    """r19 (VERDICT r18 item 3): hybrid RRF's lexical side now follows
+    bm25's TF-first shape — dl/df/Σdl derive from the checkpointed
+    (doc, token) TF frame, Σdl rides a 1-row broadcast instead of a
+    driver collect, and the old full-corpus DISTINCT exchange of token
+    occurrences is gone. Final plan: the checkpointed RDD is read, no
+    (doc_id, token) grouping remains (formatted mode prints aggregate
+    keys as `Keys [n]: [...]` detail lines), and the only parquet
+    scans left are the semantic side's two embeddings scans."""
+    import re
+
+    plan = _plan(
+        spark, similarity.QUERIES["similarity_hybrid_rrf"](spark, SF), "formatted"
+    )
+    assert "Scan ExistingRDD" in plan
+    pair_groupings = [
+        keys
+        for keys in re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+        if "doc_id" in keys and "token" in keys
+    ]
+    assert not pair_groupings, pair_groupings
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 2, n_scans
+
+
+def test_heavy_hitters_candidates_without_driver_roundtrip(spark):
+    """r19 (VERDICT r18 item 7): the Misra-Gries candidate set is the
+    broadcast build side itself — no mid-query collect, no
+    createDataFrame round-trip. The final plan therefore CONTAINS the
+    MapInPandas sketch pass (inside the broadcast build) where the old
+    shape ran it in a separate driver-blocking job."""
+    plan = _plan(spark, textops.QUERIES["text_heavy_hitters"](spark, SF), "formatted")
+    assert "MapInPandas" in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed gram frame
+    assert "BroadcastExchange" in plan
+
+
+def test_page_checksums_one_scan_no_join(spark):
+    """r19 (VERDICT r18 item 4): page checksums fuse the two per-side
+    aggregates + full-outer join into ONE conditional aggregation over
+    the side-tagged digest rows — exactly one orders scan, one
+    aggregation shuffle, and no join node of any kind."""
+    import re
+
+    from mysqldatasynctool_spark.operators import compare as comp
+
+    plan = _plan(
+        spark, comp.QUERIES["migration_page_checksums"](spark, SF), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in plan, node
+
+
+def test_scd2_versions_from_one_customer_scan(spark):
+    """r19 (VERDICT r18 item 4): the three SCD2 version branches read
+    the checkpointed 3-column customer frame — zero parquet scans in
+    the final plan (the checkpoint job holds the single scan)."""
+    import re
+
+    from mysqldatasynctool_spark.operators import compare as comp
+
+    plan = _plan(
+        spark, comp.QUERIES["migration_scd2_history"](spark, SF), "formatted"
+    )
+    assert "Scan ExistingRDD" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+
+
+def test_fuzzy_ed1_deletion_neighborhood_built_once(spark):
+    """r19 (VERDICT r18 item 4): the deletion-neighborhood explode is
+    checkpointed; both join sides read the materialized rows — zero
+    parquet scans and zero Generate (explode) nodes in the final
+    plan."""
+    import re
+
+    plan = _plan(spark, relational.QUERIES["join_fuzzy_ed1"](spark, SF), "formatted")
+    assert "Scan ExistingRDD" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "Generate" not in plan
+
+
+def test_dim_truncation_single_base_pass(spark):
+    """r19 (VERDICT r18 item 4): both widths' vectors + norms ride ONE
+    checkpointed base frame and the full-dim top-k is checkpointed for
+    its two consumers — zero parquet scans in the final plan (6 before)."""
+    import re
+
+    plan = _plan(
+        spark,
+        similarity.QUERIES["similarity_dim_truncation_audit"](spark, SF),
+        "formatted",
+    )
+    assert "Scan ExistingRDD" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+
+
+def test_knn_label_vote_single_corpus_pass(spark):
+    """r19 (VERDICT r18 item 4): emb checkpointed (both join sides),
+    votes checkpointed (pred + sizes), n_neighbors = Σ votes.n — the
+    final plan reads RDDs only."""
+    import re
+
+    plan = _plan(
+        spark, similarity.QUERIES["similarity_knn_label_vote"](spark, SF), "formatted"
+    )
+    assert "Scan ExistingRDD" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+
+
+def test_fk_discovery_counts_in_one_pass(spark):
+    """r19 (VERDICT r18 item 4): each candidate's two counts come from
+    ONE aggregate over a broadcast LEFT join (no semi-join + crossJoin
+    double consumption) — 10 scans (5 child + 5 parent), the big
+    lineitem distinct exactly once, and no nested-loop join."""
+    import re
+
+    from mysqldatasynctool_spark.operators import migration as mig
+
+    plan = _plan(
+        spark, mig.QUERIES["migration_fk_discovery"](spark, SF), "formatted"
+    )
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 10, n_scans
+    assert plan.count("lineitem.parquet") <= 2  # tree line + details header
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pca_microunit_rounding_matches_spark_round_cast(spark):
+    """r19 (VERDICT r18 item 8): the mapInArrow covariance kernel's
+    integer micro-unit rounding (fast floor(|s|+0.5) path + Decimal
+    tie path) must equal Spark's round(p, 6) → CAST(DECIMAL(18,6))
+    composition for adversarial doubles: exact 6-dp values, half-way
+    points at 6 dp (HALF_UP, both signs), values a hair either side
+    of a half-way point, negative zero, and random products."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    vals = [
+        0.0,
+        -0.0,
+        0.1234565,        # shortest repr IS a half-way point -> HALF_UP
+        -0.1234565,
+        0.12345650000000001,
+        0.12345649999999999,
+        2.5e-07,
+        -2.5e-07,
+        1.9999995,
+        -1.9999995,
+        0.123456,
+        3.9999999999,
+        -3.2111115,
+    ]
+    rng = np.random.default_rng(7)
+    vals += [float(x) for x in (rng.random(200) * 8 - 4)]
+
+    def microunits(p: float) -> int:
+        s = abs(p) * 1e6
+        if abs(s - np.floor(s) - 0.5) < 4e-9:
+            return int(
+                Decimal(repr(p)).scaleb(6).to_integral_value(rounding=ROUND_HALF_UP)
+            )
+        return int(np.sign(p) * np.floor(s + 0.5))
+
+    df = spark.createDataFrame([(v,) for v in vals], "p double")
+    got = df.select(
+        "p", F.round(F.col("p"), 6).cast("decimal(18,6)").alias("r")
+    ).collect()
+    for row in got:
+        expect = Decimal(row.r).scaleb(6)
+        assert microunits(row.p) == int(expect), (row.p, row.r, microunits(row.p))

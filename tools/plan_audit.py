@@ -105,6 +105,9 @@ ALLOWED_CARTESIAN = {
     # same 1-row-aggregate broadcast class as the entries above
     "text_bm25_topk": "1-row corpus-length-total broadcast (scalar subquery)",
     "agg_rfm_segmentation": "1-row customer-count broadcast (scalar subquery)",
+    # r19: two more driver collects moved into the same class
+    "similarity_hybrid_rrf": "1-row corpus-length-total broadcast (scalar subquery, the bm25 pattern)",
+    "events_zorder_key": "1-row min/max-bounds broadcast (scalar subquery)",
     "similarity_pca_power_iteration": (
         "5-row iteration report x 1-row (total-variance, n) constants — "
         "both sides driver-bounded by construction"
