@@ -31,18 +31,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: cumulative green row from an earlier round and comes after in
 #: stable order.
 #:
-#: ROUND-19 ROTATION (r18 verdict item 2, tools/correctness_union.py
-#: verbatim): positions 1-50 are the union tool's suggested slate —
-#: all 44 STALE-GREEN entries whose code changed after their last
-#: green driver record (the r18 fastdec/digest/checkpoint rewrites:
-#: q1/q1_fast/q3/q5/q7 and the converted TPC-H block, cdc_apply,
-#: page_checksums, rfm_segmentation, text_heavy_hitters, bm25,
-#: cluster_topics, weighted_median, the anomaly/sessionization
-#: events block, …), oldest-green-first, plus six oldest-green
-#: fillers. Entries rewritten IN round 19 (hybrid_rrf, the
-#: duplicated-scan family) are re-rotated into this slate by the
-#: end-of-round refresh. Everything else keeps its previous relative
-#: order (stable), oldest-green-record-first.
+#: ROUND-19 ROTATION (r18 verdict item 2; end-of-round refresh of
+#: tools/correctness_union.py's suggestion): positions 1-50 cover 50
+#: of the 52 STALE-GREEN entries — code changed after their last
+#: green driver record — i.e. the r18 fastdec/digest/checkpoint block
+#: (q1/q1_fast/q3/q5/q7 and the converted TPC-H block, cdc_apply,
+#: weighted_median, the anomaly/sessionization events block, …) PLUS
+#: every round-19 rewrite (hybrid_rrf, pca_power_iteration,
+#: heavy_hitters, bm25-sharing entries, page_checksums, scd2/
+#: point-in-time, fuzzy_ed1, dim_truncation_audit, knn_label_vote,
+#: fk_discovery, zorder, rfm, incremental_dedup). Two stale entries
+#: wait for the next slate: migration_row_diff (REVERTED to the code
+#: its green record graded — lowest risk) and
+#: migration_partition_advisor (r17-green, displaced for the
+#: round-19-rewritten dim_truncation_audit). Everything else keeps
+#: its previous relative order (stable), oldest-green-record-first.
 VERIFY_PRIORITY: tuple[str, ...] = (
     "events_sessionization",
     "join_skew_salted",
@@ -56,6 +59,8 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "migration_incremental",
     "text_bm25_topk",
     "similarity_cluster_topics",
+    "similarity_hybrid_rrf",
+    "similarity_pca_power_iteration",
     "events_hypertable_rollup",
     "migration_cdc_apply",
     "q7_volume_shipping",
@@ -75,6 +80,9 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "text_heavy_hitters",
     "window_time_range_frame",
     "migration_column_profile",
+    "similarity_knn_label_vote",
+    "events_zorder_key",
+    "join_fuzzy_ed1",
     "join_point_in_time",
     "migration_page_checksums",
     "events_incremental_rollup",
@@ -86,8 +94,9 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "join_range_nonequi",
     "agg_rollup",
-    "migration_partition_advisor",
+    "similarity_dim_truncation_audit",
     "q1_pricing_summary_fast",
+    "migration_fk_discovery",
     "similarity_lsh_bucketed",
     "similarity_label_centroids",
     "similarity_quantize_int8",
@@ -149,9 +158,8 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "events_sliding_distinct_approx",
     "events_ohlc_bars",
     "sql_recursive_supplier_tree",
-    "migration_fk_discovery",
     "migration_dq_expectations",
-    "similarity_dim_truncation_audit",
+    "migration_partition_advisor",
     "agg_market_basket",
     "setop_symmetric_diff",
     "streaming_run_ohlc",
@@ -193,15 +201,12 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "q18_large_volume_customers",
     "q13_customer_distribution",
     "similarity_range_search",
-    "similarity_knn_label_vote",
     "pipeline_dataset_card",
     "agg_key_skew_report",
     "events_json_variant",
     "events_sliding_distinct_users",
-    "events_zorder_key",
     "graph_degree_stats",
     "graph_pagerank_purchases",
-    "join_fuzzy_ed1",
     "migration_schema_audit",
     "multimodal_resize",
     "text_char_entropy",
@@ -238,9 +243,7 @@ VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_ivf_pandas",
     "similarity_kmeans_step",
     "dedup_semantic_cells",
-    "similarity_hybrid_rrf",
     "pipeline_cluster_balanced_sample",
-    "similarity_pca_power_iteration",
     "pipeline_quality_weighted_sample",
     "multimodal_audio_windows",
     "pipeline_token_budget_planner",
